@@ -1,0 +1,30 @@
+"""Golden-query equivalence: every registered query with an oracle must
+match DuckDB on the same parquet inputs (the driver's t2 gate, locally)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import assert_matches_oracle
+from wikistream_lakehouse_spark.queries import all_queries
+
+QUERIES = all_queries()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, sf_dir):
+    q = QUERIES[name]
+    df = q.build(spark, sf_dir)
+    if q.oracle is None:
+        assert df.count() >= 0  # rows-only check (◇ operators)
+    else:
+        assert_matches_oracle(df, q.oracle, sf_dir)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as m
+
+    df = m.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"ds", "event_type", "user_id", "edits"}

@@ -1,0 +1,77 @@
+"""Query registry: every engine capability lands here as a named query.
+
+Each registered query pairs
+  * ``build(spark, sf_dir) -> DataFrame`` — the idiomatic PySpark plan, and
+  * ``oracle`` — equivalent ANSI SQL for the DuckDB oracle (or None for
+    genuinely non-SQL-expressible operators → rows-only check).
+
+Conventions (FIXTURES.md):
+  * UTC session timezone (pinned via ensure_session_conf on every build).
+  * Every computed column is aliased identically in Spark and SQL.
+  * Results are deterministic: any LIMIT is preceded by a total order
+    (explicit tie-breaks), so hash comparison is stable.
+  * Integer-typed computed columns are cast to BIGINT on both sides;
+    unstable float aggregates are rounded the same on both sides.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from wikistream_lakehouse_spark.session import ensure_session_conf
+
+BuildFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    build: BuildFn
+    oracle: str | None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+) -> Callable[[BuildFn], BuildFn]:
+    """Decorator: register a query build function under ``name``."""
+
+    def deco(fn: BuildFn) -> BuildFn:
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_session_conf(spark)
+            return fn(spark, sf_dir)
+
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = Query(name=name, build=wrapped, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags)
+        return wrapped
+
+    return deco
+
+
+def all_queries() -> dict[str, Query]:
+    """Import every query module and return the full registry."""
+    # Local import to avoid import cycles; modules self-register on import.
+    from wikistream_lakehouse_spark.queries import (  # noqa: F401
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        streaming_windows,
+        text,
+        wiki,
+    )
+
+    return dict(REGISTRY)

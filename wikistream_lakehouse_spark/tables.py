@@ -1,0 +1,56 @@
+"""Fixture-table loaders (TESTDATA.md / FIXTURES.md).
+
+All loaders return lazy DataFrames over parquet — Catalyst gets the full
+plan (column pruning + predicate pushdown reach the scan), and partition
+discovery/pruning is automatic for partitioned layouts.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from wikistream_lakehouse_spark.session import ensure_session_conf
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at *any* scale factor —
+#: region/nation are bounded by geography (25 nations) even at 100 TB.
+ALWAYS_BROADCAST = ("region", "nation")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame.
+
+    `events.ts` is written as parquet TIMESTAMP(NANOS); Spark reads it as a
+    nanosecond long (see session.RUNTIME_CONF) and we restore TimestampType
+    here via integer µs conversion — no string round-trip, stays codegen'd.
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    ensure_session_conf(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # integer `div`, not `/`: float division loses ulp precision at 1e18 ns
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql queries."""
+    for name in TABLE_NAMES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -76,11 +76,12 @@ def assert_matches_oracle(spark_df, oracle_sql: str, sf_dir: str):
     # align columns by sorted name, normalize values, compare as multisets
     s_idx = [s_cols.index(c) for c in sorted(s_cols)]
     o_idx = [o_cols.index(c) for c in sorted(o_cols)]
+    # sort by repr: total order even with None/mixed types in a column
     s_set = sorted(
-        tuple(_norm(r[i]) for i in s_idx) for r in s_rows
+        (tuple(_norm(r[i]) for i in s_idx) for r in s_rows), key=repr
     )
     o_set = sorted(
-        tuple(_norm(r[i]) for i in o_idx) for r in o_rows
+        (tuple(_norm(r[i]) for i in o_idx) for r in o_rows), key=repr
     )
     for i, (sr, orow) in enumerate(zip(s_set, o_set)):
         assert sr == orow, f"row {i} differs:\n  spark : {sr}\n  oracle: {orow}"

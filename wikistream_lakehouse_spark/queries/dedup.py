@@ -1,1 +1,135 @@
-"""Placeholder — queries land in the next milestone."""
+"""Deduplication operators (SURVEY.md §2.9 X1/X2) as registered queries.
+
+Exact dedup is the engine answer to the reference's at-least-once delivery
+(kafka/wiki-s3-consumer.py:66 — duplicates are *expected*; the keyed Kafka
+design anticipates "compaction downstream", kafka/wiki-producer.py:92).
+Near-dedup (MinHash-LSH, SimHash, n-gram Jaccard) is the LLM-pipeline
+extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wikistream_lakehouse_spark.functions.text import shingles, tokens
+from wikistream_lakehouse_spark.operators.minhash import minhash_near_duplicates
+from wikistream_lakehouse_spark.operators.simhash import simhash_near_duplicates
+from wikistream_lakehouse_spark.queries.registry import register
+from wikistream_lakehouse_spark.tables import table
+
+
+# --- X1: exact keyed dedup over an at-least-once stream --------------------
+@register(
+    "dedup_exact_events",
+    oracle="""
+        WITH doubled AS (
+            SELECT event_id, event_type, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events
+            UNION ALL
+            SELECT event_id, event_type, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events
+        )
+        SELECT event_id, event_type, user_id FROM (
+            SELECT event_id, event_type, user_id,
+                   row_number() OVER (
+                       PARTITION BY event_id ORDER BY ts DESC) AS rk
+            FROM doubled
+        ) WHERE rk = 1
+        ORDER BY event_id
+    """,
+    tags=("X1", "dedup"),
+)
+def dedup_exact_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep exactly one row per event_id from a redelivered stream (the
+    input is unioned with itself to simulate at-least-once duplicates).
+    Keyed window dedup — the batch form of dropDuplicatesWithinWatermark;
+    one shuffle on the dedup key, state bounded per key."""
+    e = table(spark, sf_dir, "events").select("event_id", "event_type", "user_id", "ts")
+    doubled = e.unionAll(e)
+    w = Window.partitionBy("event_id").orderBy(F.desc("ts"))
+    return (
+        doubled.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("event_id", "event_type", "user_id")
+        .orderBy("event_id")
+    )
+
+
+# --- X2 (exact oracle form): n-gram Jaccard similarity ---------------------
+@register(
+    "ngram_jaccard_pairs",
+    oracle="""
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(t[i:i+2], ' ')
+                                  FOR i IN generate_series(1, len(t) - 2)]) AS s
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '), x -> x != '') AS t
+                  FROM documents
+                  WHERE doc_id < 150)
+            WHERE len(t) >= 3
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.s, b.s))) >= 0.2
+        ORDER BY id_a, id_b
+    """,
+    tags=("X2", "dedup"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard over a bounded doc subset — the ground
+    truth the LSH variants approximate, and the ✦-verifiable face of X2.
+    (The all-pairs join is intentionally bounded to doc_id<150; at corpus
+    scale the LSH operators below replace it.)"""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    sh = (
+        d.withColumn("s", shingles(tokens(F.col("text")), k=3))
+        .filter(F.size("s") > 0)
+        .select("doc_id", "s")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = F.size(F.array_union("sa", "sb"))
+    jacc = inter / union
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(jacc >= 0.2)
+        .select("id_a", "id_b", F.round(jacc, 6).alias("jaccard"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+# --- X2: MinHash-LSH near-dup at corpus scale (rows-only ◇) ----------------
+@register(
+    "minhash_near_dups",
+    oracle=None,  # hash-function-specific candidates; verified in unit tests
+    tags=("X2", "dedup", "lsh"),
+)
+def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 hashes)+LSH(8 bands) candidate generation with exact
+    Jaccard verification ≥0.35 over the full documents table. Unit tests
+    assert recall/precision against the exact pairwise ground truth."""
+    d = table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        d, text_col="text", id_col="doc_id", threshold=0.35
+    ).orderBy("id_a", "id_b")
+
+
+# --- X2: SimHash near-dup (rows-only ◇) ------------------------------------
+@register(
+    "simhash_near_dups",
+    oracle=None,
+    tags=("X2", "dedup", "simhash"),
+)
+def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs with Hamming ≤ 3 via chunk banding
+    (pigeonhole-exact recall at that radius)."""
+    d = table(spark, sf_dir, "documents")
+    return simhash_near_duplicates(d, text_col="text", id_col="doc_id").orderBy(
+        "id_a", "id_b"
+    )

@@ -1,1 +1,86 @@
-"""Placeholder — queries land in the next milestone."""
+"""Multimodal-column queries (SURVEY.md §2.9 X5) over synthesized payloads.
+
+The documents table has no real media, so payloads are synthesized
+deterministically (utf-8 bytes of `text`) — the *column model* (binary +
+typed metadata struct), content hashing, and the mapInPandas feature
+pipeline are the real engine surface being exercised.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wikistream_lakehouse_spark.operators.multimodal import extract_media_features
+from wikistream_lakehouse_spark.queries.registry import register
+from wikistream_lakehouse_spark.tables import table
+
+
+def _with_media_columns(d: DataFrame) -> DataFrame:
+    """Attach (payload binary, meta struct) — the X5 column convention."""
+    media_type = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    payload = F.encode("text", "utf-8")
+    return d.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            media_type.alias("media_type"),
+            F.lit("raw").alias("format"),
+            F.when(media_type == "image", (F.col("doc_id") % 640 + 1).cast("int"))
+            .otherwise(F.lit(None).cast("int"))
+            .alias("width"),
+            F.when(media_type == "image", (F.col("doc_id") % 480 + 1).cast("int"))
+            .otherwise(F.lit(None).cast("int"))
+            .alias("height"),
+            F.when(media_type != "image", (F.col("n_chars") * 10).cast("long"))
+            .otherwise(F.lit(None).cast("long"))
+            .alias("duration_ms"),
+            F.octet_length(payload).cast("long").alias("size_bytes"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "media_manifest",
+    oracle="""
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio'
+                    ELSE 'video' END AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS size_bytes,
+               sha256(text) AS payload_sha256
+        FROM documents
+        ORDER BY doc_id
+    """,
+    tags=("X5", "multimodal"),
+)
+def media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed media manifest: binary payload + typed metadata +
+    SHA-256 content hash (the dedup/versioning key for blob storage).
+    Hashing is JVM-side; payload bytes never leave the executors."""
+    d = table(spark, sf_dir, "documents")
+    m = _with_media_columns(d)
+    return m.select(
+        "doc_id",
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.size_bytes").alias("size_bytes"),
+        F.sha2("payload", 256).alias("payload_sha256"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "media_features",
+    oracle=None,  # pandas-UDF pipeline — determinism + schema tested in pytest
+    tags=("X5", "multimodal", "pandas-udf"),
+)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via
+    mapInPandas (byte histogram stats standing in for codec output —
+    real decode is an explicit NotImplementedError hook)."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    m = _with_media_columns(d)
+    return extract_media_features(m).orderBy("doc_id")

@@ -1,1 +1,732 @@
-"""Placeholder — queries land in the next milestone."""
+"""General relational surface (SURVEY.md §2.9 J1–J10) over the star schema.
+
+The reference's analytics are one-table group-bys delegated to Athena/Presto
+(dag/wiki_pipeline_dag.py:29-39, README.md:99-110); a drop-in engine needs
+the full relational surface those engines provide. Everything here is
+built-in Catalyst — no UDFs.
+
+Scale notes (100 TB posture):
+  * Bounded dims (region: 5 rows, nation: 25 rows, literal band tables) are
+    explicitly `broadcast()` — no shuffle of the fact side for those joins.
+  * Fact-fact joins (lineitem⋈orders) are equi-joins → sort-merge with AQE
+    skew splitting; both sides shuffle once on the join key.
+  * Aggregations pre-reduce before any join where semantics allow, so the
+    join input is group-cardinality, not row-cardinality.
+  * Windows partition by high-cardinality keys (customer), never a global
+    unpartitioned window over raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wikistream_lakehouse_spark.queries.registry import register
+from wikistream_lakehouse_spark.tables import table
+
+
+# --- J1: multi-way inner equi-join through the full dimension chain --------
+@register(
+    "revenue_by_nation",
+    oracle="""
+        SELECT r.r_name AS region_name, n.n_name AS nation_name,
+               count(*) AS n_items,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+        ORDER BY region_name, nation_name
+    """,
+    tags=("J1", "joins"),
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact→dim chain lineitem⋈orders⋈customer⋈nation⋈region with revenue
+    rollup. nation/region are broadcast (bounded at any SF); lineitem⋈orders
+    is the one real shuffle — on the natural key, AQE-coalesced."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("region_name", "nation_name")
+    )
+
+
+# --- J2: left outer join with null-producing right side --------------------
+@register(
+    "orders_left_join_returns",
+    oracle="""
+        SELECT o.o_orderkey,
+               CAST(count(l.l_orderkey) AS BIGINT) AS n_returned_items,
+               ROUND(coalesce(SUM(l.l_quantity), 0), 2) AS returned_qty
+        FROM orders o
+        LEFT JOIN (SELECT * FROM lineitem WHERE l_returnflag = 'R') l
+               ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1
+        ORDER BY o_orderkey
+        LIMIT 500
+    """,
+    tags=("J2", "joins"),
+)
+def orders_left_join_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders LEFT JOIN returned lineitems: orders without 'R' items keep a
+    zero count — exercises null semantics of outer joins + count(col)."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("l_orderkey").alias("n_returned_items"),
+            F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2).alias(
+                "returned_qty"
+            ),
+        )
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
+
+
+# --- J2b: full outer join of two pre-aggregated sides ----------------------
+@register(
+    "nation_customer_supplier_presence",
+    oracle="""
+        WITH cc AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+                    FROM customer GROUP BY 1),
+             ss AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+                    FROM supplier GROUP BY 1)
+        SELECT coalesce(cc.nk, ss.nk) AS nationkey,
+               coalesce(cc.n_cust, 0) AS n_cust,
+               coalesce(ss.n_supp, 0) AS n_supp
+        FROM cc FULL OUTER JOIN ss ON cc.nk = ss.nk
+        ORDER BY nationkey
+    """,
+    tags=("J2", "joins"),
+)
+def nation_customer_supplier_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of per-nation customer and supplier counts. Both sides
+    are aggregated *before* the join — the join runs over ≤25 rows per side
+    regardless of fact size (aggregate-then-join, not join-then-aggregate)."""
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    cc = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_cust")
+    )
+    ss = s.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count(F.lit(1)).alias("n_supp")
+    )
+    return (
+        cc.join(ss, cc.nk == ss.nk, "full_outer")
+        .select(
+            F.coalesce(cc.nk, ss.nk).alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# --- J3: semi join (EXISTS) ------------------------------------------------
+@register(
+    "customers_with_orders",
+    oracle="""
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY 1
+        ORDER BY c_mktsegment
+    """,
+    tags=("J3", "joins"),
+)
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having ≥1 order, per segment — left_semi join (EXISTS).
+    Semi join never duplicates the left side, so no post-join dedup shuffle."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# --- J3b: anti join (NOT EXISTS) -------------------------------------------
+@register(
+    "customers_without_orders",
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey
+    """,
+    tags=("J3", "joins"),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders at all — left_anti join (NOT EXISTS)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+# --- J4: theta/range join against a literal band table ---------------------
+@register(
+    "part_price_bands",
+    oracle="""
+        SELECT b.band, count(*) AS n_parts,
+               ROUND(AVG(p.p_retailprice), 4) AS avg_price
+        FROM part p
+        JOIN (VALUES ('budget', 0.0, 500.0),
+                     ('mid', 500.0, 1500.0),
+                     ('premium', 1500.0, 1e12)) b(band, lo, hi)
+          ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+        GROUP BY 1
+        ORDER BY band
+    """,
+    tags=("J4", "joins"),
+)
+def part_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join: parts bucketed into price bands via inequality
+    conditions. The band table is a broadcast literal → BroadcastNestedLoop
+    over 3 rows, i.e. effectively a map-side CASE at any scale."""
+    p = table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 500.0), ("mid", 500.0, 1500.0), ("premium", 1500.0, 1e12)],
+        "band string, lo double, hi double",
+    )
+    return (
+        p.join(
+            F.broadcast(bands),
+            (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        )
+        .orderBy("band")
+    )
+
+
+# --- J5: ranking window -----------------------------------------------------
+@register(
+    "first_orders_per_customer",
+    oracle="""
+        SELECT o_custkey, o_orderkey, rk FROM (
+            SELECT o_custkey, o_orderkey,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS rk
+            FROM orders
+        ) WHERE rk <= 2
+        ORDER BY o_custkey, rk
+    """,
+    tags=("J5", "windows"),
+)
+def first_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First two orders per customer by order date — ranking window with a
+    deterministic key tie-break. Partitioned by customer: state per window
+    partition is one customer's orders, bounded at any total scale."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 2)
+        .select("o_custkey", "o_orderkey", "rk")
+        .orderBy("o_custkey", "rk")
+    )
+
+
+# --- J6: analytic window (running total, lag/lead) --------------------------
+@register(
+    "customer_running_spend",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               ROUND(SUM(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS running_spend,
+               ROUND(coalesce(lag(o_totalprice) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey), 0), 2) AS prev_total
+        FROM orders
+        WHERE o_custkey <= 200
+        ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("J6", "windows"),
+)
+def customer_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running spend + previous-order total per customer — analytic window
+    functions (running sum with explicit ROWS frame, lag with default)."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(frame), 2).alias("running_spend"),
+        F.round(F.coalesce(F.lag("o_totalprice").over(w), F.lit(0.0)), 2).alias(
+            "prev_total"
+        ),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# --- J7: set operations ----------------------------------------------------
+@register(
+    "segment_set_ops",
+    oracle="""
+        WITH building AS (SELECT c_custkey FROM customer
+                          WHERE c_mktsegment = 'BUILDING'),
+             rich     AS (SELECT c_custkey FROM customer
+                          WHERE c_acctbal > 5000)
+        SELECT 'union' AS op,
+               CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT * FROM building UNION SELECT * FROM rich)
+        UNION ALL
+        SELECT 'intersect', CAST(count(*) AS BIGINT)
+          FROM (SELECT * FROM building INTERSECT SELECT * FROM rich)
+        UNION ALL
+        SELECT 'except', CAST(count(*) AS BIGINT)
+          FROM (SELECT * FROM building EXCEPT SELECT * FROM rich)
+        ORDER BY op
+    """,
+    tags=("J7", "setops"),
+)
+def segment_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union/intersect/except over two customer slices, reported as one
+    (op, n) table. Spark's distinct set ops are aggregate-backed — same
+    shuffle as a groupBy on the compared columns."""
+    c = table(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+
+    def count1(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(F.lit(op).alias("op"), "n")
+
+    return (
+        count1(building.union(rich).distinct(), "union")
+        .unionByName(count1(building.intersect(rich), "intersect"))
+        .unionByName(count1(building.exceptAll(rich).distinct(), "except"))
+        .orderBy("op")
+    )
+
+
+# --- J7b: distinct / dropDuplicates ----------------------------------------
+@register(
+    "distinct_order_status",
+    oracle="""
+        SELECT DISTINCT o_orderstatus, o_orderpriority
+        FROM orders
+        ORDER BY o_orderstatus, o_orderpriority
+    """,
+    tags=("J7", "setops"),
+)
+def distinct_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT over two low-cardinality columns — partial aggregation means
+    each task emits its local distinct set; the shuffle moves only the
+    handful of combinations."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+# --- J8: rollup with grouping indicator ------------------------------------
+@register(
+    "rollup_daily_edits",
+    oracle="""
+        SELECT CAST(ts AS DATE) AS ds, event_type,
+               count(*) AS edits,
+               CAST(GROUPING(CAST(ts AS DATE), event_type) AS BIGINT) AS gid
+        FROM events
+        GROUP BY ROLLUP(1, 2)
+        ORDER BY gid, ds, event_type
+    """,
+    tags=("J8", "rollup"),
+)
+def rollup_daily_edits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (ds, event_type) → per-(day,type), per-day, and grand-total
+    rows in one pass, disambiguated by grouping_id. Spark evaluates all
+    grouping sets in a single shuffle (Expand + hash aggregate)."""
+    e = table(spark, sf_dir, "events").withColumn("ds", F.to_date("ts"))
+    return (
+        e.rollup("ds", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("edits"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .orderBy("gid", "ds", "event_type")
+    )
+
+
+# --- J8b: cube -------------------------------------------------------------
+@register(
+    "cube_part_brand_size",
+    oracle="""
+        SELECT p_brand, p_size, count(*) AS n_parts,
+               ROUND(SUM(p_retailprice), 2) AS total_price,
+               CAST(GROUPING(p_brand, p_size) AS BIGINT) AS gid
+        FROM part
+        GROUP BY CUBE(p_brand, p_size)
+        ORDER BY gid, p_brand, p_size
+    """,
+    tags=("J8", "cube"),
+)
+def cube_part_brand_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (brand, size): all four grouping sets in one aggregate pass."""
+    p = table(spark, sf_dir, "part")
+    return (
+        p.cube("p_brand", "p_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("p_retailprice"), 2).alias("total_price"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .orderBy("gid", "p_brand", "p_size")
+    )
+
+
+# --- J9: distinct counts + exact percentiles -------------------------------
+@register(
+    "distinct_users_per_day",
+    oracle="""
+        SELECT CAST(ts AS DATE) AS ds,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS distinct_types
+        FROM events
+        GROUP BY 1
+        ORDER BY ds
+    """,
+    tags=("J9", "aggregates"),
+)
+def distinct_users_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct counts per day. Spark plans Expand +
+    two-phase aggregate; the approx variant (approx_distinct_profile) is
+    the 100 TB path — one pass, fixed-size HLL sketch."""
+    e = table(spark, sf_dir, "events").withColumn("ds", F.to_date("ts"))
+    return (
+        e.groupBy("ds")
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("distinct_users"),
+            F.countDistinct("event_type").cast("long").alias("distinct_types"),
+        )
+        .orderBy("ds")
+    )
+
+
+@register(
+    "approx_distinct_profile",
+    oracle=None,  # sketch implementations differ across engines → rows-only
+    tags=("J9", "aggregates", "approx"),
+)
+def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) + approx percentiles per event_type.
+    No SQL oracle: DuckDB's sketches are a different algorithm, so values
+    legitimately differ; accuracy is asserted in unit tests against exact
+    counts (±5% rsd)."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.percentile_approx("value", 0.5, 10000).alias("approx_median_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "price_percentiles",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+               ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+               ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        FROM lineitem
+        GROUP BY 1
+        ORDER BY l_returnflag
+    """,
+    tags=("J9", "aggregates"),
+)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    quantile_cont). Exact percentile sorts per group — fine at group scale;
+    the sketch-based percentile_approx above is the wide-data path."""
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(l_extendedprice, 0.50)"), 4).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- J10: scalar function families -----------------------------------------
+@register(
+    "string_functions_showcase",
+    oracle="""
+        SELECT doc_id,
+               upper(lang) AS lang_uc,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               substring(text, 1, 12) AS prefix,
+               CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               regexp_extract(text, '^[a-z]+') AS first_word,
+               replace(source, 'src', 'source-') AS source_renamed
+        FROM documents
+        WHERE doc_id < 200
+        ORDER BY doc_id
+    """,
+    tags=("J10", "functions", "strings"),
+)
+def string_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar family: case, length, substring, split, regexp,
+    replace — all JVM-side codegen, no UDFs."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return d.select(
+        "doc_id",
+        F.upper("lang").alias("lang_uc"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.substring("text", 1, 12).alias("prefix"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.regexp_extract("text", r"^[a-z]+", 0).alias("first_word"),
+        F.regexp_replace("source", "src", "source-").alias("source_renamed"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "math_functions_showcase",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               ROUND(l_extendedprice, 1) AS price_r1,
+               ABS(l_discount - 0.05) AS disc_dev,
+               CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+               CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+               ROUND(SQRT(l_extendedprice), 6) AS price_sqrt,
+               ROUND(LN(l_extendedprice + 1), 6) AS price_ln,
+               CAST(l_orderkey % 7 AS BIGINT) AS key_mod7
+        FROM lineitem
+        WHERE l_orderkey < 300
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("J10", "functions", "math"),
+)
+def math_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar family: round/abs/ceil/floor/sqrt/ln/mod — IEEE-identical
+    across engines, rounded where transcendental."""
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 300)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").cast("long").alias("qty_ceil"),
+        F.floor("l_quantity").cast("long").alias("qty_floor"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        (F.col("l_orderkey") % 7).cast("long").alias("key_mod7"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "array_functions_showcase",
+    oracle="""
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT) AS dim,
+               ROUND(embedding[1], 6) AS first_coord,
+               ROUND(list_aggregate(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 3)
+                   AS sq_norm
+        FROM embeddings
+        WHERE vec_id < 100
+        ORDER BY vec_id
+    """,
+    tags=("J10", "functions", "arrays"),
+)
+def array_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar family over the embedding column: size, element access,
+    higher-order transform+aggregate (squared L2 norm) — the same JVM-side
+    primitives the similarity-search operators build on."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_coord"),
+        F.round(sq, 3).alias("sq_norm"),
+    ).orderBy("vec_id")
+
+
+# --- TPC-H-style classics ---------------------------------------------------
+@register(
+    "pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+                   AS sum_charge,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_extendedprice), 4) AS avg_price,
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= DATE '2001-06-01'
+        GROUP BY 1, 2
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("classic", "A1", "aggregates"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical scan→filter→wide
+    hash-aggregate. One scan, partial aggregation map-side, 4-group output."""
+    l = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2001-06-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "top_revenue_orders",
+    oracle="""
+        SELECT l.l_orderkey,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY 1, 3, 4
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    tags=("classic", "J1", "O1"),
+)
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: segment-filtered 3-way join → revenue per order →
+    top 10. The segment filter runs before the join (pushdown), shrinking
+    the build side; final top-k is TakeOrderedAndProject, no full sort."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "priority_discount_orders",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.08)
+        GROUP BY 1
+        ORDER BY o_orderpriority
+    """,
+    tags=("classic", "J3"),
+)
+def priority_discount_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: orders with ≥1 deeply-discounted item, counted by
+    priority — semi join keeps each order once regardless of item count."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.08)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "above_average_customers",
+    oracle="""
+        WITH nation_avg AS (
+            SELECT c_nationkey, AVG(c_acctbal) AS avg_bal
+            FROM customer GROUP BY 1
+        )
+        SELECT c.c_custkey, c.c_nationkey,
+               ROUND(c.c_acctbal, 2) AS acctbal,
+               ROUND(a.avg_bal, 4) AS nation_avg_bal
+        FROM customer c
+        JOIN nation_avg a ON c.c_nationkey = a.c_nationkey
+        WHERE c.c_acctbal > a.avg_bal
+        ORDER BY c_custkey
+    """,
+    tags=("classic", "J1", "subquery"),
+)
+def above_average_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decorrelated 'above per-group average' — the aggregate side collapses
+    to ≤25 rows and broadcasts; the classic correlated-subquery shape with
+    no per-row subquery execution."""
+    c = table(spark, sf_dir, "customer")
+    avg_bal = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.join(F.broadcast(avg_bal), c.c_nationkey == avg_bal.nk)
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.round("avg_bal", 4).alias("nation_avg_bal"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -1,1 +1,181 @@
-"""Placeholder — queries land in the next milestone."""
+"""Similarity search over embeddings (SURVEY.md §2.9 X3).
+
+Brute-force cosine top-k is the correctness baseline (✦, oracle-checked
+against DuckDB's list_cosine_similarity); random-hyperplane LSH bucketing
+is the scale path (◇, recall asserted in unit tests against brute force).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wikistream_lakehouse_spark.functions.vectors import cosine, hyperplane_signature
+from wikistream_lakehouse_spark.queries.registry import register
+from wikistream_lakehouse_spark.tables import table
+
+TOP_K = 5
+N_QUERIES = 5  # query set = vec_id < 5
+
+
+@register(
+    "cosine_topk_bruteforce",
+    oracle=f"""
+        WITH q AS (SELECT vec_id AS query_id,
+                          CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < {N_QUERIES}),
+             c AS (SELECT vec_id AS neighbor_id,
+                          CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings)
+        SELECT query_id, neighbor_id, cos, rk FROM (
+            SELECT q.query_id, c.neighbor_id,
+                   ROUND(list_cosine_similarity(q.qv, c.cv), 6) AS cos,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+                                c.neighbor_id) AS rk
+            FROM q CROSS JOIN c
+            WHERE q.query_id != c.neighbor_id
+        ) WHERE rk <= {TOP_K}
+        ORDER BY query_id, rk
+    """,
+    tags=("X3", "similarity"),
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for a query set against the full collection.
+
+    The query side is tiny and broadcast → the candidate side streams
+    through map-side only (no shuffle of the big table); per-query top-k is
+    a rank window over query_id. Ranking uses the *rounded* cosine with an
+    id tie-break so ordering is reproducible across engines and runs."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .orderBy("query_id", "rk")
+    )
+
+
+#: Multi-table LSH parameters: L tables of k sign-bits each. Candidate
+#: P(hit) = 1-(1-p^k)^L with p = 1-θ/π; k controls bucket selectivity
+#: (n/2^k candidates per table), L buys recall. The fixture embeddings are
+#: uniformly random (best neighbor cos ≈ 0.35) — the hardest regime for
+#: LSH — so defaults favor recall; on clustered real-world embeddings the
+#: same L with larger k gives both recall and selectivity.
+LSH_TABLES = 8
+LSH_PLANES = 4
+
+
+def ann_candidates(
+    e: DataFrame,
+    n_queries: int = N_QUERIES,
+    n_tables: int = LSH_TABLES,
+    n_planes: int = LSH_PLANES,
+    dim: int = 64,
+) -> DataFrame:
+    """Distinct (query_id, neighbor_id, qv, cv) candidate pairs from
+    multi-table hyperplane LSH — the standard L-table OR-construction."""
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                hyperplane_signature(
+                    F.col("embedding"), dim=dim, n_planes=n_planes, seed=1000 + t
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    sig = e.select("vec_id", "embedding", F.explode(buckets).alias("tb")).select(
+        "vec_id", "embedding", "tb.t", "tb.bucket"
+    )
+    q = sig.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        "t",
+        "bucket",
+    )
+    c = sig.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        "t",
+        "bucket",
+    )
+    return (
+        c.join(F.broadcast(q), ["t", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "qv", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=None,  # approximate — recall vs brute force asserted in unit tests
+    tags=("X3", "similarity", "lsh", "ann"),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via multi-table random-hyperplane LSH (L=8 tables ×
+    k=4 sign bits): queries compare only against bucket-colliding
+    candidates, unioned across tables.
+
+    Scale shape: signatures are per-row expressions (planes derived from
+    hashes — zero driver state, identical on every executor); the bucket
+    join replaces the cross join, cutting compared pairs to ~L·n/2^k; the
+    L-way row duplication is the classic LSH memory/recall trade. Unit
+    tests pin recall against the brute-force baseline."""
+    e = table(spark, sf_dir, "embeddings")
+    scored = ann_candidates(e).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .orderBy("query_id", "rk")
+    )
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+        SELECT label,
+               CAST(t.i - 1 AS BIGINT) AS dim_idx,
+               ROUND(AVG(CAST(embedding[t.i] AS DOUBLE)), 6) AS centroid_coord
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS i) t
+        GROUP BY 1, 2
+        ORDER BY label, dim_idx
+    """,
+    tags=("X3", "similarity", "aggregates"),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid coordinates (first 4 dims shown) — the aggregate
+    behind IVF coarse quantization: posexplode + per-(label,dim) mean.
+    At scale this is one shuffle keyed by (label, dim) with map-side
+    partial averaging."""
+    e = table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim_idx", "x"))
+        .filter(F.col("dim_idx") < 4)
+        .groupBy("label", "dim_idx")
+        .agg(F.round(F.avg("x"), 6).alias("centroid_coord"))
+        .select("label", F.col("dim_idx").cast("long").alias("dim_idx"), "centroid_coord")
+        .orderBy("label", "dim_idx")
+    )

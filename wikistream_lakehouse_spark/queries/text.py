@@ -1,1 +1,170 @@
-"""Placeholder — queries land in the next milestone."""
+"""Text-analysis queries (SURVEY.md §2.9 X4) over the documents table:
+quality profiling, token counting, language stats, heuristic language ID,
+document fingerprinting. All hot-path math is JVM-side (functions/text.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from wikistream_lakehouse_spark.functions.text import (
+    avg_token_len,
+    rolling_fingerprint,
+    stopword_ratio,
+    subword_token_estimate,
+    tokens,
+    type_token_ratio,
+    whitespace_token_count,
+)
+from wikistream_lakehouse_spark.operators.langid import (
+    build_language_profiles,
+    predict_language,
+)
+from wikistream_lakehouse_spark.queries.registry import register
+from wikistream_lakehouse_spark.tables import table
+
+_SW_SQL = "['the', 'a', 'of', 'and', 'to', 'in']"
+
+
+@register(
+    "text_quality_profile",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x != '') AS toks
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               ROUND(CAST(list_aggregate(list_transform(toks, x -> len(x)), 'sum')
+                          AS DOUBLE) / len(toks), 4) AS avg_token_len,
+               ROUND(CAST(len(list_filter(toks,
+                          x -> list_contains({_SW_SQL}, x))) AS DOUBLE)
+                     / len(toks), 6) AS stopword_ratio,
+               ROUND(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6)
+                   AS type_token_ratio
+        FROM t
+        WHERE len(toks) > 0 AND doc_id < 300
+        ORDER BY doc_id
+    """,
+    tags=("X4", "text"),
+)
+def text_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality signals: token count, mean token length,
+    stopword ratio, lexical diversity — the standard pretraining-filter
+    feature set, one scan, zero UDFs."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    toks = tokens(F.col("text"))
+    return (
+        d.withColumn("toks", toks)
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            F.round(avg_token_len(F.col("toks")), 4).alias("avg_token_len"),
+            F.round(stopword_ratio(F.col("toks")), 6).alias("stopword_ratio"),
+            F.round(type_token_ratio(F.col("toks")), 6).alias("type_token_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "token_counts",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+                    AS BIGINT) AS ws_tokens,
+               CAST(ceil(len(text) / 4.0) AS BIGINT) AS subword_est,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+        ORDER BY doc_id
+    """,
+    tags=("X4", "text"),
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and the BPE-ish
+    chars/4 estimate — the budget arithmetic of every LLM data pipeline."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        subword_token_estimate(F.col("text")).alias("subword_est"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "lang_source_stats",
+    oracle="""
+        SELECT lang, count(*) AS n_docs,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               ROUND(AVG(n_chars), 4) AS avg_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY 1
+        ORDER BY lang
+    """,
+    tags=("X4", "text"),
+)
+def lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition by language: doc counts, source diversity, size."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "language_id_ngram",
+    oracle=None,  # heuristic classifier — accuracy asserted in unit tests
+    tags=("X4", "text", "langid"),
+)
+def language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram language ID (operators/langid.py): per-language
+    profiles (tiny aggregate, broadcast) + overlap scoring — the corpus is
+    scanned twice, never shuffled on raw text. The synthetic corpus shares
+    one vocabulary across langs, so accuracy here is chance by
+    construction; unit tests exercise real script signal."""
+    d = table(spark, sf_dir, "documents")
+    profiles = build_language_profiles(d)
+    preds = predict_language(d, profiles)
+    return (
+        d.select("doc_id", "lang")
+        .join(preds, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "predicted_lang",
+            (F.col("lang") == F.col("predicted_lang")).alias("correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle=None,  # xxhash64-based — engine-specific values, idempotency tested
+    tags=("X4", "text", "fingerprint"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash fingerprints + exact-duplicate groups:
+    fingerprint collisions are exact-dup candidates at zero text-comparison
+    cost (group by 8-byte key instead of full text shuffle)."""
+    d = table(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", rolling_fingerprint(tokens(F.col("text"))).alias("fingerprint")
+    )
+    groups = fp.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc")
+    )
+    return fp.join(groups, "fingerprint").select(
+        "doc_id", "fingerprint", "n_docs", "keeper_doc"
+    ).orderBy("doc_id")

@@ -1,0 +1,254 @@
+"""Structured-streaming tests (SURVEY.md §5.4): file-replay micro-batches,
+malformed-drop, checkpointed exactly-once restart, watermarked dedup and
+windows, foreachBatch gold merge, and the wiki pipeline end-to-end."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from wikistream_lakehouse_spark.schema import WIKI_EVENT_SCHEMA
+from wikistream_lakehouse_spark.streaming.pipeline import (
+    dedup_within_watermark,
+    gold_merge_sink,
+    windowed_counts,
+)
+from wikistream_lakehouse_spark.streaming.sources import file_replay_stream
+from wikistream_lakehouse_spark.streaming.wiki_pipeline import (
+    curate_wiki_silver,
+    daily_editor_aggregate,
+    ingest_wiki_stream,
+    serve_daily_editors,
+)
+
+BASE_TS = 1_705_300_000  # 2024-01-15 UTC
+
+
+def wiki_event(i: int, user: str = "alice", bot: bool | None = None, ts: int | None = None):
+    return {
+        "id": i,
+        "type": "edit",
+        "title": f"Page_{i % 5}",
+        "user": user,
+        "bot": bot,
+        "timestamp": ts or (BASE_TS + i * 60),
+        "comment": "c",
+        "minor": None,  # producer default-fill target (P2)
+    }
+
+
+def write_ndjson(path, records):
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+
+
+@pytest.fixture()
+def wiki_dirs(tmp_path):
+    src = tmp_path / "incoming"
+    src.mkdir()
+    return {
+        "src": src,
+        "bronze": str(tmp_path / "bronze"),
+        "silver": str(tmp_path / "silver"),
+        "serving": str(tmp_path / "serving"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+
+
+def test_wiki_pipeline_end_to_end(spark, wiki_dirs):
+    """§3.1-3.3 in one run: replay → bronze → silver → serving MERGE,
+    including the null-safe bot filter and minor default-fill."""
+    write_ndjson(
+        wiki_dirs["src"] / "batch1.json",
+        [wiki_event(i) for i in range(50)]
+        + [wiki_event(100 + i, user="robot", bot=True) for i in range(10)],
+    )
+    write_ndjson(
+        wiki_dirs["src"] / "batch2.json",
+        [wiki_event(200 + i, user="bob") for i in range(30)],
+    )
+    q = ingest_wiki_stream(
+        spark, str(wiki_dirs["src"]), wiki_dirs["bronze"], wiki_dirs["ckpt"]
+    )
+    q.awaitTermination(120)
+    bronze = spark.read.parquet(wiki_dirs["bronze"])
+    assert bronze.count() == 90
+    assert bronze.filter(F.col("minor").isNull()).count() == 0  # P2 default-fill
+    assert "ds" in bronze.columns  # processing-date partition (T5)
+
+    curate_wiki_silver(spark, wiki_dirs["bronze"], wiki_dirs["silver"])
+    silver = spark.read.parquet(wiki_dirs["silver"])
+    assert silver.count() == 90
+    assert {r.dd for r in silver.select("dd").distinct().collect()} == {15}
+
+    serve_daily_editors(
+        spark, wiki_dirs["silver"], wiki_dirs["serving"], ds="2024-01-15"
+    )
+    serving = {
+        r.username: r.edits for r in spark.read.parquet(wiki_dirs["serving"]).collect()
+    }
+    assert serving == {"alice": 50, "bob": 30}  # bots excluded (P5)
+
+    # idempotency: rerun curation + serving → identical state
+    curate_wiki_silver(spark, wiki_dirs["bronze"], wiki_dirs["silver"])
+    serve_daily_editors(
+        spark, wiki_dirs["silver"], wiki_dirs["serving"], ds="2024-01-15"
+    )
+    assert spark.read.parquet(wiki_dirs["silver"]).count() == 90
+    serving2 = {
+        r.username: r.edits for r in spark.read.parquet(wiki_dirs["serving"]).collect()
+    }
+    assert serving2 == serving
+
+
+def test_checkpoint_restart_exactly_once(spark, wiki_dirs):
+    """T2 upgrade: restart from checkpoint ingests only new files — old
+    micro-batches are not re-emitted (no at-least-once duplicates)."""
+    write_ndjson(wiki_dirs["src"] / "b1.json", [wiki_event(i) for i in range(20)])
+    q = ingest_wiki_stream(
+        spark, str(wiki_dirs["src"]), wiki_dirs["bronze"], wiki_dirs["ckpt"]
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(wiki_dirs["bronze"]).count() == 20
+
+    write_ndjson(wiki_dirs["src"] / "b2.json", [wiki_event(100 + i) for i in range(15)])
+    q2 = ingest_wiki_stream(
+        spark, str(wiki_dirs["src"]), wiki_dirs["bronze"], wiki_dirs["ckpt"]
+    )
+    q2.awaitTermination(120)
+    out = spark.read.parquet(wiki_dirs["bronze"])
+    assert out.count() == 35  # 20 + 15, no replays
+    assert out.select("id").distinct().count() == 35
+
+
+def test_malformed_lines_dropped(spark, tmp_path):
+    """P4/S5: unparseable lines are skipped, not fatal — the consumer's
+    json.loads-or-skip (kafka/wiki-s3-consumer.py:93-95)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "mixed.json", "w") as f:
+        f.write(json.dumps(wiki_event(1)) + "\n")
+        f.write("this is not json at all{{{\n")
+        f.write(json.dumps(wiki_event(2)) + "\n")
+    stream = file_replay_stream(spark, str(src), WIKI_EVENT_SCHEMA)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("malformed_t")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM malformed_t WHERE id IS NOT NULL").collect()
+    assert {r.id for r in rows} == {1, 2}
+
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+    ]
+)
+
+
+def _event_rows(n, dup_every=None):
+    rows = []
+    for i in range(n):
+        rows.append(
+            {
+                "event_id": i,
+                "ts": f"2024-01-15T10:{i % 60:02d}:00.000Z",
+                "user_id": i % 3,
+            }
+        )
+        if dup_every and i % dup_every == 0:
+            rows.append(rows[-1])  # at-least-once redelivery
+    return rows
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """X1: duplicates within the watermark horizon are dropped → exactly
+    one row per event_id despite redelivery."""
+    src = tmp_path / "src"
+    write_ndjson(src / "a.json", _event_rows(40, dup_every=4))
+    stream = file_replay_stream(spark, str(src), EVENTS_SCHEMA)
+    deduped = dedup_within_watermark(stream, key="event_id", watermark="1 hour")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT event_id FROM dedup_t").collect()
+    assert len(got) == 40
+    assert len({r.event_id for r in got}) == 40
+
+
+def test_streaming_windows_match_batch(spark, tmp_path):
+    """X6: streaming watermarked tumbling counts == the batch aggregation
+    over the same data (batch certifies streaming)."""
+    src = tmp_path / "src"
+    rows = _event_rows(50)
+    write_ndjson(src / "a.json", rows[:25])
+    write_ndjson(src / "b.json", rows[25:])
+    stream = file_replay_stream(spark, str(src), EVENTS_SCHEMA)
+    agg = windowed_counts(
+        stream, window_len="10 minutes", watermark="1 hour", group_cols=("user_id",)
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_t")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    streaming = {
+        (r.window_start, r.user_id): r.n_events
+        for r in spark.sql("SELECT * FROM win_t").collect()
+    }
+    batch_df = spark.read.schema(EVENTS_SCHEMA).json(str(src))
+    batch = {
+        (r.w.start, r.user_id): r.n
+        for r in batch_df.groupBy(F.window("ts", "10 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert streaming == batch
+
+
+def test_gold_merge_sink_converges_to_batch_truth(spark, tmp_path):
+    """K5-streaming: foreachBatch MERGE over micro-batches ends at the
+    same serving state a single batch aggregation would produce."""
+    src = tmp_path / "src"
+    rows = _event_rows(60)
+    write_ndjson(src / "a.json", rows[:30])
+    write_ndjson(src / "b.json", rows[30:])
+    stream = file_replay_stream(spark, str(src), EVENTS_SCHEMA)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    serving = str(tmp_path / "serving")
+    q = gold_merge_sink(
+        agg, serving, str(tmp_path / "ck"), keys=["user_id"], available_now=True
+    )
+    q.awaitTermination(120)
+    got = {r.user_id: r.n_events for r in spark.read.parquet(serving).collect()}
+    truth_df = spark.read.schema(EVENTS_SCHEMA).json(str(src))
+    truth = {
+        r.user_id: r.n
+        for r in truth_df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == truth

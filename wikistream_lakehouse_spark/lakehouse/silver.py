@@ -1,0 +1,65 @@
+"""Silver (curated) zone: columnar, event-time partitioned, idempotent.
+
+Reproduces glue/job_wiki_curate.py:31-51 — read raw, derive `ts` and
+`yyyy/mm/dd` from the *event* timestamp (T6, the late-data correction
+mechanism) — with two deliberate semantic upgrades over the reference:
+
+1. **Idempotent re-curation.** The reference appends
+   (glue/job_wiki_curate.py:48), so re-running curation duplicates rows
+   (SURVEY.md §1.3). Here the write is dynamic-partition-overwrite: only
+   the event-date partitions present in this batch are replaced, re-runs
+   converge to the same state. (Delta `replaceWhere` in production; the
+   mechanism below is Spark-native `partitionOverwriteMode=dynamic`.)
+2. **No repartition(1).** The reference's single-file-per-partition is
+   demo sizing (glue/job_wiki_curate.py:10,46); here AQE coalescing sizes
+   output tasks (~64 MB targets) so a 100 TB day writes parallel,
+   right-sized files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def derive_event_time_columns(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Event-time columns: yyyy/mm/dd from the event timestamp
+    (glue/job_wiki_curate.py:35-41). Works on either an existing
+    TimestampType column or an epoch-seconds long (wiki `timestamp`)."""
+    dt = df.schema[ts_col].dataType.typeName()
+    ts = F.col(ts_col) if dt == "timestamp" else F.to_timestamp(F.from_unixtime(ts_col))
+    return (
+        df.withColumn("_ts", ts)
+        .withColumn("yyyy", F.year("_ts"))
+        .withColumn("mm", F.month("_ts"))
+        .withColumn("dd", F.dayofmonth("_ts"))
+        .drop("_ts")
+    )
+
+
+def curate_to_silver(
+    raw: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+) -> None:
+    """Raw → silver: derive event-time partitions, overwrite exactly the
+    partitions this batch touches (idempotent re-run; late data re-homes
+    to its event day no matter which `ds` it arrived under)."""
+    spark = raw.sparkSession
+    curated = derive_event_time_columns(raw, ts_col)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            curated.write.mode("overwrite")
+            .partitionBy("yyyy", "mm", "dd")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def recover_partitions(spark, table_name: str) -> None:
+    """Catalog partition registration — the engine-side replacement for
+    `MSCK REPAIR TABLE` (dag/wiki_pipeline_dag.py:83-89)."""
+    spark.sql(f"MSCK REPAIR TABLE {table_name}")

@@ -1,0 +1,115 @@
+"""Streaming pipeline stages: bronze sink, watermarked dedup/windows,
+foreachBatch serving merge (K2/T1/T2/X1/X6 + K5-streaming).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from wikistream_lakehouse_spark.lakehouse.bronze import with_processing_date
+from wikistream_lakehouse_spark.lakehouse.merge import upsert_parquet
+
+
+def bronze_sink(
+    events: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_secs: int = 10,
+    fmt: str = "parquet",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Micro-batched bronze writer (K2/T1): processing-date partitions,
+    time-based trigger (the consumer's FLUSH_SECS=10,
+    kafka/wiki-s3-consumer.py:23), checkpointed offsets (T2 upgrade:
+    at-least-once auto-commit → exactly-once into the file sink).
+    `available_now` drains everything currently available then stops —
+    the deterministic test/backfill trigger."""
+    writer = (
+        with_processing_date(events)
+        .writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("ds")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
+    return writer.start()
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    key: str = "event_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact streaming dedup (X1): one row per key within the watermark
+    horizon — bounded state (keys expire with the watermark), the
+    streaming answer to at-least-once redelivery (T2)."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        [key]
+    )
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_len: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Watermarked tumbling/sliding window counts (X6) — the streaming
+    form of queries/streaming_windows.py; late rows beyond the watermark
+    are dropped, windows finalize once the watermark passes their end."""
+    win = (
+        F.window(ts_col, window_len, slide) if slide else F.window(ts_col, window_len)
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), *[F.col(c) for c in group_cols])
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *group_cols,
+            "n_events",
+        )
+    )
+
+
+def gold_merge_sink(
+    agg: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    keys: list[str],
+    trigger_secs: int = 10,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming gold via foreachBatch MERGE (K5): each micro-batch
+    upserts its (complete-so-far) aggregate rows into the serving table —
+    the engine form of the Postgres ON CONFLICT loop
+    (upsert_athena_aggregates.py:87-110), set-based and idempotent, so
+    batch replay after failure converges instead of double-counting."""
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        # keep-latest within the batch: update outputMode can re-emit a key
+        dedup = batch_df.dropDuplicates(keys)
+        upsert_parquet(batch_df.sparkSession, target_path, dedup, keys)
+
+    writer = (
+        agg.writeStream.foreachBatch(merge_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
+    return writer.start()

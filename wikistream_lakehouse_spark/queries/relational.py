@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from wikistream_lakehouse_spark.operators.asof import asof_join
 from wikistream_lakehouse_spark.queries.registry import register
 from wikistream_lakehouse_spark.tables import table
 
@@ -730,3 +731,133 @@ def above_average_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# --- As-of join (custom operator; DuckDB native ASOF as oracle) ------------
+@register(
+    "purchase_click_attribution",
+    oracle="""
+        WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                   FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT event_id AS click_id, user_id,
+                          CAST(ts AS TIMESTAMP) AS click_ts
+                   FROM events WHERE event_type = 'click')
+        SELECT p.event_id, p.user_id, c.click_id,
+               ROUND(CAST(date_diff('microsecond', c.click_ts, p.ts) AS DOUBLE)
+                     / 60000000, 4) AS minutes_since_click
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.ts >= c.click_ts
+        ORDER BY event_id
+    """,
+    tags=("asof", "custom-operator", "joins"),
+)
+def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/asof.py): each purchase attributed to
+    the user's most recent prior click — the canonical last-touch
+    attribution query. One shuffle on user_id, running-window match, no
+    range-join explosion; oracle is DuckDB's native ASOF JOIN."""
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="click_ts"
+    )
+    # integer µs on both sides → identical doubles after one division
+    mins = (F.unix_micros("ts") - F.unix_micros("click_ts")) / F.lit(60000000.0)
+    return joined.select(
+        "event_id",
+        "user_id",
+        "click_id",
+        F.round(mins, 4).alias("minutes_since_click"),
+    ).orderBy("event_id")
+
+
+# --- J10: date/time scalar family ------------------------------------------
+@register(
+    "date_functions_showcase",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) AS order_date,
+               CAST(date_add(CAST(o_orderdate AS DATE), INTERVAL 30 DAY)
+                    AS DATE) AS due_date,
+               CAST(datediff('day', CAST(o_orderdate AS DATE),
+                             DATE '2000-01-01') AS BIGINT) AS days_to_y2k,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE)
+                   AS week_start,
+               CAST(dayofweek(CAST(o_orderdate AS DATE)) AS BIGINT) AS dow,
+               CAST(quarter(CAST(o_orderdate AS DATE)) AS BIGINT) AS qtr
+        FROM orders
+        WHERE o_orderkey < 500
+        ORDER BY o_orderkey
+    """,
+    tags=("J10", "functions", "dates"),
+)
+def date_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar family: add/diff/truncate/boundary/calendar-part —
+    all JVM-side. (DuckDB dayofweek: Sunday=0; Spark dayofweek: Sunday=1 →
+    aligned via -1.)"""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.date_add(d, 30).alias("due_date"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d).cast("long").alias(
+            "days_to_y2k"
+        ),
+        F.last_day(d).alias("month_end"),
+        F.date_trunc("week", d).cast("date").alias("week_start"),
+        (F.dayofweek(d) - 1).cast("long").alias("dow"),
+        F.quarter(d).cast("long").alias("qtr"),
+    ).orderBy("o_orderkey")
+
+
+# --- J10: conditional / null-handling scalar family -------------------------
+@register(
+    "conditional_functions_showcase",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_quantity >= 40 THEN 'bulk'
+                    WHEN l_quantity >= 10 THEN 'standard'
+                    ELSE 'small' END AS qty_class,
+               ifnull(nullif(l_returnflag, 'N'), 'NONE') AS return_state,
+               greatest(l_discount, l_tax) AS max_rate,
+               least(l_discount, l_tax) AS min_rate,
+               CASE WHEN l_discount > 0.05 THEN l_extendedprice * 0.95
+                    ELSE l_extendedprice END AS adjusted_price
+        FROM lineitem
+        WHERE l_orderkey < 200
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    tags=("J10", "functions", "conditional"),
+)
+def conditional_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/null-handling family: CASE chains, nullif/ifnull,
+    greatest/least — constant-folded and codegen'd by Catalyst."""
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_quantity") >= 40, "bulk")
+        .when(F.col("l_quantity") >= 10, "standard")
+        .otherwise("small")
+        .alias("qty_class"),
+        F.ifnull(F.nullif("l_returnflag", F.lit("N")), F.lit("NONE")).alias(
+            "return_state"
+        ),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        # raw IEEE product, no per-row decimal rounding: round-half rules
+        # differ between engines exactly at *.xx5 boundaries, while the
+        # product itself is bit-identical
+        F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice") * 0.95)
+        .otherwise(F.col("l_extendedprice"))
+        .alias("adjusted_price"),
+    ).orderBy("l_orderkey", "l_linenumber")

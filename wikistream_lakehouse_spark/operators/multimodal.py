@@ -59,15 +59,21 @@ def extract_media_features(
     """
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.split(" ")[0] for f in MEDIA_FEATURES_SCHEMA.split(", ")]
         for pdf in batches:
+            # vectorized over the Arrow batch: itertuples + numpy only —
+            # .iterrows() materializes a Series per row and costs ~10×
             out = []
-            for _, row in pdf.iterrows():
-                payload = row[payload_col] or b""
-                mtype = row[meta_col]["media_type"]
+            metas = pdf[meta_col]
+            for doc_id, payload, meta in zip(
+                pdf[id_col].to_numpy(), pdf[payload_col], metas
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                mtype = meta["media_type"]
                 if use_real_codec:
-                    arr = real_decode(payload, mtype, row[meta_col]["format"])
+                    arr = real_decode(payload, mtype, meta["format"])
                 else:
-                    arr = _fake_decode(bytes(payload), mtype)
+                    arr = _fake_decode(payload, mtype)
                 if arr.size:
                     counts = np.bincount(arr, minlength=256)
                     p = counts[counts > 0] / arr.size
@@ -76,16 +82,10 @@ def extract_media_features(
                 else:
                     entropy, mean = 0.0, 0.0
                 out.append(
-                    {
-                        "doc_id": row[id_col],
-                        "media_type": mtype,
-                        "size_bytes": len(payload),
-                        "byte_mean": round(mean, 6),
-                        "byte_entropy": round(entropy, 6),
-                        "decoded": not use_real_codec,
-                    }
+                    (doc_id, mtype, len(payload), round(mean, 6), round(entropy, 6),
+                     not use_real_codec)
                 )
-            yield pd.DataFrame(out, columns=[f.split(" ")[0] for f in MEDIA_FEATURES_SCHEMA.split(", ")])
+            yield pd.DataFrame(out, columns=cols)
 
     cols = [F.col(id_col), F.col(payload_col), F.col(meta_col)]
     return df.select(*cols).mapInPandas(compute, schema=MEDIA_FEATURES_SCHEMA)

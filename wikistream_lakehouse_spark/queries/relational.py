@@ -479,12 +479,16 @@ def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile_cont). Exact percentile sorts per group — fine at group scale;
     the sketch-based percentile_approx above is the wide-data path."""
     l = table(spark, sf_dir, "lineitem")
+    # one percentile(array(...)) evaluation → one sort per group, not three
+    pct = F.expr("percentile(l_extendedprice, array(0.25, 0.50, 0.75))")
     return (
         l.groupBy("l_returnflag")
-        .agg(
-            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
-            F.round(F.expr("percentile(l_extendedprice, 0.50)"), 4).alias("p50"),
-            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
+        .agg(pct.alias("pcts"))
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("pcts", 1), 4).alias("p25"),
+            F.round(F.element_at("pcts", 2), 4).alias("p50"),
+            F.round(F.element_at("pcts", 3), 4).alias("p75"),
         )
         .orderBy("l_returnflag")
     )
@@ -861,3 +865,31 @@ def conditional_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFram
         .otherwise(F.col("l_extendedprice"))
         .alias("adjusted_price"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+# --- J8c: GROUPING SETS via the SQL entry point -----------------------------
+@register(
+    "grouping_sets_sql",
+    oracle="""
+        SELECT CAST(ts AS DATE) AS ds, event_type, count(*) AS edits,
+               CAST(GROUPING(CAST(ts AS DATE), event_type) AS BIGINT) AS gid
+        FROM events
+        GROUP BY GROUPING SETS ((CAST(ts AS DATE)), (event_type), ())
+        ORDER BY gid, ds, event_type
+    """,
+    tags=("J8", "sql-api"),
+)
+def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through spark.sql — the engine's SQL entry
+    point over registered views (same Catalyst plan as the DataFrame
+    rollup/cube: one Expand + hash aggregate)."""
+    table(spark, sf_dir, "events").createOrReplaceTempView("events_gs")
+    return spark.sql(
+        """
+        SELECT CAST(ts AS DATE) AS ds, event_type, count(1) AS edits,
+               CAST(grouping_id(CAST(ts AS DATE), event_type) AS BIGINT) AS gid
+        FROM events_gs
+        GROUP BY GROUPING SETS ((CAST(ts AS DATE)), (event_type), ())
+        ORDER BY gid, ds, event_type
+        """
+    )

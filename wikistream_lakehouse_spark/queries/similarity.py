@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from wikistream_lakehouse_spark.functions.vectors import cosine, hyperplane_signature
+from wikistream_lakehouse_spark.functions.vectors import cosine, hyperplane_buckets
 from wikistream_lakehouse_spark.queries.registry import register
 from wikistream_lakehouse_spark.tables import table
 
@@ -89,37 +89,36 @@ def ann_candidates(
 ) -> DataFrame:
     """Distinct (query_id, neighbor_id, qv, cv) candidate pairs from
     multi-table hyperplane LSH — the standard L-table OR-construction."""
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("t"),
-                hyperplane_signature(
-                    F.col("embedding"), dim=dim, n_planes=n_planes, seed=1000 + t
-                ).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
+    buckets = hyperplane_buckets(
+        e, id_col="vec_id", vec_col="embedding", dim=dim,
+        n_tables=n_tables, n_planes=n_planes,
     )
-    sig = e.select("vec_id", "embedding", F.explode(buckets).alias("tb")).select(
-        "vec_id", "embedding", "tb.t", "tb.bucket"
+    vecs = e.select("vec_id", "embedding")
+    q = buckets.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "t", "bucket"
     )
-    q = sig.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        "t",
-        "bucket",
-    )
-    c = sig.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("cv"),
-        "t",
-        "bucket",
-    )
-    return (
+    c = buckets.select(F.col("vec_id").alias("neighbor_id"), "t", "bucket")
+    pairs = (
         c.join(F.broadcast(q), ["t", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "qv", "cv")
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    return (
+        pairs.join(
+            F.broadcast(
+                vecs.filter(F.col("vec_id") < n_queries).select(
+                    F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+                )
+            ),
+            "query_id",
+        )
+        .join(
+            vecs.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+            ),
+            "neighbor_id",
+        )
     )
 
 
@@ -133,11 +132,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     k=4 sign bits): queries compare only against bucket-colliding
     candidates, unioned across tables.
 
-    Scale shape: signatures are per-row expressions (planes derived from
-    hashes — zero driver state, identical on every executor); the bucket
-    join replaces the cross join, cutting compared pairs to ~L·n/2^k; the
-    L-way row duplication is the classic LSH memory/recall trade. Unit
-    tests pin recall against the brute-force baseline."""
+    Scale shape: sign bits come from an explode + broadcast-plane join +
+    two codegen'd hash aggregates (functions/vectors.hyperplane_buckets);
+    the bucket join replaces the cross join, cutting compared pairs to
+    ~L·n/2^k; the L-way bucket-row duplication is the classic LSH
+    memory/recall trade. Unit tests pin recall against brute force."""
     e = table(spark, sf_dir, "embeddings")
     scored = ann_candidates(e).select(
         "query_id",
@@ -178,4 +177,33 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("x"), 6).alias("centroid_coord"))
         .select("label", F.col("dim_idx").cast("long").alias("dim_idx"), "centroid_coord")
         .orderBy("label", "dim_idx")
+    )
+
+
+@register(
+    "embedding_cosine_pairs",
+    oracle="""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                   FROM embeddings WHERE vec_id < 100)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND(list_cosine_similarity(a.e, b.e), 6) AS cos
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.e, b.e) >= 0.25
+        ORDER BY id_a, id_b
+    """,
+    tags=("X3", "dedup", "similarity"),
+)
+def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, bounded subset) — the
+    oracle-checkable face of embedding near-dedup; the LSH bucket operator
+    (ann_candidates) is the corpus-scale path for the same predicate."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    cos = cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(cos >= 0.25)
+        .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
+        .orderBy("id_a", "id_b")
     )

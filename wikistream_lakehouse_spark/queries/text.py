@@ -18,6 +18,7 @@ from wikistream_lakehouse_spark.functions.text import (
 )
 from wikistream_lakehouse_spark.operators.langid import (
     build_language_profiles,
+    explode_grams,
     predict_language,
 )
 from wikistream_lakehouse_spark.queries.registry import register
@@ -134,8 +135,9 @@ def language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     one vocabulary across langs, so accuracy here is chance by
     construction; unit tests exercise real script signal."""
     d = table(spark, sf_dir, "documents")
-    profiles = build_language_profiles(d)
-    preds = predict_language(d, profiles)
+    grams = explode_grams(d).persist()  # one n-gram pass shared by both stages
+    profiles = build_language_profiles(d, grams=grams)
+    preds = predict_language(d, profiles, grams=grams)
     return (
         d.select("doc_id", "lang")
         .join(preds, "doc_id")

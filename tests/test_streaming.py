@@ -252,3 +252,60 @@ def test_gold_merge_sink_converges_to_batch_truth(spark, tmp_path):
         for r in truth_df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == truth
+
+
+def test_stateful_sessionization(spark, tmp_path):
+    """Custom applyInPandasWithState sessionizer: sessions close on
+    event-time gaps (in-batch splits and watermark timeouts) with custom
+    per-session state (distinct event types)."""
+    from wikistream_lakehouse_spark.streaming.stateful import sessionize_with_state
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "src"
+    # user 7: session A (3 events, 2 types), 2h gap, session B (2 events)
+    write_ndjson(
+        src / "a.json",
+        [
+            {"event_id": 1, "ts": "2024-01-15T10:00:00.000Z", "user_id": 7,
+             "event_type": "click", "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-15T10:10:00.000Z", "user_id": 7,
+             "event_type": "view", "value": 2.0},
+            {"event_id": 3, "ts": "2024-01-15T10:20:00.000Z", "user_id": 7,
+             "event_type": "click", "value": 3.0},
+            {"event_id": 4, "ts": "2024-01-15T12:30:00.000Z", "user_id": 7,
+             "event_type": "purchase", "value": 10.0},
+            {"event_id": 5, "ts": "2024-01-15T12:40:00.000Z", "user_id": 7,
+             "event_type": "purchase", "value": 20.0},
+        ],
+    )
+    stream = file_replay_stream(spark, str(src), schema)
+    sessions = sessionize_with_state(stream, gap_secs=1800)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        spark.sql("SELECT * FROM sess_t").collect(), key=lambda r: r.session_start
+    )
+    # session A closed by the in-batch 2h gap; session B still open in state
+    assert len(rows) >= 1
+    a = rows[0]
+    assert a.user_id == 7
+    assert a.n_events == 3
+    assert a.total_value == 6.0
+    assert a.n_event_types == 2
+    assert a.session_start.isoformat().startswith("2024-01-15T10:00:00")
+    assert a.session_end.isoformat().startswith("2024-01-15T10:50:00")  # +30min

@@ -84,3 +84,53 @@ def hyperplane_buckets(
         .cast("long")
         .alias("bucket")
     )
+
+
+def hyperplane_buckets_pandas(
+    df,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_tables: int,
+    n_planes: int,
+    seed: int = 42,
+):
+    """Same (id, t, bucket) contract as hyperplane_buckets, computed as one
+    BLAS matmul per Arrow batch via mapInPandas.
+
+    This is the idiomatic shape for dense linear algebra in PySpark: the
+    (dim × L·k) plane matrix is a closure constant regenerated on each
+    executor from the seed (a few KB of RNG work, no broadcast), each batch
+    does `vectors @ planes` in one vectorized call, and only (id, t,
+    bucket) longs come back. Identical output to the join-based form
+    (asserted in tests); ~an order of magnitude faster on wide embeddings.
+    """
+    import numpy as np
+    import pandas as pd
+
+    weights = 1 << np.arange(n_planes)  # bit p → 2^p, matching the JVM form
+
+    def compute(batches):
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((n_tables, n_planes, dim))
+        flat = planes.reshape(n_tables * n_planes, dim).T  # (dim, L·k)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            signs = (vecs @ flat) >= 0  # (batch, L·k)
+            buckets = (
+                signs.reshape(len(pdf), n_tables, n_planes) * weights
+            ).sum(axis=2)
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, n_tables),
+                    "t": np.tile(np.arange(n_tables), len(pdf)),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        compute, schema=f"{id_col} long, t int, bucket long"
+    )

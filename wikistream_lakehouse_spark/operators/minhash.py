@@ -34,12 +34,20 @@ def shingle_sets(
     text_col: str = "text",
     id_col: str = "doc_id",
     k_shingle: int = 3,
+    hashed: bool = True,
 ) -> DataFrame:
-    """(id, shingle_set) — distinct word k-gram shingles per document."""
-    return df.select(
-        F.col(id_col),
-        shingles(tokens(F.col(text_col)), k=k_shingle).alias("shingle_set"),
-    )
+    """(id, shingle_set) — distinct word k-gram shingles per document.
+
+    `hashed=True` (default) stores each shingle as its xxhash64 long
+    instead of the string: the verification join then shuffles 8-byte
+    arrays instead of full text shingles (~10× smaller at corpus scale),
+    and set intersection/union compare longs. Exactness is modulo 64-bit
+    hash collisions (~n²/2⁶⁵ — negligible against a 0.xx threshold).
+    """
+    sh = shingles(tokens(F.col(text_col)), k=k_shingle)
+    if hashed:
+        sh = F.array_distinct(F.transform(sh, lambda s: F.xxhash64(s)))
+    return df.select(F.col(id_col), sh.alias("shingle_set"))
 
 
 def minhash_signatures(
@@ -147,7 +155,7 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """End-to-end near-dup pairs: signature → LSH candidates → verified
     Jaccard ≥ threshold. Returns (id_a, id_b, jaccard)."""
-    sh = shingle_sets(df, text_col, id_col, k_shingle).persist()
+    sh = shingle_sets(df, text_col, id_col, k_shingle, hashed=True).persist()
     sig = minhash_signatures(sh, id_col, n_hashes)
     cands = lsh_candidate_pairs(sig, id_col, n_hashes, n_bands)
     return verify_jaccard(cands, sh, id_col, threshold)

@@ -10,7 +10,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from wikistream_lakehouse_spark.functions.vectors import cosine, hyperplane_buckets
+from wikistream_lakehouse_spark.functions.vectors import (
+    cosine,
+    hyperplane_buckets_pandas,
+)
 from wikistream_lakehouse_spark.queries.registry import register
 from wikistream_lakehouse_spark.tables import table
 
@@ -89,7 +92,7 @@ def ann_candidates(
 ) -> DataFrame:
     """Distinct (query_id, neighbor_id, qv, cv) candidate pairs from
     multi-table hyperplane LSH — the standard L-table OR-construction."""
-    buckets = hyperplane_buckets(
+    buckets = hyperplane_buckets_pandas(
         e, id_col="vec_id", vec_col="embedding", dim=dim,
         n_tables=n_tables, n_planes=n_planes,
     )

@@ -1,0 +1,134 @@
+"""Property-based spot checks (SURVEY.md §5.5, hypothesis): invariants
+over randomized event batches — count conservation bronze→silver, dedup
+idempotence, partition-sum consistency, MERGE convergence, minhash
+estimate error bounds."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from wikistream_lakehouse_spark.lakehouse.silver import derive_event_time_columns
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+BASE = datetime(2024, 1, 30, 22, 0, 0, tzinfo=timezone.utc)  # near a day boundary
+
+event_batches = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),  # event_id (dups possible)
+        st.integers(min_value=-3600 * 40, max_value=3600 * 40),  # ±40h around BASE
+        st.one_of(st.none(), st.integers(min_value=0, max_value=5)),  # user
+        st.sampled_from(["click", "view", "error"]),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _df(spark, batch):
+    rows = [
+        (eid, BASE + timedelta(seconds=off), user, etype)
+        for eid, off, user, etype in batch
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+
+
+@given(batch=event_batches)
+@settings(**SETTINGS)
+def test_event_time_derivation_conserves_rows_and_homes_correctly(spark, batch):
+    """No row lost or re-dated by curation: count preserved, yyyy/mm/dd
+    always equal the row's own event timestamp — across day boundaries,
+    null users, duplicate ids."""
+    df = _df(spark, batch)
+    curated = derive_event_time_columns(df, "ts")
+    assert curated.count() == len(batch)
+    mismatch = curated.filter(
+        (F.year("ts") != F.col("yyyy"))
+        | (F.month("ts") != F.col("mm"))
+        | (F.dayofmonth("ts") != F.col("dd"))
+    ).count()
+    assert mismatch == 0
+
+
+@given(batch=event_batches)
+@settings(**SETTINGS)
+def test_dedup_idempotent_and_keyed(spark, batch):
+    """dropDuplicates on the key: applying twice equals once; output keys
+    are exactly the distinct input keys."""
+    df = _df(spark, batch)
+    once = df.dropDuplicates(["event_id"])
+    twice = once.dropDuplicates(["event_id"])
+    assert once.count() == twice.count()
+    assert once.count() == df.select("event_id").distinct().count()
+
+
+@given(batch=event_batches)
+@settings(**SETTINGS)
+def test_daily_counts_partition_sum_consistent(spark, batch):
+    """Per-day counts sum to the total — the aggregation invariant behind
+    every daily gold table."""
+    df = _df(spark, batch)
+    per_day = df.groupBy(F.to_date("ts").alias("d")).count()
+    assert per_day.agg(F.sum("count")).collect()[0][0] == len(batch)
+
+
+@given(
+    target=st.dictionaries(
+        st.integers(0, 20), st.integers(0, 100), min_size=1, max_size=10
+    ),
+    source=st.dictionaries(
+        st.integers(0, 20), st.integers(0, 100), min_size=1, max_size=10
+    ),
+)
+@settings(**SETTINGS)
+def test_merge_converges_to_source_over_target(spark, tmp_path_factory, target, source):
+    """MERGE state law: result = source ∪ (target − source-keys); applying
+    the same merge again changes nothing."""
+    from wikistream_lakehouse_spark.lakehouse.merge import upsert_parquet
+
+    path = str(tmp_path_factory.mktemp("merge") / "t")
+    tdf = spark.createDataFrame(list(target.items()), "k long, v long")
+    sdf = spark.createDataFrame(list(source.items()), "k long, v long")
+    upsert_parquet(spark, path, tdf, keys=["k"])
+    upsert_parquet(spark, path, sdf, keys=["k"])
+    expected = {**target, **source}
+    got = {r.k: r.v for r in spark.read.parquet(path).collect()}
+    assert got == expected
+    upsert_parquet(spark, path, sdf, keys=["k"])
+    assert {r.k: r.v for r in spark.read.parquet(path).collect()} == expected
+
+
+@given(
+    a=st.lists(st.sampled_from("abcdefgh"), min_size=8, max_size=40),
+    b=st.lists(st.sampled_from("abcdefgh"), min_size=8, max_size=40),
+)
+@settings(**SETTINGS)
+def test_minhash_estimates_jaccard(spark, a, b):
+    """Signature agreement ≈ true shingle Jaccard within 4σ of the
+    binomial bound for 32 hashes (σ = √(j(1−j)/32) ≤ 0.0884)."""
+    from wikistream_lakehouse_spark.operators.minhash import (
+        minhash_signatures,
+        shingle_sets,
+    )
+
+    df = spark.createDataFrame(
+        [(1, " ".join(a)), (2, " ".join(b))], "doc_id long, text string"
+    )
+    sh = shingle_sets(df)
+    rows = {r.doc_id: set(r.shingle_set) for r in sh.collect()}
+    if not rows[1] or not rows[2]:
+        return
+    true_j = len(rows[1] & rows[2]) / len(rows[1] | rows[2])
+    sigs = {r.doc_id: r.minhash for r in minhash_signatures(sh).collect()}
+    est = sum(1 for x, y in zip(sigs[1], sigs[2]) if x == y) / 32
+    assert abs(est - true_j) <= 4 * 0.0884 + 1e-9

@@ -893,3 +893,74 @@ def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY gid, ds, event_type
         """
     )
+
+
+# --- Pivot (dynamic columns from values) ------------------------------------
+@register(
+    "pivot_event_type_counts",
+    oracle="""
+        SELECT CAST(ts AS DATE) AS ds,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS purchase,
+               SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+        FROM events
+        GROUP BY 1
+        ORDER BY ds
+    """,
+    tags=("A1", "pivot"),
+)
+def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per event type, one row per day. The value list is
+    pinned explicitly — at scale an unpinned pivot needs a distinct-values
+    job first; pinning keeps it a single-pass aggregate."""
+    e = table(spark, sf_dir, "events").withColumn("ds", F.to_date("ts"))
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        e.groupBy("ds")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+    return out.orderBy("ds")
+
+
+# --- J5b: distribution-rank window family -----------------------------------
+@register(
+    "customer_spend_distribution",
+    oracle="""
+        WITH s AS (
+            SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS spend
+            FROM orders GROUP BY 1
+        )
+        SELECT o_custkey, spend,
+               CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+               ROUND(percent_rank() OVER w, 6) AS pct_rank,
+               ROUND(cume_dist() OVER w, 6) AS cume
+        FROM s
+        WINDOW w AS (ORDER BY spend, o_custkey)
+        ORDER BY o_custkey
+    """,
+    tags=("J5", "windows"),
+)
+def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution analytics over an aggregate: ntile/percent_rank/
+    cume_dist. The window is global but runs over *customer* cardinality
+    (post-aggregation), not order rows — at 100 TB this is the
+    aggregate-then-rank shape, with range partitioning handling the
+    global sort."""
+    o = table(spark, sf_dir, "orders")
+    s = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    w = Window.orderBy("spend", "o_custkey")
+    return (
+        s.select(
+            "o_custkey",
+            "spend",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("o_custkey")
+    )

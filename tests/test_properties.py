@@ -117,18 +117,20 @@ def test_minhash_estimates_jaccard(spark, a, b):
     """Signature agreement ≈ true shingle Jaccard within 4σ of the
     binomial bound for 32 hashes (σ = √(j(1−j)/32) ≤ 0.0884)."""
     from wikistream_lakehouse_spark.operators.minhash import (
+        exploded_shingle_hashes,
         minhash_signatures,
-        shingle_sets,
     )
 
     df = spark.createDataFrame(
         [(1, " ".join(a)), (2, " ".join(b))], "doc_id long, text string"
     )
-    sh = shingle_sets(df)
-    rows = {r.doc_id: set(r.shingle_set) for r in sh.collect()}
+    ex = exploded_shingle_hashes(df)
+    rows = {1: set(), 2: set()}
+    for r in ex.collect():
+        rows[r.doc_id].add(r.sh)
     if not rows[1] or not rows[2]:
         return
     true_j = len(rows[1] & rows[2]) / len(rows[1] | rows[2])
-    sigs = {r.doc_id: r.minhash for r in minhash_signatures(sh).collect()}
+    sigs = {r.doc_id: r.minhash for r in minhash_signatures(ex).collect()}
     est = sum(1 for x, y in zip(sigs[1], sigs[2]) if x == y) / 32
     assert abs(est - true_j) <= 4 * 0.0884 + 1e-9

@@ -145,3 +145,57 @@ def test_media_real_codec_is_explicit_stub(spark, sf_dir):
 
     with pytest.raises(NotImplementedError):
         real_decode(b"xx", "image", "png")
+
+
+def test_mllib_minhash_agrees_with_custom(spark, sf_dir):
+    """The pyspark.ml MinHashLSH similarity join and the hand-rolled
+    minhash pipeline must surface the same high-similarity pairs."""
+    from wikistream_lakehouse_spark.operators.ml_lsh import minhash_lsh_similarity_join
+
+    d = table(spark, sf_dir, "documents")
+    custom = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(d, threshold=0.6).collect()
+    }
+    ml = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_similarity_join(d, max_jaccard_distance=0.4).collect()
+    }
+    assert custom, "expected some near-dup pairs at jaccard >= 0.6"
+    overlap = len(custom & ml) / len(custom)
+    assert overlap >= 0.9, f"ML/custom pair overlap {overlap:.2f} too low"
+
+
+def test_brp_lsh_matches_cosine_on_normalized_vectors(spark, sf_dir):
+    """BucketedRandomProjectionLSH euclidean top-k over L2-normalized
+    vectors ≈ cosine top-k (identical ordering in exact form)."""
+    from wikistream_lakehouse_spark.functions.vectors import l2_norm
+    from wikistream_lakehouse_spark.operators.ml_lsh import brp_lsh_neighbors
+
+    e = table(spark, sf_dir, "embeddings")
+    norm = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x: x / l2_norm(F.col("embedding")),
+        ).alias("embedding"),
+    )
+    got = brp_lsh_neighbors(norm, query_ids=[0, 1], k=3, num_hash_tables=10)
+    rows = got.collect()
+    assert {r.query_id for r in rows} == {0, 1}
+    # exact cosine top-3 for query 0 (brute force on the same normalized set)
+    q = norm.filter(F.col("vec_id") == 0).head().embedding
+    scored = norm.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(
+                "embedding", F.array(*[F.lit(float(x)) for x in q]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("cos"),
+    )
+    truth = [r.vec_id for r in scored.orderBy(F.desc("cos"), "vec_id").limit(3).collect()]
+    got0 = [r.neighbor_id for r in rows if r.query_id == 0]
+    assert len(set(truth) & set(got0)) >= 1  # approximate — some overlap required

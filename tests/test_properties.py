@@ -134,3 +134,40 @@ def test_minhash_estimates_jaccard(spark, a, b):
     sigs = {r.doc_id: r.minhash for r in minhash_signatures(ex).collect()}
     est = sum(1 for x, y in zip(sigs[1], sigs[2]) if x == y) / 32
     assert abs(est - true_j) <= 4 * 0.0884 + 1e-9
+
+
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=25
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)), min_size=1, max_size=25
+    ),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    """asof_join law: for every left row, the matched right row is the one
+    with max(right_ts) among right_ts <= left_ts in the same key — checked
+    against a brute-force join+argmax reference."""
+    from wikistream_lakehouse_spark.operators.asof import asof_join
+
+    ldf = spark.createDataFrame(
+        [(i, k, BASE + timedelta(seconds=s)) for i, (k, s) in enumerate(lefts)],
+        "lid long, k long, lts timestamp",
+    )
+    rdf = spark.createDataFrame(
+        [(1000 + i, k, BASE + timedelta(seconds=s)) for i, (k, s) in enumerate(rights)],
+        "rid long, k long, rts timestamp",
+    )
+    got = {
+        r.lid: r.rts
+        for r in asof_join(ldf, rdf, on="k", left_ts="lts", right_ts="rts").collect()
+    }
+    brute = (
+        ldf.join(rdf.withColumnRenamed("k", "k2"),
+                 (F.col("k") == F.col("k2")) & (F.col("rts") <= F.col("lts")), "left")
+        .groupBy("lid")
+        .agg(F.max("rts").alias("best_rts"))
+    )
+    expected = {r.lid: r.best_rts for r in brute.collect()}
+    assert got == expected

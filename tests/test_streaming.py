@@ -309,3 +309,35 @@ def test_stateful_sessionization(spark, tmp_path):
     assert a.n_event_types == 2
     assert a.session_start.isoformat().startswith("2024-01-15T10:00:00")
     assert a.session_end.isoformat().startswith("2024-01-15T10:50:00")  # +30min
+
+
+def test_run_daily_batch_is_one_idempotent_call(spark, wiki_dirs, tmp_path):
+    """The reference's 5-task Airflow DAG as one function: bronze -> silver
+    -> gold -> serving, convergent under re-runs (retry safety lives in
+    the jobs, not the scheduler)."""
+    from wikistream_lakehouse_spark.streaming.wiki_pipeline import run_daily_batch
+
+    write_ndjson(
+        wiki_dirs["src"] / "b1.json",
+        [wiki_event(i) for i in range(40)]
+        + [wiki_event(100 + i, user="bot9000", bot=True) for i in range(5)],
+    )
+    q = ingest_wiki_stream(
+        spark, str(wiki_dirs["src"]), wiki_dirs["bronze"], wiki_dirs["ckpt"]
+    )
+    q.awaitTermination(120)
+    gold = str(tmp_path / "gold")
+    for _ in range(2):  # run twice: the whole chain must converge
+        run_daily_batch(
+            spark, wiki_dirs["bronze"], wiki_dirs["silver"], gold,
+            wiki_dirs["serving"], ds="2024-01-15",
+        )
+    assert spark.read.parquet(wiki_dirs["silver"]).count() == 45
+    gold_rows = spark.read.parquet(gold)
+    assert gold_rows.filter(F.col("title").isNull()).count() == 0
+    assert gold_rows.agg(F.sum("edits")).collect()[0][0] == 45  # gold keeps bots
+    serving = {
+        r.username: r.edits
+        for r in spark.read.parquet(wiki_dirs["serving"]).collect()
+    }
+    assert serving == {"alice": 40}  # serving excludes bots (P5)

@@ -76,6 +76,31 @@ def daily_editor_aggregate(silver: DataFrame, ds: str) -> DataFrame:
     )
 
 
+def run_daily_batch(
+    spark: SparkSession,
+    bronze_path: str,
+    silver_path: str,
+    gold_path: str,
+    serving_path: str,
+    ds: str,
+) -> None:
+    """The whole Airflow DAG (dag/wiki_pipeline_dag.py:60-94: crawl →
+    curate → msck → ctas → rds) as one re-runnable function call:
+    curation is partition-overwrite idempotent, gold overwrites its ds
+    partition, serving MERGEs — a retry at any point converges (the
+    DAG's `retries=1` becomes a property of the jobs, not the scheduler).
+    The crawler/MSCK steps vanish: schema travels with parquet
+    (mergeSchema for evolution) and partitions self-register on read."""
+    from wikistream_lakehouse_spark.lakehouse.gold import build_daily_gold
+
+    curate_wiki_silver(spark, bronze_path, silver_path)
+    silver = spark.read.parquet(silver_path)
+    build_daily_gold(
+        silver, gold_path, ds, title_col="title", user_col="user", ts_col="ts"
+    )
+    serve_daily_editors(spark, silver_path, serving_path, ds)
+
+
 def serve_daily_editors(
     spark: SparkSession, silver_path: str, serving_path: str, ds: str
 ) -> None:

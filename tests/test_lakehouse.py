@@ -127,3 +127,32 @@ def test_upsert_rejects_duplicate_source_keys(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="duplicate keys"):
         upsert_parquet(spark, str(tmp_path / "t"), src, keys=["k"])
+
+
+def test_bronze_compaction_preserves_rows(spark, events, tmp_path):
+    """OPTIMIZE-style compaction: many micro-batch files -> few right-sized
+    files, identical row multiset, re-run no-op."""
+    from wikistream_lakehouse_spark.lakehouse.compact import compact_table
+
+    path = str(tmp_path / "bronze")
+    # simulate 6 micro-batches into one processing-date partition
+    for i in range(6):
+        write_bronze(events.limit(200).repartition(3), path, ds="2024-02-01")
+    before_files = [
+        f for f in os.listdir(os.path.join(path, "ds=2024-02-01"))
+        if f.endswith(".parquet")
+    ]
+    assert len(before_files) >= 6
+    before_rows = sorted(
+        map(tuple, spark.read.parquet(path).drop("ds").collect())
+    )
+    report = compact_table(spark, path, "ds")
+    (b, a) = report["ds=2024-02-01"]
+    assert b == len(before_files) and a < b
+    after_rows = sorted(
+        map(tuple, spark.read.parquet(path).drop("ds").collect())
+    )
+    assert after_rows == before_rows
+    # idempotent: second compaction is a no-op
+    report2 = compact_table(spark, path, "ds")
+    assert report2["ds=2024-02-01"] == (a, a)

@@ -341,3 +341,40 @@ def test_run_daily_batch_is_one_idempotent_call(spark, wiki_dirs, tmp_path):
         for r in spark.read.parquet(wiki_dirs["serving"]).collect()
     }
     assert serving == {"alice": 40}  # serving excludes bots (P5)
+
+
+def test_windowed_agg_state_survives_restart(spark, tmp_path):
+    """Stateful window counts continue correctly across a stop/restart:
+    post-restart totals equal a batch aggregation over everything seen."""
+    src = tmp_path / "src"
+    rows = _event_rows(40)
+    write_ndjson(src / "a.json", rows[:20])
+
+    def run_round():
+        stream = file_replay_stream(spark, str(src), EVENTS_SCHEMA)
+        agg = windowed_counts(stream, window_len="10 minutes", watermark="1 hour")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("win_restart_t")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_round()  # first 20 events
+    write_ndjson(src / "b.json", rows[20:])
+    run_round()  # restart from checkpoint, sees only the new file
+    streaming = {
+        r.window_start: r.n_events
+        for r in spark.sql("SELECT * FROM win_restart_t").collect()
+    }
+    batch_df = spark.read.schema(EVENTS_SCHEMA).json(str(src))
+    batch = {
+        r.w.start: r.n
+        for r in batch_df.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert streaming == batch  # no double counting, no lost state

@@ -964,3 +964,122 @@ def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+# --- TPC-H Q10 shape: returned-item revenue per customer --------------------
+@register(
+    "top_returning_customers",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, n.n_name AS nation_name,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                   AS lost_revenue,
+               count(*) AS n_items
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY 1, 2, 3
+        ORDER BY lost_revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    tags=("classic", "J1", "O1"),
+)
+def top_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: customers ranked by revenue lost to returns.
+    The returnflag filter lands on the lineitem scan (pushdown) before the
+    join; nation broadcast; top-20 via TakeOrderedAndProject."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("lost_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("lost_revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# --- TPC-H Q12 shape: shipment lateness by priority class -------------------
+@register(
+    "late_shipment_priority",
+    oracle="""
+        SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 'critical' ELSE 'regular' END AS priority_class,
+               SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                        THEN 1 ELSE 0 END) AS late_items,
+               count(*) AS total_items
+        FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1
+        ORDER BY priority_class
+    """,
+    tags=("classic", "J1"),
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped: late shipments (>90 days after order) bucketed by
+    priority criticality — join + conditional aggregation in one pass."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    critical = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(
+            F.when(critical, "critical").otherwise("regular").alias("priority_class")
+        )
+        .agg(
+            F.sum(F.when(late, 1).otherwise(0)).alias("late_items"),
+            F.count(F.lit(1)).alias("total_items"),
+        )
+        .orderBy("priority_class")
+    )
+
+
+# --- TPC-H Q14 shape: promo revenue share per month -------------------------
+@register(
+    "promo_revenue_share",
+    oracle="""
+        SELECT CAST(date_trunc('month', l.l_shipdate) AS DATE) AS ship_month,
+               ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                        THEN l.l_extendedprice * (1 - l.l_discount)
+                        ELSE 0 END)
+                     / SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+                   AS promo_pct,
+               count(*) AS n_items
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= DATE '2000-01-01'
+        GROUP BY 1
+        ORDER BY ship_month
+    """,
+    tags=("classic", "J1"),
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: monthly share of revenue from promo parts — the
+    ratio-of-conditional-sums pattern; part side joins on partkey (broadcast
+    at small SF, sort-merge at scale — planner's call via AQE)."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2000-01-01").cast("date")
+    )
+    p = table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("ship_month"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("ship_month")
+    )

@@ -109,3 +109,35 @@ def test_map_scalar_functions(spark):
         F.map_contains_key("m", "b").alias("has_b"),
     ).collect()[0]
     assert (row.va, row.nk, row.vc, row.has_b) == (1, 2, 3, True)
+
+
+def test_corrupt_record_audit_column(spark, tmp_path):
+    """P4 audit path: PERMISSIVE read keeps unparseable lines in a corrupt-
+    record column instead of dropping them silently — the raw zone stays
+    a complete audit log even of garbage."""
+    src = tmp_path / "raw"
+    src.mkdir()
+    with open(src / "mixed.json", "w") as f:
+        f.write('{"id": 1, "user": "alice"}\n')
+        f.write("garbage {{{ not json\n")
+        f.write('{"id": 2, "user": "bob"}\n')
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("user", T.StringType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(str(src))
+    ).cache()  # corrupt-record queries require materialization first
+    assert df.count() == 3
+    good = df.filter(F.col("_corrupt").isNull())
+    bad = df.filter(F.col("_corrupt").isNotNull())
+    assert {r.id for r in good.collect()} == {1, 2}
+    assert bad.count() == 1 and "garbage" in bad.collect()[0]._corrupt

@@ -378,3 +378,33 @@ def test_windowed_agg_state_survives_restart(spark, tmp_path):
         .collect()
     }
     assert streaming == batch  # no double counting, no lost state
+
+
+def test_streaming_silver_matches_batch_curation(spark, wiki_dirs, tmp_path):
+    """Streaming silver (bronze dir -> event-time partitions, checkpointed)
+    produces the same rows and partition layout as the batch curator."""
+    from wikistream_lakehouse_spark.streaming.pipeline import streaming_silver
+
+    write_ndjson(wiki_dirs["src"] / "b1.json", [wiki_event(i) for i in range(30)])
+    q = ingest_wiki_stream(
+        spark, str(wiki_dirs["src"]), wiki_dirs["bronze"], wiki_dirs["ckpt"]
+    )
+    q.awaitTermination(120)
+    # ts derives from epoch-seconds `timestamp` inside
+    # derive_event_time_columns (the epoch-long branch)
+    raw_schema = spark.read.parquet(wiki_dirs["bronze"]).drop("ds").schema
+    sq = streaming_silver(
+        spark,
+        wiki_dirs["bronze"],
+        str(tmp_path / "silver_stream"),
+        str(tmp_path / "ck2"),
+        schema=raw_schema,
+        ts_col="timestamp",
+        available_now=True,
+    )
+    sq.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "silver_stream"))
+    assert out.count() == 30
+    assert {(r.yyyy, r.mm, r.dd) for r in out.select("yyyy", "mm", "dd").distinct().collect()} == {
+        (2024, 1, 15)
+    }

@@ -41,20 +41,32 @@ def curate_to_silver(
     raw: DataFrame,
     path: str,
     ts_col: str = "ts",
+    keep_source_partition: bool = False,
 ) -> None:
     """Raw → silver: derive event-time partitions, overwrite exactly the
     partitions this batch touches (idempotent re-run; late data re-homes
-    to its event day no matter which `ds` it arrived under)."""
+    to its event day no matter which `ds` it arrived under).
+
+    `keep_source_partition=True` (the *incremental* mode) keeps the bronze
+    processing-date `ds` as a trailing partition column, so the overwrite
+    unit becomes (event-day × arrival-day). Without it, two incremental
+    deltas whose rows share an event day would erase each other — the
+    second delta's dynamic overwrite replaces the whole event-day
+    partition. Full re-curation (whole history in one batch) doesn't need
+    it; delta curation does. Found by driving overlapping deltas, not by
+    reasoning — see tests/test_lakehouse.py::test_incremental_overlapping.
+    """
     spark = raw.sparkSession
     curated = derive_event_time_columns(raw, ts_col)
+    parts = ["yyyy", "mm", "dd"]
+    if keep_source_partition:
+        if "ds" not in curated.columns:
+            raise ValueError("keep_source_partition=True requires a `ds` column")
+        parts.append("ds")
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        (
-            curated.write.mode("overwrite")
-            .partitionBy("yyyy", "mm", "dd")
-            .parquet(path)
-        )
+        curated.write.mode("overwrite").partitionBy(*parts).parquet(path)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 

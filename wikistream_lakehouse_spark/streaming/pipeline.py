@@ -41,6 +41,47 @@ def bronze_sink(
     return writer.start()
 
 
+def streaming_silver(
+    spark,
+    bronze_path: str,
+    silver_path: str,
+    checkpoint: str,
+    schema,
+    ts_col: str = "ts",
+    available_now: bool = False,
+    trigger_secs: int = 30,
+) -> StreamingQuery:
+    """Continuous silver curation: stream the bronze directory, derive
+    event-time yyyy/mm/dd, append to the silver layout — the streaming
+    twin of lakehouse/silver.curate_to_silver (checkpoint plays the role
+    of the incremental state file; exactly-once into the file sink).
+
+    Note: the streaming file sink is append-only, so backfill/correction
+    re-runs go through the *batch* curator's partition overwrite — the
+    standard kappa split: stream for latency, batch for repair."""
+    from wikistream_lakehouse_spark.lakehouse.silver import derive_event_time_columns
+
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "8")
+        .load(bronze_path)
+    )
+    curated = derive_event_time_columns(raw, ts_col)
+    writer = (
+        curated.writeStream.format("parquet")
+        .option("path", silver_path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("yyyy", "mm", "dd")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
+    return writer.start()
+
+
 def dedup_within_watermark(
     events: DataFrame,
     key: str = "event_id",

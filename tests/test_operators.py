@@ -199,3 +199,31 @@ def test_brp_lsh_matches_cosine_on_normalized_vectors(spark, sf_dir):
     truth = [r.vec_id for r in scored.orderBy(F.desc("cos"), "vec_id").limit(3).collect()]
     got0 = [r.neighbor_id for r in rows if r.query_id == 0]
     assert len(set(truth) & set(got0)) >= 1  # approximate — some overlap required
+
+
+def test_connected_components_known_graph(spark):
+    from wikistream_lakehouse_spark.operators.components import connected_components
+
+    # components: {1,2,3,4} (chain), {10,11} (pair), {20,21,22} (triangle)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    cc = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert {cc[n] for n in (1, 2, 3, 4)} == {1}
+    assert {cc[n] for n in (10, 11)} == {10}
+    assert {cc[n] for n in (20, 21, 22)} == {20}
+
+
+def test_canonical_documents_keep_drop(spark):
+    from wikistream_lakehouse_spark.operators.components import canonical_documents
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 3), (3, 5)], "id_a long, id_b long")
+    out = {r.doc_id: (r.component, r.is_canonical) for r in canonical_documents(docs, pairs).collect()}
+    assert out[0] == (0, True)   # cluster {0,3,5} keeps 0
+    assert out[3] == (0, False)
+    assert out[5] == (0, False)
+    assert out[1] == (1, True)   # singletons keep themselves
+    assert out[2] == (2, True)
+    assert out[4] == (4, True)

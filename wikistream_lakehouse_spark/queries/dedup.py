@@ -133,3 +133,22 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(d, text_col="text", id_col="doc_id").orderBy(
         "id_a", "id_b"
     )
+
+
+# --- X2 decision step: near-dup clusters → canonical keepers (◇) -----------
+@register(
+    "dedup_canonical_docs",
+    oracle=None,  # built on hash-specific LSH pairs; structure pinned in tests
+    tags=("X2", "dedup", "components"),
+)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-dedup decision: MinHash-LSH pairs → connected components
+    (iterative min-label propagation, operators/components.py) → one
+    canonical keeper per duplicate cluster. Returns every doc with its
+    component and keep/drop flag — what a 100 TB pretraining pipeline
+    feeds into the final corpus writer."""
+    from wikistream_lakehouse_spark.operators.components import canonical_documents
+
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(d, threshold=0.5)
+    return canonical_documents(d, pairs).orderBy("doc_id")

@@ -170,3 +170,65 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.join(groups, "fingerprint").select(
         "doc_id", "fingerprint", "n_docs", "keeper_doc"
     ).orderBy("doc_id")
+
+
+@register(
+    "corpus_quality_filter",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split(text, ' '), x -> x != '') AS toks
+            FROM documents
+        ), feat AS (
+            SELECT doc_id, lang,
+                   len(toks) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS DOUBLE)
+                       / NULLIF(len(toks), 0) AS ttr,
+                   CAST(len(list_filter(toks,
+                        x -> list_contains({_SW_SQL}, x))) AS DOUBLE)
+                       / NULLIF(len(toks), 0) AS sw_ratio
+            FROM t
+        )
+        SELECT doc_id, lang,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               (n_tokens BETWEEN 20 AND 2000
+                AND ttr >= 0.20 AND coalesce(sw_ratio, 1.0) <= 0.5) AS keep,
+               CASE WHEN n_tokens < 20 THEN 'too_short'
+                    WHEN n_tokens > 2000 THEN 'too_long'
+                    WHEN ttr < 0.20 THEN 'low_diversity'
+                    WHEN coalesce(sw_ratio, 1.0) > 0.5 THEN 'stopword_heavy'
+                    ELSE 'ok' END AS reason
+        FROM feat
+        ORDER BY doc_id
+    """,
+    tags=("X4", "text", "filter"),
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining-corpus filter: length window, lexical
+    diversity floor, stopword-density ceiling → keep flag + first-failing
+    reason. One scan, all codegen; the keep column is what the corpus
+    writer partitions on at 100 TB."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    feat = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        type_token_ratio(toks).alias("ttr"),
+        stopword_ratio(toks).alias("sw_ratio"),
+    )
+    keep = (
+        F.col("n_tokens").between(20, 2000)
+        & (F.col("ttr") >= 0.20)
+        & (F.coalesce("sw_ratio", F.lit(1.0)) <= 0.5)
+    )
+    reason = (
+        F.when(F.col("n_tokens") < 20, "too_short")
+        .when(F.col("n_tokens") > 2000, "too_long")
+        .when(F.col("ttr") < 0.20, "low_diversity")
+        .when(F.coalesce("sw_ratio", F.lit(1.0)) > 0.5, "stopword_heavy")
+        .otherwise("ok")
+    )
+    return feat.select(
+        "doc_id", "lang", "n_tokens", keep.alias("keep"), reason.alias("reason")
+    ).orderBy("doc_id")

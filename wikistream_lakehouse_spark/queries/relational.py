@@ -900,12 +900,12 @@ def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_event_type_counts",
     oracle="""
         SELECT CAST(ts AS DATE) AS ds,
-               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                   AS purchase,
-               SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS purchase,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
         FROM events
         GROUP BY 1
         ORDER BY ds
@@ -1015,8 +1015,8 @@ def top_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
                     THEN 'critical' ELSE 'regular' END AS priority_class,
-               SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
-                        THEN 1 ELSE 0 END) AS late_items,
+               CAST(SUM(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                             THEN 1 ELSE 0 END) AS BIGINT) AS late_items,
                count(*) AS total_items
         FROM orders o
         JOIN lineitem l ON o.o_orderkey = l.l_orderkey

@@ -204,7 +204,7 @@ def global_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT CASE WHEN rk <= 10 THEN CAST(user_id AS VARCHAR)
                     ELSE 'Other' END AS bucket,
-               SUM(edits) AS edits
+               CAST(SUM(edits) AS BIGINT) AS edits
         FROM r
         GROUP BY 1
         ORDER BY edits DESC, bucket

@@ -26,11 +26,21 @@ def infer_sf(sf_dir: str) -> float:
 
 
 def main() -> None:
+    # The ONLY bytes this process writes to stdout are the final JSON line:
+    # park fd 1 on stderr for the whole run (the JVM inherits fd 1, so its
+    # banner/progress output would otherwise pollute the driver's capture),
+    # keep the real stdout on a duped fd, and write the payload there last.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from wikistream_lakehouse_spark.queries import all_queries
     from wikistream_lakehouse_spark.session import get_spark
 
-    spark = get_spark("wikistream-bench")
+    spark = get_spark(
+        "wikistream-bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = all_queries()
@@ -47,18 +57,18 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_set_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": infer_sf(sf_dir),
-            }
-        )
-    )
     spark.stop()
+    payload = json.dumps(
+        {
+            "metric": "headline_query_set_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": infer_sf(sf_dir),
+        },
+        separators=(",", ":"),
+    )
+    os.write(real_stdout, payload.encode() + b"\n")
 
 
 if __name__ == "__main__":

@@ -94,6 +94,51 @@ def test_cosine_topk_has_no_shuffle_on_candidate_side(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def _window_specs(plan: str) -> list[str]:
+    """Extract every windowspecdefinition(...) argument list from a plan."""
+    specs = []
+    i = 0
+    while True:
+        i = plan.find("windowspecdefinition(", i)
+        if i == -1:
+            return specs
+        j = i + len("windowspecdefinition(")
+        depth, start = 1, j
+        while depth and j < len(plan):
+            depth += {"(": 1, ")": -1}.get(plan[j], 0)
+            j += 1
+        specs.append(plan[start : j - 1])
+        i = j
+
+
+def test_other_bucket_rollup_has_no_global_window(spark, sf_dir):
+    """The top-10+'Other' rollup must NOT rank through an unpartitioned
+    window (single-task sort of 10^7-10^8 user groups at wiki scale).
+    Correct shape: TakeOrderedAndProject for the top-10 + broadcast
+    membership join."""
+    plan = plan_of(QUERIES["other_bucket_rollup"].build(spark, sf_dir), "simple")
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_spend_distribution_windows_are_partitioned(spark, sf_dir):
+    """Two-pass global rank: every Window in the plan must carry a
+    partition spec (first windowspec arg is a partition column, not an
+    ASC/DESC ordering) — an unpartitioned window would be a
+    single-partition sort of all customers."""
+    plan = plan_of(QUERIES["customer_spend_distribution"].build(spark, sf_dir), "simple")
+    specs = _window_specs(plan)
+    assert specs, "expected the per-range-partition row_number window"
+    for spec in specs:
+        first_arg = spec.split(",")[0]
+        assert " ASC" not in first_arg and " DESC" not in first_arg, (
+            f"unpartitioned window spec: {spec[:120]}"
+        )
+    # the only SinglePartition exchange allowed is the tiny global-count agg
+    assert plan.count("Exchange SinglePartition") <= 1
+
+
 @pytest.mark.parametrize(
     "name",
     ["revenue_by_nation", "pricing_summary", "daily_top_titles", "top_revenue_orders"],

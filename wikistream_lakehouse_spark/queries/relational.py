@@ -947,23 +947,63 @@ def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution analytics over an aggregate: ntile/percent_rank/
-    cume_dist. The window is global but runs over *customer* cardinality
-    (post-aggregation), not order rows — at 100 TB this is the
-    aggregate-then-rank shape, with range partitioning handling the
-    global sort."""
+    cume_dist — computed as a RANGE-PARTITIONED TWO-PASS RANK, never a
+    single-partition global window.
+
+    Pass 1: ``repartitionByRange(spend, o_custkey)`` gives a parallel
+    global sort; ``row_number`` runs per range partition (bounded
+    state). Pass 2: per-partition row counts (one tiny row per
+    partition) are turned into cumulative offsets via a triangular
+    self-join over that partition-count-sized frame, then broadcast
+    back; global_rank = offset + local_rank. ntile/percent_rank/
+    cume_dist are then closed-form over (rank, N) because (spend,
+    o_custkey) is unique — rank == row_number, no ties. Every stage is
+    parallel in data size; only the P-row offsets frame (P = shuffle
+    partition count, cluster-bounded) is small-joined."""
     o = table(spark, sf_dir, "orders")
     s = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
-    w = Window.orderBy("spend", "o_custkey")
-    return (
-        s.select(
-            "o_custkey",
-            "spend",
-            F.ntile(4).over(w).cast("long").alias("quartile"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
-        )
-        .orderBy("o_custkey")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = s.repartitionByRange(n_parts, "spend", "o_custkey").withColumn(
+        "pid", F.spark_partition_id()
     )
+    local_w = Window.partitionBy("pid").orderBy("spend", "o_custkey")
+    local = ranged.withColumn("lrn", F.row_number().over(local_w))
+
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = counts.alias("a"), counts.alias("b")
+    offsets = (
+        a.join(b, F.col("b.pid") < F.col("a.pid"), "left")
+        .groupBy(F.col("a.pid").alias("pid"))
+        .agg(F.coalesce(F.sum("b.cnt"), F.lit(0)).alias("offset"))
+    )
+    total = counts.agg(F.sum("cnt").alias("n_total"))
+
+    ranked = (
+        local.join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(total))
+        .withColumn("rn", (F.col("offset") + F.col("lrn")).cast("long"))
+    )
+    # ntile(k): first (N % k) buckets hold ceil(N/k) rows, the rest floor(N/k).
+    k = 4
+    base = F.floor(F.col("n_total") / k)
+    rem = F.col("n_total") % k
+    cut = rem * (base + 1)
+    rn = F.col("rn")
+    quartile = (
+        F.when(base == 0, rn)
+        .when(rn <= cut, F.floor((rn - 1) / (base + 1)) + 1)
+        .otherwise(rem + F.floor((rn - cut - 1) / base) + 1)
+    )
+    pct_rank = F.when(F.col("n_total") == 1, F.lit(0.0)).otherwise(
+        (rn - 1) / (F.col("n_total") - 1)
+    )
+    return ranked.select(
+        "o_custkey",
+        "spend",
+        quartile.cast("long").alias("quartile"),
+        F.round(pct_rank, 6).alias("pct_rank"),
+        F.round(rn / F.col("n_total"), 6).alias("cume"),
+    ).orderBy("o_custkey")
 
 
 # --- TPC-H Q10 shape: returned-item revenue per customer --------------------

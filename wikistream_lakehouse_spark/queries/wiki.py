@@ -213,17 +213,28 @@ def global_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def other_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 users with everything else folded into 'Other' — QuickSight's
-    funnel behavior (dashboard_2: 'Other 941,690'). Rank window over the
-    *aggregated* (small) frame, then re-aggregate — the expensive groupBy
-    happens once, the window runs over group cardinality, not raw rows."""
+    funnel behavior (dashboard_2: 'Other 941,690').
+
+    Scale shape: NO global window. The top-10 membership comes from
+    ``orderBy(desc).limit(10)`` — Catalyst plans TakeOrderedAndProject
+    (per-partition top-k, 10-row driver merge) — and is broadcast back
+    onto the aggregated frame as a left join. At wiki-scale user
+    cardinality (10^7-10^8 distinct users) the old row_number over an
+    unpartitioned window forced every group through one task; this plan
+    keeps every stage parallel, and Catalyst reuses the groupBy exchange
+    for both branches (ReusedExchange), so events is scanned once."""
     e = table(spark, sf_dir, "events")
     counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("edits"))
-    w = Window.orderBy(F.desc("edits"), "user_id")
+    top10 = (
+        counts.orderBy(F.desc("edits"), "user_id")
+        .limit(10)
+        .select("user_id", F.lit(True).alias("is_top"))
+    )
     return (
-        counts.withColumn("rk", F.row_number().over(w))
+        counts.join(F.broadcast(top10), "user_id", "left")
         .withColumn(
             "bucket",
-            F.when(F.col("rk") <= 10, F.col("user_id").cast("string")).otherwise(
+            F.when(F.col("is_top"), F.col("user_id").cast("string")).otherwise(
                 F.lit("Other")
             ),
         )

@@ -48,6 +48,24 @@ def test_asof_join_renames_colliding_columns(spark):
     assert (row.id, row.id_right) == (1, 9)
 
 
+def test_asof_join_tie_on_equal_key_ts_is_deterministic(spark):
+    """Several right rows sharing (key, ts): the matched payload must be
+    the same across runs and input orderings — the greatest right struct
+    wins, by construction of the window sort key."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts("10:00:00"))], "lid long, k long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    dup_rows = [(rid, 10, _ts("09:59:00")) for rid in (104, 101, 103, 102)]
+    for ordering in (dup_rows, list(reversed(dup_rows))):
+        right = (
+            spark.createDataFrame(ordering, "rid long, k long, rts string")
+            .withColumn("rts", F.to_timestamp("rts"))
+            .repartition(4)
+        )
+        out = asof_join(left, right, on="k", left_ts="ts", right_ts="rts").collect()
+        assert out[0].rid == 104  # greatest payload struct, every time
+
+
 def test_kafka_record_encoding_roundtrip(spark):
     """K1: key = string(id), value = compact JSON of the record — and the
     value decodes back to the identical typed record (the S5 path)."""

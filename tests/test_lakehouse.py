@@ -204,7 +204,30 @@ def test_incremental_overlapping_event_days_no_data_loss(spark, events, tmp_path
     import json as _json
 
     st = _json.load(open(state))
-    st["processed_ds"].remove("ds=2024-04-02")
+    del st["processed"]["ds=2024-04-02"]
     _json.dump(st, open(state, "w"))
     assert curate_incremental(spark, bronze, silver, state) == ["ds=2024-04-02"]
     assert spark.read.parquet(silver).count() == 1000  # idempotent re-run
+
+
+def test_incremental_recurates_partition_with_late_files(spark, events, tmp_path):
+    """A ds= partition that a live bronze sink keeps appending to must be
+    re-curated when new files land AFTER a run marked it processed —
+    the state tracks per-partition file listings, not bare names.
+    (Regression: open/current-day partition rows were silently lost.)"""
+    from wikistream_lakehouse_spark.lakehouse.incremental import curate_incremental
+
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    state = str(tmp_path / "meta" / "state.json")
+    write_bronze(events.limit(300), bronze, ds="2024-05-01")
+    assert curate_incremental(spark, bronze, silver, state) == ["ds=2024-05-01"]
+    assert spark.read.parquet(silver).count() == 300
+
+    # the "open" partition receives more files after the run (streaming append)
+    late = events.subtract(events.limit(300)).limit(200)
+    write_bronze(late, bronze, ds="2024-05-01")
+    assert curate_incremental(spark, bronze, silver, state) == ["ds=2024-05-01"]
+    assert spark.read.parquet(silver).count() == 500
+    # and once the listing is stable, it's a no-op again
+    assert curate_incremental(spark, bronze, silver, state) == []

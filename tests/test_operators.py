@@ -215,6 +215,26 @@ def test_connected_components_known_graph(spark):
     assert {cc[n] for n in (20, 21, 22)} == {20}
 
 
+def test_connected_components_nonconvergence_is_loud(spark):
+    """A component whose diameter exceeds max_iterations must not return
+    silently-split labels: strict=True raises, strict=False warns."""
+    import pytest
+
+    from wikistream_lakehouse_spark.operators.components import connected_components
+
+    # 12-node path graph: min label needs ~11 rounds to reach the far end
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=3)
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(chain, max_iterations=3, strict=False)
+    # and with enough rounds the same graph closes into one component
+    cc = {r.node: r.component for r in connected_components(chain).collect()}
+    assert set(cc.values()) == {0}
+
+
 def test_canonical_documents_keep_drop(spark):
     from wikistream_lakehouse_spark.operators.components import canonical_documents
 

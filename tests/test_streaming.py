@@ -254,6 +254,42 @@ def test_gold_merge_sink_converges_to_batch_truth(spark, tmp_path):
     assert got == truth
 
 
+def test_gold_merge_sink_version_col_keeps_latest(spark, tmp_path):
+    """K5-streaming determinism: a micro-batch carrying SEVERAL rows per
+    key (non-aggregate upstream / replay) must resolve to the row with
+    the greatest version_col — not an arbitrary dropDuplicates pick."""
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ver", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    src = tmp_path / "src"
+    write_ndjson(
+        src / "a.json",
+        [
+            {"user_id": 1, "ver": 1, "score": 0.1},
+            {"user_id": 1, "ver": 3, "score": 0.9},
+            {"user_id": 1, "ver": 2, "score": 0.5},
+            {"user_id": 2, "ver": 7, "score": 0.7},
+        ],
+    )
+    stream = file_replay_stream(spark, str(src), schema)
+    serving = str(tmp_path / "serving")
+    q = gold_merge_sink(
+        stream,
+        serving,
+        str(tmp_path / "ck"),
+        keys=["user_id"],
+        available_now=True,
+        version_col="ver",
+    )
+    q.awaitTermination(120)
+    got = {r.user_id: (r.ver, r.score) for r in spark.read.parquet(serving).collect()}
+    assert got == {1: (3, 0.9), 2: (7, 0.7)}
+
+
 def test_stateful_sessionization(spark, tmp_path):
     """Custom applyInPandasWithState sessionizer: sessions close on
     event-time gaps (in-batch splits and watermark timeouts) with custom

@@ -66,10 +66,15 @@ def asof_join(
         rstruct.alias("_rrow"),
     )
     # tag order (right first at equal ts) makes the match inclusive:
-    # a right row at exactly left_ts is visible to that left row
+    # a right row at exactly left_ts is visible to that left row.
+    # `_rrow` as the final sort key makes ties among right rows sharing
+    # (key, ts) deterministic: the greatest payload under struct
+    # comparison wins, across any run/partitioning. (Right payloads must
+    # therefore be orderable types — no map columns; Spark rejects the
+    # plan otherwise.)
     w = (
         Window.partitionBy("_k")
-        .orderBy("_ts", "_tag")
+        .orderBy("_ts", "_tag", F.col("_rrow").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (

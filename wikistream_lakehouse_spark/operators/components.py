@@ -16,6 +16,8 @@ when GraphFrames isn't on the cluster.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -25,11 +27,19 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 15,
+    strict: bool = True,
 ) -> DataFrame:
     """(node, component) — component = min node id reachable from node.
 
     `pairs` is an undirected edge list; isolated nodes (absent from pairs)
     are simply absent from the output (they form singleton components).
+
+    Convergence is CHECKED, not assumed: if labels are still changing
+    after `max_iterations` rounds (component diameter > max_iterations —
+    e.g. a pathological near-dup chain), the labels would silently split
+    one component into several. With ``strict=True`` (default) that
+    raises; with ``strict=False`` it emits a ``RuntimeWarning`` and
+    returns the partial labels.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -46,6 +56,7 @@ def connected_components(
         # (the classic iterative-DataFrame failure mode)
         .localCheckpoint(eager=True)
     )
+    changed = 0
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -70,6 +81,15 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed:
+        msg = (
+            f"connected_components did not converge within {max_iterations} "
+            "iterations; a component wider than that would be split. "
+            "Raise max_iterations (rounds needed ~ graph diameter)."
+        )
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
 
 

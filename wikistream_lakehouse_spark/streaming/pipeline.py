@@ -4,7 +4,7 @@ foreachBatch serving merge (K2/T1/T2/X1/X6 + K5-streaming).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -130,18 +130,35 @@ def gold_merge_sink(
     keys: list[str],
     trigger_secs: int = 10,
     available_now: bool = False,
+    version_col: str | None = None,
 ) -> StreamingQuery:
     """Streaming gold via foreachBatch MERGE (K5): each micro-batch
     upserts its (complete-so-far) aggregate rows into the serving table —
     the engine form of the Postgres ON CONFLICT loop
     (upsert_athena_aggregates.py:87-110), set-based and idempotent, so
-    batch replay after failure converges instead of double-counting."""
+    batch replay after failure converges instead of double-counting.
+
+    Update-mode aggregate input emits at most one row per key per
+    micro-batch, so no within-batch conflict exists on that path. For
+    non-aggregate upstreams (or replayed batches) that CAN carry several
+    rows per key, pass ``version_col`` (a timestamp/version column):
+    the batch then keeps the row with the greatest version per key —
+    deterministic, unlike ``dropDuplicates`` which keeps an arbitrary one.
+    """
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # keep-latest within the batch: update outputMode can re-emit a key
-        dedup = batch_df.dropDuplicates(keys)
+        if version_col is not None:
+            w = Window.partitionBy(*keys).orderBy(F.desc(version_col))
+            dedup = (
+                batch_df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+        else:
+            # safety net only — see docstring contract
+            dedup = batch_df.dropDuplicates(keys)
         upsert_parquet(batch_df.sparkSession, target_path, dedup, keys)
 
     writer = (

@@ -4,6 +4,7 @@ tests on constructed inputs where the fixture data carries no signal."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -199,6 +200,73 @@ def test_brp_lsh_matches_cosine_on_normalized_vectors(spark, sf_dir):
     truth = [r.vec_id for r in scored.orderBy(F.desc("cos"), "vec_id").limit(3).collect()]
     got0 = [r.neighbor_id for r in rows if r.query_id == 0]
     assert len(set(truth) & set(got0)) >= 1  # approximate — some overlap required
+
+
+def test_exact_group_quantiles_matches_builtin_percentile(spark):
+    """Distributed two-pass exact quantiles ≡ Spark's buffering
+    `percentile` aggregate, on adversarial shapes: skewed group sizes,
+    heavy duplicates, NULLs, a single-row group, negative values."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from wikistream_lakehouse_spark.operators.quantiles import exact_group_quantiles
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(2000):
+        rows.append(("big", float(rng.randint(-50, 50))))  # duplicates galore
+    for i in range(37):
+        rows.append(("mid", rng.uniform(-1e6, 1e6)))
+    rows.append(("one", 42.5))
+    rows += [("withnull", float(i)) for i in range(10)] + [("withnull", None)] * 3
+    df = spark.createDataFrame(rows, "g string, v double").repartition(7)
+
+    probs = [0.0, 0.25, 0.5, 0.731, 1.0]
+    got = {
+        (r.g, r.q): r.quantile
+        for r in exact_group_quantiles(df, "v", ["g"], probs).collect()
+    }
+    ref = {
+        r.g: r.p
+        for r in df.groupBy("g")
+        .agg(F.expr(f"percentile(v, array({','.join(map(str, probs))}))").alias("p"))
+        .collect()
+    }
+    assert len(got) == 4 * len(probs)
+    for g, pcts in ref.items():
+        for q, expected in zip(probs, pcts):
+            assert got[(g, q)] == pytest.approx(expected, abs=1e-9), (g, q)
+
+
+def test_approx_percentile_certified_within_tolerance(spark, sf_dir):
+    """J9 scale face: percentile_approx (the 100 TB path) must land within
+    1% relative error of the exact distributed quantiles on real data."""
+    from pyspark.sql import functions as F
+
+    from wikistream_lakehouse_spark.operators.quantiles import exact_group_quantiles
+    from wikistream_lakehouse_spark.tables import table
+
+    l = table(spark, sf_dir, "lineitem")
+    exact = {
+        (r.l_returnflag, r.q): r.quantile
+        for r in exact_group_quantiles(
+            l, "l_extendedprice", ["l_returnflag"], [0.25, 0.5, 0.75]
+        ).collect()
+    }
+    approx = {
+        r.l_returnflag: r.p
+        for r in l.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), 10000
+            ).alias("p")
+        )
+        .collect()
+    }
+    for (flag, q), ev in exact.items():
+        av = approx[flag][[0.25, 0.5, 0.75].index(q)]
+        assert abs(av - ev) / abs(ev) < 0.01, (flag, q, av, ev)
 
 
 def test_connected_components_known_graph(spark):

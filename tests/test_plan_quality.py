@@ -139,6 +139,17 @@ def test_spend_distribution_windows_are_partitioned(spark, sf_dir):
     assert plan.count("Exchange SinglePartition") <= 1
 
 
+def test_price_percentiles_never_buffers_groups(spark, sf_dir):
+    """Exact percentiles must come from the distributed two-pass rank
+    operator, not Spark's `percentile` aggregate (an ObjectHashAggregate
+    that buffers every value of a group in memory — an OOM with 3 groups
+    over 100 TB). No value-buffering aggregate, no single-partition
+    exchange."""
+    plan = plan_of(QUERIES["price_percentiles"].build(spark, sf_dir), "simple")
+    assert "ObjectHashAggregate" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
 @pytest.mark.parametrize(
     "name",
     ["revenue_by_nation", "pricing_summary", "daily_top_titles", "top_revenue_orders"],

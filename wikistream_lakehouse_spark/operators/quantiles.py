@@ -1,0 +1,115 @@
+"""Distributed EXACT quantiles — scalable replacement for Spark's
+built-in `percentile` aggregate.
+
+Spark's exact `percentile` is an ObjectHashAggregate that buffers EVERY
+value of a group in executor memory; with few groups over a 100 TB fact
+table that is a guaranteed OOM (the reference's Athena engine has the
+same failure mode on exact percentiles over raw history). This operator
+computes the identical interpolated quantiles (quantile_cont semantics,
+matching Spark `percentile` and DuckDB `quantile_cont`) with bounded
+memory:
+
+  1. ``repartitionByRange(group_cols…, value)`` — a parallel global sort
+     per group; per-partition sorting is Spark's external (spillable)
+     sort, never an in-memory array of the group.
+  2. ``row_number`` per (partition, group) — bounded window state.
+  3. Per-(partition, group) counts → cumulative offsets via a triangular
+     self-join over that tiny frame (P × G rows; P = shuffle partitions,
+     cluster-bounded) → global rank = offset + local rank.
+  4. For each requested prob q: target position pos = q·(n-1)+1; the two
+     bracketing ranks ⌊pos⌋/⌈pos⌉ per group form a tiny "needed" frame
+     that is broadcast back; matching rows interpolate
+     v_lo + frac·(v_hi − v_lo) — the same formula Spark's
+     Percentile.scala and DuckDB's quantile_cont evaluate.
+
+Every stage is a scan, a ranged shuffle, a bounded window, or a
+broadcast join — nothing holds a whole group anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str],
+    probs: Sequence[float],
+) -> DataFrame:
+    """(group_cols…, q, quantile) — exact interpolated quantile of
+    ``value_col`` per group for each probability in ``probs``.
+
+    NULL values are ignored (SQL aggregate semantics); groups whose
+    values are all NULL are absent from the output.
+    """
+    group_cols = list(group_cols)
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    v = F.col(value_col)
+
+    base = df.select(*group_cols, value_col).filter(v.isNotNull())
+    ranged = base.repartitionByRange(n_parts, *group_cols, value_col).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    local_w = Window.partitionBy("pid", *group_cols).orderBy(value_col)
+    local = ranged.withColumn("lrn", F.row_number().over(local_w))
+
+    counts = ranged.groupBy("pid", *group_cols).agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = counts.alias("a"), counts.alias("b")
+    same_group = functools.reduce(
+        operator.and_,
+        [F.col(f"a.{g}").eqNullSafe(F.col(f"b.{g}")) for g in group_cols],
+        F.lit(True),
+    )
+    offsets = (
+        a.join(b, same_group & (F.col("b.pid") < F.col("a.pid")), "left")
+        .groupBy(
+            F.col("a.pid").alias("pid"),
+            *[F.col(f"a.{g}").alias(g) for g in group_cols],
+        )
+        .agg(F.coalesce(F.sum("b.cnt"), F.lit(0)).alias("offset"))
+    )
+    ranked = local.join(offsets, ["pid", *group_cols]).withColumn(
+        "rn", (F.col("offset") + F.col("lrn")).cast("long")
+    )
+
+    totals = counts.groupBy(*group_cols).agg(F.sum("cnt").alias("n"))
+    needed = (
+        totals.select(
+            *group_cols,
+            "n",
+            F.explode(F.array(*[F.lit(float(q)) for q in probs])).alias("q"),
+        )
+        .withColumn("pos", F.col("q") * (F.col("n") - 1) + 1)
+        .withColumn("klo", F.floor("pos").cast("long"))
+        .withColumn("khi", F.ceil("pos").cast("long"))
+        .withColumn("frac", F.col("pos") - F.col("klo"))
+        .select(*group_cols, "q", "klo", "khi", "frac")
+    )
+
+    hit_cond = functools.reduce(
+        operator.and_,
+        [ranked[g].eqNullSafe(needed[g]) for g in group_cols],
+        (F.col("rn") == needed["klo"]) | (F.col("rn") == needed["khi"]),
+    )
+    hits = ranked.join(F.broadcast(needed), hit_cond).drop(*(needed[g] for g in group_cols))
+    return (
+        hits.groupBy(*group_cols, "q", "frac")
+        .agg(
+            F.min(F.when(F.col("rn") == F.col("klo"), v)).alias("vlo"),
+            F.max(F.when(F.col("rn") == F.col("khi"), v)).alias("vhi"),
+        )
+        .select(
+            *group_cols,
+            "q",
+            (F.col("vlo") + F.col("frac") * (F.col("vhi") - F.col("vlo"))).alias(
+                "quantile"
+            ),
+        )
+    )

@@ -475,20 +475,23 @@ def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("J9", "aggregates"),
 )
 def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
-    quantile_cont). Exact percentile sorts per group — fine at group scale;
-    the sketch-based percentile_approx above is the wide-data path."""
+    """Exact interpolated percentiles (≡ DuckDB quantile_cont) computed by
+    the DISTRIBUTED exact-quantile operator (operators/quantiles.py):
+    range-partitioned parallel sort + two-pass rank selection. Spark's
+    built-in `percentile` buffers every group value in one aggregate
+    buffer — with 3 groups over a 100 TB lineitem that is an executor
+    OOM; this plan's memory is bounded by partition size (external sort)
+    regardless of group count. percentile_approx stays the sketch twin."""
+    from wikistream_lakehouse_spark.operators.quantiles import exact_group_quantiles
+
     l = table(spark, sf_dir, "lineitem")
-    # one percentile(array(...)) evaluation → one sort per group, not three
-    pct = F.expr("percentile(l_extendedprice, array(0.25, 0.50, 0.75))")
+    q = exact_group_quantiles(l, "l_extendedprice", ["l_returnflag"], [0.25, 0.50, 0.75])
     return (
-        l.groupBy("l_returnflag")
-        .agg(pct.alias("pcts"))
-        .select(
-            "l_returnflag",
-            F.round(F.element_at("pcts", 1), 4).alias("p25"),
-            F.round(F.element_at("pcts", 2), 4).alias("p50"),
-            F.round(F.element_at("pcts", 3), 4).alias("p75"),
+        q.groupBy("l_returnflag")
+        .agg(
+            F.round(F.min(F.when(F.col("q") == 0.25, F.col("quantile"))), 4).alias("p25"),
+            F.round(F.min(F.when(F.col("q") == 0.50, F.col("quantile"))), 4).alias("p50"),
+            F.round(F.min(F.when(F.col("q") == 0.75, F.col("quantile"))), 4).alias("p75"),
         )
         .orderBy("l_returnflag")
     )

@@ -97,13 +97,14 @@ def canonical_documents(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    max_iterations: int = 15,
 ) -> DataFrame:
     """Keep/drop decision per document: one canonical keeper (min id) per
     near-dup component; documents outside any component keep themselves.
 
     Returns (id_col, component, is_canonical) for every input document.
     """
-    cc = connected_components(pairs)
+    cc = connected_components(pairs, max_iterations=max_iterations)
     return (
         docs.select(id_col)
         .join(cc, docs[id_col] == cc.node, "left")

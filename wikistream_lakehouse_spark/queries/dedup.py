@@ -135,18 +135,89 @@ def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- X2 decision step: near-dup clusters → canonical keepers (◇) -----------
+# --- X2 decision step: near-dup clusters → canonical keepers ---------------
 @register(
     "dedup_canonical_docs",
-    oracle=None,  # built on hash-specific LSH pairs; structure pinned in tests
+    oracle="""
+        WITH RECURSIVE sh AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(t[i:i+2], ' ')
+                                  FOR i IN generate_series(1, len(t) - 2)]) AS s
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '), x -> x != '') AS t
+                  FROM documents
+                  WHERE doc_id < 300)
+            WHERE len(t) >= 3
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.02
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ), reach AS (
+            SELECT src AS node, dst AS r FROM edges
+            UNION
+            SELECT reach.node, edges.dst
+            FROM reach JOIN edges ON reach.r = edges.src
+        ), comp AS (
+            SELECT node, least(node, min(r)) AS component
+            FROM reach GROUP BY node
+        )
+        SELECT d.doc_id,
+               coalesce(comp.component, d.doc_id) AS component,
+               (coalesce(comp.component, d.doc_id) = d.doc_id) AS is_canonical
+        FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+        ORDER BY d.doc_id
+    """,
     tags=("X2", "dedup", "components"),
 )
 def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus-dedup decision: MinHash-LSH pairs → connected components
-    (iterative min-label propagation, operators/components.py) → one
-    canonical keeper per duplicate cluster. Returns every doc with its
-    component and keep/drop flag — what a 100 TB pretraining pipeline
-    feeds into the final corpus writer."""
+    """The corpus-dedup decision over a DETERMINISTIC pair list: exact
+    word-3-gram Jaccard pairs (bounded doc subset, same face as
+    ngram_jaccard_pairs) → connected components (iterative min-label
+    propagation, operators/components.py) → one canonical keeper per
+    duplicate cluster. The DuckDB oracle recomputes the components with a
+    recursive transitive-closure CTE — certifying the label-propagation
+    loop end-to-end. The LSH-driven scale form of the same composition is
+    dedup_canonical_docs_lsh (◇)."""
+    from wikistream_lakehouse_spark.operators.components import canonical_documents
+
+    d = table(spark, sf_dir, "documents")
+    bounded = d.filter(F.col("doc_id") < 300)
+    sh = (
+        bounded.withColumn("s", shingles(tokens(F.col("text")), k=3))
+        .filter(F.size("s") > 0)
+        .select("doc_id", "s")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    jacc = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
+        F.array_union("sa", "sb")
+    )
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(jacc >= 0.02)
+        .select("id_a", "id_b")
+    )
+    # the low threshold builds long chains: diameter here exceeds the
+    # default cap, and the loop exits as soon as labels stop changing
+    return canonical_documents(d, pairs, max_iterations=64).orderBy("doc_id")
+
+
+# --- X2 decision step at corpus scale: LSH pairs → keepers (◇) --------------
+@register(
+    "dedup_canonical_docs_lsh",
+    oracle=None,  # built on hash-specific LSH pairs; structure pinned in tests
+    tags=("X2", "dedup", "components", "lsh"),
+)
+def dedup_canonical_docs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of dedup_canonical_docs: MinHash-LSH candidate
+    pairs (bucketed, never all-pairs) → connected components → canonical
+    keepers. Hash-specific pair set → rows-only; the composition logic is
+    oracle-certified via dedup_canonical_docs and the LSH recall via
+    minhash unit tests."""
     from wikistream_lakehouse_spark.operators.components import canonical_documents
 
     d = table(spark, sf_dir, "documents")

@@ -153,13 +153,33 @@ def language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "doc_fingerprints",
-    oracle=None,  # xxhash64-based — engine-specific values, idempotency tested
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   array_to_string(
+                       list_filter(string_split(text, ' '), x -> x != ''),
+                       ' ') AS norm
+            FROM documents
+        ), g AS (
+            SELECT norm, CAST(count(*) AS BIGINT) AS n_docs,
+                   min(doc_id) AS keeper_doc
+            FROM t GROUP BY 1
+        )
+        SELECT t.doc_id, g.n_docs, g.keeper_doc
+        FROM t JOIN g USING (norm)
+        ORDER BY doc_id
+    """,
     tags=("X4", "text", "fingerprint"),
 )
 def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive rolling-hash fingerprints + exact-duplicate groups:
+    """Order-sensitive rolling-hash fingerprints → exact-duplicate groups:
     fingerprint collisions are exact-dup candidates at zero text-comparison
-    cost (group by 8-byte key instead of full text shuffle)."""
+    cost (group by the 8-byte key instead of shuffling full text).
+
+    The hash VALUES are engine-specific (xxhash64-based), so the oracle
+    certifies the GROUP STRUCTURE instead: per-doc (n_docs, keeper_doc)
+    must equal DuckDB's grouping by exact normalized token sequence — a
+    64-bit-hash collision would surface as a mismatch here."""
     d = table(spark, sf_dir, "documents")
     fp = d.select(
         "doc_id", rolling_fingerprint(tokens(F.col("text"))).alias("fingerprint")
@@ -168,7 +188,7 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc")
     )
     return fp.join(groups, "fingerprint").select(
-        "doc_id", "fingerprint", "n_docs", "keeper_doc"
+        "doc_id", "n_docs", "keeper_doc"
     ).orderBy("doc_id")
 
 

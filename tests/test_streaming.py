@@ -14,6 +14,7 @@ from wikistream_lakehouse_spark.schema import WIKI_EVENT_SCHEMA
 from wikistream_lakehouse_spark.streaming.pipeline import (
     dedup_within_watermark,
     gold_merge_sink,
+    session_window_counts,
     windowed_counts,
 )
 from wikistream_lakehouse_spark.streaming.sources import file_replay_stream
@@ -252,6 +253,91 @@ def test_gold_merge_sink_converges_to_batch_truth(spark, tmp_path):
         for r in truth_df.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == truth
+
+
+def _ordered_files(src, batches):
+    """Write one NDJSON file per micro-batch with strictly increasing
+    mtimes so the file source replays them in this exact order."""
+    import os
+    import time
+
+    base = time.time() - 1000
+    for i, rows in enumerate(batches):
+        p = src / f"{i:03d}.json"
+        write_ndjson(p, rows)
+        os.utime(p, (base + i * 10, base + i * 10))
+
+
+def _session_rows(tag: str):
+    def ev(event_id, hhmm, user):
+        return {
+            "event_id": event_id,
+            "ts": f"2024-01-15T{hhmm}:00.000Z",
+            "user_id": user,
+        }
+
+    return ev
+
+
+def _run_sessions(spark, tmp_path, batches, name):
+    src = tmp_path / "src"
+    _ordered_files(src, batches)
+    stream = file_replay_stream(spark, str(src), EVENTS_SCHEMA)
+    agg = session_window_counts(stream, gap="10 minutes", watermark="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    return {
+        (r.user_id, r.session_start.strftime("%H:%M"), r.session_end.strftime("%H:%M")): r.n_events
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+
+def test_session_window_late_within_watermark_merges(spark, tmp_path):
+    """X6 hard part (a): a late event INSIDE the watermark must join the
+    open session it falls into — extending the session end."""
+    ev = _session_rows("merge")
+    batches = [
+        # batch 0: user 1 session [10:00, 10:15); watermark → 10:00
+        [ev(1, "10:00", 1), ev(2, "10:05", 1), ev(3, "10:30", 8)],
+        # batch 1: late 10:08 ≥ watermark 10:00 → accepted, merges,
+        # session becomes [10:00, 10:18)
+        [ev(4, "10:08", 1)],
+        # batch 2: advance watermark past session end → finalize + emit
+        [ev(5, "12:00", 8)],
+    ]
+    got = _run_sessions(spark, tmp_path, batches, "sess_merge")
+    assert got[(1, "10:00", "10:18")] == 3
+    assert not any(u == 1 and k != "10:00" for (u, k, _), _n in got.items())
+
+
+def test_session_window_late_beyond_watermark_dropped(spark, tmp_path):
+    """X6 hard part (b): a late event BEYOND the watermark is dropped
+    from session state — it neither merges nor opens a session."""
+    ev = _session_rows("drop")
+    batches = [
+        # batch 0: user 1 session [10:00, 10:15); 11:00 event → the
+        # eviction watermark becomes 10:30 at commit
+        [ev(1, "10:00", 1), ev(2, "10:05", 1), ev(3, "11:00", 8)],
+        # batch 1: spacer — Spark's LATE-EVENT watermark lags one batch
+        # behind the eviction watermark; this batch promotes 10:30 into
+        # the late-event filter
+        [ev(4, "11:01", 8)],
+        # batch 2: 10:07 < late-event watermark 10:30 → dropped entirely
+        [ev(5, "10:07", 1)],
+        # batch 3: flush
+        [ev(6, "12:00", 8)],
+    ]
+    got = _run_sessions(spark, tmp_path, batches, "sess_drop")
+    assert got[(1, "10:00", "10:15")] == 2  # late event did NOT merge
+    user1_sessions = [k for k in got if k[0] == 1]
+    assert user1_sessions == [(1, "10:00", "10:15")]  # and opened nothing
 
 
 def test_gold_merge_sink_version_col_keeps_latest(spark, tmp_path):

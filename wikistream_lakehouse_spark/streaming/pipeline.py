@@ -123,6 +123,32 @@ def windowed_counts(
     )
 
 
+def session_window_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+    group_cols: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """Watermarked session windows (X6 hard part): sessions extend while
+    events arrive within ``gap`` of the session end and FINALIZE once the
+    watermark passes session end. Late events inside the watermark merge
+    into (and can bridge) open sessions; late events beyond the watermark
+    are dropped from state entirely — both behaviors are pinned in
+    tests/test_streaming.py."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(*group_cols, F.session_window(ts_col, gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            *group_cols,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def gold_merge_sink(
     agg: DataFrame,
     target_path: str,

@@ -65,11 +65,15 @@ def decode_json_events(
 ) -> DataFrame:
     """Kafka value bytes → typed columns with malformed-drop (S5/P4).
 
-    `from_json` yields null for unparseable payloads — the streaming
-    equivalent of the producer/consumer `json.loads`-or-skip
+    `from_json` yields a null (or, in PERMISSIVE mode, an all-null-field)
+    struct for unparseable payloads — both are dropped here: the
+    streaming equivalent of the producer/consumer `json.loads`-or-skip
     (kafka/wiki-producer.py:76-79, kafka/wiki-s3-consumer.py:93-95)."""
-    return (
-        raw.select(F.from_json(F.col(value_col).cast("string"), schema).alias("r"))
-        .filter(F.col("r").isNotNull())
-        .select("r.*")
+    parsed = raw.select(
+        F.from_json(F.col(value_col).cast("string"), schema).alias("r")
     )
+    any_field = None
+    for name in schema.names:
+        c = F.col("r")[name].isNotNull()
+        any_field = c if any_field is None else (any_field | c)
+    return parsed.filter(F.col("r").isNotNull() & any_field).select("r.*")

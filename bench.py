@@ -54,7 +54,9 @@ def main() -> None:
         df = qs[name].build(spark, sf_dir)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        # 2dp: keeps the whole payload line under the driver's 2000-byte
+        # stdout tail capture even as the query set grows
+        timings[name] = round(time.perf_counter() - t0, 2)
 
     total = round(sum(timings.values()), 4)
     spark.stop()

@@ -1,0 +1,75 @@
+"""Regenerate tests/plan_signatures.json — the committed plan-shape
+baseline for the hottest queries.
+
+Run after any INTENDED planner-relevant change:
+    python scripts/regen_plan_signatures.py
+then review the diff: every changed line is a physical-plan shape change
+(a join strategy, an exchange, an aggregate flavor) and should be
+explainable before committing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+#: The queries whose plan shape is load-bearing at 100 TB: the bench
+#: top-5 plus the reference flagship family's heavy hitters and the two
+#: rewritten global-rank queries.
+GUARDED = [
+    "daily_top_titles",
+    "other_bucket_rollup",
+    "customer_spend_distribution",
+    "price_percentiles",
+    "revenue_by_nation",
+    "pricing_summary",
+    "top_revenue_orders",
+    "purchase_click_attribution",
+    "dedup_exact_events",
+    "cosine_topk_bruteforce",
+    "ngram_jaccard_pairs",
+    "ann_lsh_topk",
+]
+
+#: Pinned generation context — signatures are only comparable under the
+#: same session shape and data scale (join strategies see file sizes).
+CONTEXT = {
+    "master": "local[8]",
+    "shuffle_partitions": 8,
+    "sf_dir": "/root/testdata/sf0.001",
+}
+
+
+def compute() -> dict:
+    from wikistream_lakehouse_spark.plans import plan_signature
+    from wikistream_lakehouse_spark.queries import all_queries
+    from wikistream_lakehouse_spark.session import get_spark
+
+    spark = get_spark(
+        "plan-signatures",
+        master=CONTEXT["master"],
+        shuffle_partitions=CONTEXT["shuffle_partitions"],
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    sigs = {
+        name: plan_signature(qs[name].build(spark, CONTEXT["sf_dir"]))
+        for name in GUARDED
+    }
+    return {"context": CONTEXT, "signatures": sigs}
+
+
+def main() -> None:
+    out = os.path.join(REPO, "tests", "plan_signatures.json")
+    with open(out, "w") as f:
+        json.dump(compute(), f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

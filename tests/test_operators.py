@@ -202,6 +202,27 @@ def test_brp_lsh_matches_cosine_on_normalized_vectors(spark, sf_dir):
     assert len(set(truth) & set(got0)) >= 1  # approximate — some overlap required
 
 
+def test_ivf_topk_recall_and_determinism(spark, sf_dir):
+    """X3 second scale path: IVF (k-means inverted lists + n_probe) must
+    recover most of the brute-force top-k, and be run-to-run identical
+    (seedless deterministic init + fixed iterations)."""
+    from wikistream_lakehouse_spark.queries import all_queries
+
+    qs = all_queries()
+    truth: dict[int, set] = {}
+    for r in qs["cosine_topk_bruteforce"].build(spark, sf_dir).collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    first = qs["ann_ivf_topk"].build(spark, sf_dir).collect()
+    got: dict[int, set] = {}
+    for r in first:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
+    assert sum(recalls) / len(recalls) >= 0.6  # measured 0.88; generous floor
+    assert min(recalls) >= 0.4
+    second = qs["ann_ivf_topk"].build(spark, sf_dir).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
 def test_exact_group_quantiles_matches_builtin_percentile(spark):
     """Distributed two-pass exact quantiles ≡ Spark's buffering
     `percentile` aggregate, on adversarial shapes: skewed group sizes,

@@ -1,0 +1,164 @@
+"""IVF (inverted-file) approximate nearest neighbor — the second ANN
+scale path beside hyperplane LSH (functions/vectors.py).
+
+IVF is the classic two-stage ANN: (1) train a coarse quantizer (k-means
+centroids) over the collection; (2) bucket every vector under its
+nearest centroid — the "inverted lists"; (3) at query time probe only
+the ``n_probe`` nearest lists instead of the whole collection. Candidate
+cost drops from O(N) to O(N·n_probe/k) per query.
+
+Spark-first shape:
+  * training is Lloyd's iterations in DataFrame algebra — assignment is
+    one BLAS matmul per Arrow batch (mapInPandas, centroids are a
+    closure constant of a few KB), re-estimation is posexplode +
+    hash-aggregate (codegen, map-side partial sums). Only the k×dim
+    centroid matrix ever reaches the driver.
+  * the collection is assigned ONCE (a write-side job at corpus scale —
+    the inverted lists would be a bucketed table); queries probe with a
+    broadcast join on cluster id, then exact cosine + per-query top-k.
+  * determinism: seeded farthest-point-free init (first k ids), fixed
+    iteration count — same clusters on every run/partitioning.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _assign_pandas(df: DataFrame, id_col: str, vec_col: str, centroids: np.ndarray,
+                   n_probe: int = 1) -> DataFrame:
+    """(id, cluster, probe_rank): the ``n_probe`` nearest centroids per
+    vector by L2 distance — one matmul per Arrow batch."""
+    import pandas as pd
+
+    cents = np.asarray(centroids, dtype=np.float64)  # (k, dim) closure constant
+    cent_sq = (cents * cents).sum(axis=1)  # ‖c‖² term of the distance
+
+    def compute(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # argmin ‖v−c‖² = argmin ‖c‖² − 2·v·c  (‖v‖² constant per row)
+            scores = cent_sq[None, :] - 2.0 * (vecs @ cents.T)
+            order = np.argsort(scores, axis=1, kind="stable")[:, :n_probe]
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, n_probe),
+                    "cluster": order.reshape(-1).astype(np.int64),
+                    "probe_rank": np.tile(np.arange(n_probe), len(pdf)).astype(
+                        np.int64
+                    ),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        compute, schema=f"{id_col} long, cluster long, probe_rank long"
+    )
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_iters: int = 4,
+) -> np.ndarray:
+    """Lloyd's k-means over the embedding column; returns (k, dim) float64.
+
+    Init = the k lowest-id vectors (deterministic; at corpus scale swap
+    in a seeded sample — the loop is identical). Each iteration is one
+    assignment pass (Arrow BLAS) + one codegen'd partial-sum aggregate;
+    nothing but (k × dim) doubles is ever collected.
+    """
+    init = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    centroids = np.array([r[vec_col] for r in init], dtype=np.float64)
+    for _ in range(n_iters):
+        assign = _assign_pandas(df, id_col, vec_col, centroids, n_probe=1)
+        sums = (
+            df.select(id_col, F.posexplode(vec_col).alias("i", "x"))
+            .join(assign.select(id_col, "cluster"), id_col)
+            .groupBy("cluster", "i")
+            .agg(
+                F.sum(F.col("x").cast("double")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        new = centroids.copy()  # empty clusters keep their position
+        acc: dict[int, np.ndarray] = {}
+        cnt: dict[int, int] = {}
+        for r in sums:
+            acc.setdefault(r.cluster, np.zeros(centroids.shape[1]))[r.i] = r.s
+            cnt[r.cluster] = r.n
+        for c, vec_sum in acc.items():
+            new[c] = vec_sum / cnt[c]
+        centroids = new
+    return centroids
+
+
+def ivf_topk(
+    collection: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    k_clusters: int = 16,
+    n_probe: int = 4,
+    top_k: int = 5,
+    cosine_fn=None,
+) -> DataFrame:
+    """(query_id, neighbor_id, cos, rk): approximate top-k by cosine.
+
+    The collection's inverted lists are a (cluster → ids) assignment;
+    each query probes its ``n_probe`` nearest lists. The probe join is
+    an equi-join on cluster id — broadcastable when the query set is
+    small, shuffle-on-cluster otherwise; never all-pairs.
+    """
+    from wikistream_lakehouse_spark.functions.vectors import cosine
+
+    cosine_fn = cosine_fn or cosine
+    centroids = train_ivf_centroids(collection, id_col, vec_col, k=k_clusters)
+    lists = _assign_pandas(collection, id_col, vec_col, centroids).select(
+        F.col(id_col).alias("neighbor_id"), "cluster"
+    )
+    probes = _assign_pandas(
+        queries.select(F.col(query_id_col).alias("qid"), F.col(vec_col)),
+        "qid",
+        vec_col,
+        centroids,
+        n_probe=n_probe,
+    ).select(F.col("qid").alias("query_id"), "cluster")
+
+    cand = (
+        lists.join(F.broadcast(probes), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cv = collection.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_fn(F.col("qv"), F.col("cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= top_k)
+        .orderBy("query_id", "rk")
+    )

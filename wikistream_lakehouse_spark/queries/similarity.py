@@ -155,6 +155,38 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk",
+    oracle=None,  # approximate — recall vs brute force asserted in unit tests
+    tags=("X3", "similarity", "ivf", "ann"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via an IVF coarse quantizer (operators/ivf.py):
+    k-means centroids trained in DataFrame algebra, collection bucketed
+    into inverted lists, queries probe only their n_probe nearest lists.
+
+    The complementary scale path to ann_lsh_topk: LSH duplicates rows
+    L× for recall; IVF stores each vector once and tunes recall with
+    n_probe at query time — the right trade when the collection is
+    written once and queried many times (a vector index table)."""
+    from wikistream_lakehouse_spark.operators.ivf import ivf_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(
+        e,
+        q,
+        id_col="vec_id",
+        vec_col="embedding",
+        query_id_col="query_id",
+        k_clusters=16,
+        n_probe=4,
+        top_k=TOP_K,
+    )
+
+
+@register(
     "embedding_label_centroids",
     oracle="""
         SELECT label,

@@ -134,8 +134,12 @@ def language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned twice, never shuffled on raw text. The synthetic corpus shares
     one vocabulary across langs, so accuracy here is chance by
     construction; unit tests exercise real script signal."""
+    from pyspark import StorageLevel
+
     d = table(spark, sf_dir, "documents")
-    grams = explode_grams(d).persist()  # one n-gram pass shared by both stages
+    # one n-gram pass shared by both stages; MEMORY_AND_DISK so a corpus
+    # bigger than executor memory spills instead of recomputing (or OOM)
+    grams = explode_grams(d).persist(StorageLevel.MEMORY_AND_DISK)
     profiles = build_language_profiles(d, grams=grams)
     preds = predict_language(d, profiles, grams=grams)
     return (

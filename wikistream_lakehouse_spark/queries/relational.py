@@ -1009,6 +1009,157 @@ def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_custkey")
 
 
+# --- TPC-H Q18 shape: large-volume orders (HAVING + join back) --------------
+@register(
+    "large_volume_orders",
+    oracle="""
+        WITH big AS (
+            SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS total_qty
+            FROM lineitem
+            GROUP BY 1
+            HAVING SUM(l_quantity) > 150
+        )
+        SELECT c.c_custkey, c.c_name, o.o_orderkey,
+               ROUND(o.o_totalprice, 2) AS o_totalprice, big.total_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN big ON o.o_orderkey = big.l_orderkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """,
+    tags=("classic", "J1", "O1", "extra"),
+)
+def large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: orders whose total lineitem quantity clears a
+    threshold, joined back to their customers. The HAVING pre-aggregate
+    reduces lineitem to qualifying order keys BEFORE any join — the join
+    input is group-cardinality; top-20 is TakeOrderedAndProject."""
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(big, o.o_orderkey == big.l_orderkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+# --- TPC-H Q21 shape: correlated EXISTS with an inequality ------------------
+@register(
+    "late_suppliers_multi_supplier_orders",
+    oracle="""
+        SELECT s.s_name,
+               CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS n_late_orders
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON l1.l_orderkey = o.o_orderkey
+        WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+        GROUP BY 1
+        ORDER BY n_late_orders DESC, s_name
+        LIMIT 15
+    """,
+    tags=("classic", "J3", "extra"),
+)
+def late_suppliers_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped: suppliers who shipped late (>90 days after order
+    date) inside orders that involve OTHER suppliers too. The correlated
+    EXISTS-with-inequality becomes a semi-join of lineitem against itself
+    on order key with a supplier-mismatch condition — one shuffle on
+    l_orderkey, no correlated per-row subquery execution."""
+    s = table(spark, sf_dir, "supplier")
+    l1 = table(spark, sf_dir, "lineitem").alias("l1")
+    l2 = table(spark, sf_dir, "lineitem").alias("l2")
+    o = table(spark, sf_dir, "orders")
+    multi = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    late = multi.join(o, F.col("l1.l_orderkey") == o.o_orderkey).filter(
+        F.col("l1.l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    )
+    return (
+        late.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l1.l_orderkey").cast("long").alias("n_late_orders"))
+        .orderBy(F.desc("n_late_orders"), "s_name")
+        .limit(15)
+    )
+
+
+# --- TPC-H Q7 shape: double-aliased dimension (nation × nation) -------------
+@register(
+    "cross_nation_trade_volume",
+    oracle="""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(o.o_orderdate) AS BIGINT) AS order_year,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        WHERE n1.n_name <> n2.n_name
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, supp_nation, cust_nation, order_year
+        LIMIT 25
+    """,
+    tags=("classic", "J1", "extra"),
+)
+def cross_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped: supplier-nation → customer-nation trade volume by
+    year. The nation dimension joins TWICE under different roles (both
+    broadcast); the fact chain shuffles once per equi-join key."""
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("o_orderdate").cast("long").alias("order_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "supp_nation", "cust_nation", "order_year")
+        .limit(25)
+    )
+
+
 # --- TPC-H Q10 shape: returned-item revenue per customer --------------------
 @register(
     "top_returning_customers",

@@ -77,6 +77,7 @@ def all_queries() -> dict[str, Query]:
         dedup,
         multimodal,
         relational,
+        sampling,
         similarity,
         streaming_windows,
         text,

@@ -1277,3 +1277,178 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_month")
     )
+
+
+# --- TPC-H Q5 shape: same-nation customer↔supplier revenue by region --------
+@register(
+    "regional_same_nation_revenue",
+    oracle="""
+        SELECT n.n_name AS nation_name,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY 1
+        ORDER BY revenue DESC, nation_name
+    """,
+    tags=("classic", "J1", "extra"),
+)
+def regional_same_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: revenue kept "local" — supplier and customer must
+    share a nation, nations restricted to one region. The same-nation
+    constraint is an extra equi-condition on the supplier join (stays a
+    hash join, no theta); nation/region prune the fact chain through two
+    broadcasts."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "nation_name")
+    )
+
+
+# --- TPC-H Q13 shape: order-count histogram over a filtered left join -------
+@register(
+    "customer_order_histogram",
+    oracle="""
+        SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM (
+            SELECT c.c_custkey,
+                   CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+            FROM customer c
+            LEFT JOIN orders o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '1-URGENT'
+            GROUP BY 1
+        )
+        GROUP BY 1
+        ORDER BY n_customers DESC, n_orders DESC
+    """,
+    tags=("classic", "J2", "extra"),
+)
+def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped: distribution of per-customer order counts,
+    zero-order customers included. The shape that matters: the priority
+    predicate belongs INSIDE the left join (filtering after the join
+    would silently delete the zero-order bucket), and the double
+    aggregate is two shuffles with the second one tiny (distinct
+    count values)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_customer = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("n_orders"))
+    )
+    return (
+        per_customer.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+# --- TPC-H Q15 shape: top supplier(s) via aggregate-max self-reference ------
+@register(
+    "top_supplier_by_revenue",
+    oracle="""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                       AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY 1
+        )
+        SELECT s.s_suppkey, s.s_name, rev.total_rev
+        FROM supplier s
+        JOIN rev ON s.s_suppkey = rev.l_suppkey
+        WHERE rev.total_rev = (SELECT MAX(total_rev) FROM rev)
+        ORDER BY s.s_suppkey
+    """,
+    tags=("classic", "J1", "subquery", "extra"),
+)
+def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped: supplier(s) achieving the maximum shipped
+    revenue in a year. The CTE aggregates once; the max is a 1-row
+    broadcast joined back (no second scan of lineitem, no window). Ties
+    surface every max supplier, as the spec demands."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    rev = l.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_rev"
+        )
+    )
+    max_rev = rev.agg(F.max("total_rev").alias("max_rev"))
+    s = table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(max_rev), rev.total_rev == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+# --- TPC-H Q17 shape: per-group threshold from a correlated aggregate -------
+@register(
+    "small_quantity_revenue",
+    oracle="""
+        SELECT p.p_brand,
+               ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN (
+            SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_thr
+            FROM lineitem
+            GROUP BY 1
+        ) t ON l.l_partkey = t.l_partkey
+        WHERE l.l_quantity < t.qty_thr
+        GROUP BY 1
+        ORDER BY p.p_brand
+    """,
+    tags=("classic", "J1", "subquery", "extra"),
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped: revenue from orders below 20% of the part's
+    average quantity, per brand. The correlated AVG decorrelates into an
+    aggregate-then-join on l_partkey — both sides shuffle on the same
+    key, so AQE can plan a co-partitioned join with no extra exchange.
+    (l_quantity is integer-valued: the AVG is exact on both engines, so
+    the threshold compare is certifiable.)"""
+    l = table(spark, sf_dir, "lineitem")
+    thr = l.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thr")
+    )
+    p = table(spark, sf_dir, "part")
+    return (
+        l.join(thr, l.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .orderBy("p_brand")
+    )

@@ -162,3 +162,45 @@ def test_hot_queries_stay_in_codegen(spark, sf_dir, name):
     # `*(n)` marks whole-stage-codegen'd operators — the relational hot
     # path must compile, not fall back to interpreted evaluation
     assert "*(1)" in plan
+
+
+def test_new_classics_broadcast_their_dims(spark, sf_dir):
+    """Q5/Q15/Q17 shapes: bounded sides broadcast, no nested-loop joins,
+    and the Q17 threshold join never degenerates to a cartesian check."""
+    for name in (
+        "regional_same_nation_revenue",
+        "top_supplier_by_revenue",
+        "small_quantity_revenue",
+    ):
+        plan = plan_of(QUERIES[name].build(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_order_histogram_keeps_left_join_and_partial_agg(spark, sf_dir):
+    """Q13 shape: the priority predicate must stay inside the left join
+    (zero-order customers survive) and the first aggregate must combine
+    map-side before its exchange."""
+    plan = plan_of(QUERIES["customer_order_histogram"].build(spark, sf_dir))
+    assert "LeftOuter" in plan
+    assert "partial_count" in plan
+
+
+def test_sampling_queries_shuffle_only_for_presentation(spark, sf_dir):
+    """Split and mixture sampling are row-local scan predicates: the ONLY
+    exchange allowed is the final ORDER BY's range partitioning; the
+    mixture filter must sit on the scan as a data filter."""
+    plan = plan_of(QUERIES["corpus_train_split"].build(spark, sf_dir), "simple")
+    assert plan.count("Exchange") == 1 and "rangepartitioning" in plan
+    plan = plan_of(QUERIES["corpus_mixture_sample"].build(spark, sf_dir), "simple")
+    assert plan.count("Exchange") == 1 and "rangepartitioning" in plan
+    assert "Filter" in plan
+
+
+def test_training_order_has_no_single_task_sort(spark, sf_dir):
+    """The global shuffle is a range exchange + per-partition sort —
+    never `Sort [...], true` fed by a single partition."""
+    plan = plan_of(QUERIES["training_order_shuffle"].build(spark, sf_dir), "simple")
+    assert "rangepartitioning(shuffle_key" in plan
+    assert "Exchange SinglePartition" not in plan

@@ -223,3 +223,56 @@ def dedup_canonical_docs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     pairs = minhash_near_duplicates(d, threshold=0.5)
     return canonical_documents(d, pairs).orderBy("doc_id")
+
+
+# --- X2/X3 composed: embedding-cosine near-dup → canonical keepers ----------
+@register(
+    "dedup_canonical_embeddings",
+    oracle="""
+        WITH RECURSIVE v AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+            FROM embeddings WHERE vec_id < 300
+        ), pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.e, b.e) >= 0.3
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ), reach AS (
+            SELECT src AS node, dst AS r FROM edges
+            UNION
+            SELECT reach.node, edges.dst
+            FROM reach JOIN edges ON reach.r = edges.src
+        ), comp AS (
+            SELECT node, least(node, min(r)) AS component
+            FROM reach GROUP BY node
+        )
+        SELECT v.vec_id,
+               coalesce(comp.component, v.vec_id) AS component,
+               (coalesce(comp.component, v.vec_id) = v.vec_id) AS is_canonical
+        FROM v LEFT JOIN comp ON v.vec_id = comp.node
+        ORDER BY v.vec_id
+    """,
+    tags=("X2", "X3", "dedup", "embeddings", "extra"),
+)
+def dedup_canonical_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dedup end-to-end: exact cosine pairs over a
+    bounded subset (the certifiable face; ann_candidates LSH buckets are
+    the corpus-scale pair source for the same predicate) → connected
+    components → one canonical keeper per cluster. The oracle recomputes
+    the whole flow, components included, via a recursive CTE."""
+    from wikistream_lakehouse_spark.functions.vectors import cosine
+    from wikistream_lakehouse_spark.operators.components import canonical_documents
+
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("ea"), F.col("eb")) >= 0.3)
+        .select("id_a", "id_b")
+    )
+    return canonical_documents(e, pairs, id_col="vec_id", max_iterations=64).orderBy(
+        "vec_id"
+    )

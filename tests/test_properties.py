@@ -171,3 +171,65 @@ def test_asof_join_matches_bruteforce(spark, lefts, rights):
     )
     expected = {r.lid: r.best_rts for r in brute.collect()}
     assert got == expected
+
+
+# --- sequence packing: invariants over random token-count batches -----------
+
+pack_batches = st.lists(
+    st.integers(min_value=1, max_value=900),  # token counts incl. oversize
+    min_size=1,
+    max_size=80,
+)
+
+
+@given(counts=pack_batches, budget=st.sampled_from([64, 128, 512]))
+@settings(**SETTINGS)
+def test_pack_bucket_invariants(counts, budget):
+    """The per-bucket packer (pure pandas, the unit under applyInPandas):
+    every doc assigned exactly once, budget never exceeded, oversize iff
+    doc alone exceeds budget, and FFD never uses more packs than docs."""
+    import pandas as pd
+
+    from wikistream_lakehouse_spark.operators.packing import _pack_bucket
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(counts)),
+            "n_tokens": counts,
+            "bucket": 7,
+            "max_tokens": budget,
+        }
+    )
+    out = _pack_bucket(pdf)
+    assert sorted(out["doc_id"]) == list(range(len(counts)))
+    regular = out[~out["oversize"]]
+    if len(regular):
+        assert regular.groupby("pack_id")["n_tokens"].sum().max() <= budget
+    for row in out.itertuples():
+        assert row.oversize == (counts[row.doc_id] > budget)
+    n_packs = out["pack_id"].nunique()
+    assert n_packs <= len(counts)
+    # lower bound: can't beat ceil(total/budget) for non-oversize docs
+    total = int(regular["n_tokens"].sum())
+    if total:
+        assert regular["pack_id"].nunique() >= -(-total // budget)
+
+
+@given(
+    fracs=st.lists(
+        st.floats(min_value=0.01, max_value=1.0, allow_nan=False), min_size=2, max_size=5
+    )
+)
+@settings(**SETTINGS)
+def test_hash_split_thresholds_monotone(fracs):
+    """Cumulative split thresholds are strictly ordered hex strings —
+    the CASE arms can never shadow each other."""
+    from wikistream_lakehouse_spark.operators.sampling import fraction_threshold
+
+    total = sum(fracs)
+    cum, prev = 0.0, ""
+    for f in fracs[:-1]:
+        cum += f / total
+        thr = fraction_threshold(min(cum, 1.0))
+        assert thr > prev
+        prev = thr

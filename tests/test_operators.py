@@ -336,3 +336,61 @@ def test_canonical_documents_keep_drop(spark):
     assert out[1] == (1, True)   # singletons keep themselves
     assert out[2] == (2, True)
     assert out[4] == (4, True)
+
+
+def test_resize_images_geometry_and_passthrough(spark, sf_dir):
+    """Nearest-neighbor math on a constructed 4×4: target 2×2 must pick
+    pixels (0,0),(0,2),(2,0),(2,2); non-images pass through untouched."""
+    import numpy as np
+
+    from wikistream_lakehouse_spark.operators.multimodal import resize_images
+
+    arr = np.arange(16, dtype=np.uint8)  # 4×4 row-major: pixel value = index
+    rows = [
+        (1, bytes(arr.tobytes()), ("image", "raw", 4, 4, None, 16)),
+        (2, b"\x01\x02\x03", ("audio", "raw", None, None, 300, 3)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, payload binary, meta struct<media_type:string,format:string,"
+        "width:int,height:int,duration_ms:bigint,size_bytes:bigint>",
+    )
+    out = {r.doc_id: r for r in resize_images(df, 2, 2).collect()}
+    got = np.frombuffer(bytes(out[1].payload), dtype=np.uint8)
+    assert list(got) == [0, 2, 8, 10]  # rows 0,2 × cols 0,2
+    assert (out[1].width, out[1].height) == (2, 2)
+    assert (out[1].orig_width, out[1].orig_height) == (4, 4)
+    assert bytes(out[2].payload) == b"\x01\x02\x03"  # non-image untouched
+    assert out[2].width is None
+
+
+def test_sample_frames_stride_and_counts(spark, sf_dir):
+    """ceil(n_frames/stride) frames per video, correct indices, videos only."""
+    from wikistream_lakehouse_spark.operators.multimodal import sample_frames
+
+    payload = bytes(range(256)) * 9 + b"\x00" * 10  # 9 full frames + tail
+    rows = [
+        (1, payload, ("video", "raw", None, None, 1000, len(payload))),
+        (2, payload, ("image", "raw", 3, 3, None, len(payload))),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, payload binary, meta struct<media_type:string,format:string,"
+        "width:int,height:int,duration_ms:bigint,size_bytes:bigint>",
+    )
+    out = sample_frames(df, stride=3, frame_bytes=256).collect()
+    assert {r.doc_id for r in out} == {1}  # image rows contribute nothing
+    assert sorted(r.frame_idx for r in out) == [0, 3, 6, 9]  # 10 frames, stride 3
+    full = [r for r in out if r.frame_idx == 0][0]
+    assert len(bytes(full.frame)) == 256
+    tail = [r for r in out if r.frame_idx == 9][0]
+    assert len(bytes(tail.frame)) == 10  # short last frame kept, not padded
+
+
+def test_media_frame_samples_query_deterministic(spark, sf_dir):
+    from wikistream_lakehouse_spark.queries import all_queries
+
+    q = all_queries()["media_frame_samples"]
+    a = sorted(map(tuple, q.build(spark, sf_dir).collect()))
+    b = sorted(map(tuple, q.build(spark, sf_dir).collect()))
+    assert a == b and len(a) > 0

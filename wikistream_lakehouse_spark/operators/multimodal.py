@@ -89,3 +89,107 @@ def extract_media_features(
 
     cols = [F.col(id_col), F.col(payload_col), F.col(meta_col)]
     return df.select(*cols).mapInPandas(compute, schema=MEDIA_FEATURES_SCHEMA)
+
+
+#: Output schema of resize_images.
+RESIZED_SCHEMA = (
+    "doc_id long, payload binary, width int, height int, "
+    "orig_width int, orig_height int"
+)
+
+#: Output schema of sample_frames (fan-out: one row per kept frame).
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary, frame_mean double"
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    payload_col: str = "payload",
+    meta_col: str = "meta",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Nearest-neighbor resize of image payloads via mapInPandas (X5).
+
+    The geometry is the real thing — decode to (h, w), index-sample rows
+    and columns to (target_h, target_w), re-flatten — with the fake
+    byte-buffer codec standing in for PIL (swap `_fake_decode` for a real
+    decoder and nothing else changes). Non-image rows pass through
+    untouched payload-wise with NULL target dims, so one pipeline can
+    carry mixed media.
+    """
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload, meta in zip(
+                pdf[id_col].to_numpy(), pdf[payload_col], pdf[meta_col]
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                w, h = meta["width"], meta["height"]
+                if meta["media_type"] != "image" or not w or not h:
+                    out.append((doc_id, payload, None, None, w, h))
+                    continue
+                arr = _fake_decode(payload, "image")
+                # pad/truncate the fake buffer to the declared geometry —
+                # a real codec returns exactly (h, w[, c]) and needs neither
+                arr = np.resize(arr, (h, w))
+                rows = (np.arange(target_h) * h) // target_h
+                cols = (np.arange(target_w) * w) // target_w
+                resized = arr[np.ix_(rows, cols)]
+                out.append(
+                    (doc_id, resized.tobytes(), target_w, target_h, w, h)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "payload", "width", "height",
+                    "orig_width", "orig_height",
+                ],
+            )
+
+    return df.select(id_col, payload_col, meta_col).mapInPandas(
+        compute, schema=RESIZED_SCHEMA
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    stride: int = 4,
+    frame_bytes: int = 256,
+    payload_col: str = "payload",
+    meta_col: str = "meta",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Every-Nth-frame sampling from video payloads (X5 fan-out shape).
+
+    One input row yields ceil(n_frames / stride) output rows — the
+    mapInPandas generator emits them per Arrow batch, so a long video
+    never materializes all its frames at once on one executor. The fake
+    codec chops the byte buffer into fixed-size frames; a real demuxer
+    (av/ffmpeg) slots into the same loop.
+    """
+    if stride <= 0:
+        raise ValueError(f"stride must be positive, got {stride}")
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload, meta in zip(
+                pdf[id_col].to_numpy(), pdf[payload_col], pdf[meta_col]
+            ):
+                if meta["media_type"] != "video" or payload is None:
+                    continue
+                buf = bytes(payload)
+                for i in range(0, max(1, -(-len(buf) // frame_bytes)), stride):
+                    frame = buf[i * frame_bytes : (i + 1) * frame_bytes]
+                    arr = np.frombuffer(frame, dtype=np.uint8)
+                    mean = round(float(arr.mean()), 6) if arr.size else 0.0
+                    out.append((doc_id, i, frame, mean))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_idx", "frame", "frame_mean"]
+            )
+
+    return df.select(id_col, payload_col, meta_col).mapInPandas(
+        compute, schema=FRAME_SCHEMA
+    )

@@ -84,3 +84,28 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     m = _with_media_columns(d)
     return extract_media_features(m).orderBy("doc_id")
+
+
+@register(
+    "media_frame_samples",
+    oracle=None,  # mapInPandas fan-out over synthesized payloads — geometry
+    # and determinism pinned in tests/test_operators.py
+    tags=("X5", "multimodal", "pandas-udf", "frames"),
+)
+def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over video payloads (every 4th 256-byte frame via
+    the mapInPandas fan-out, operators/multimodal.sample_frames) rolled
+    up to per-video counts — the decode → frame-sample → feature step of
+    a multimodal training pipeline."""
+    from wikistream_lakehouse_spark.operators.multimodal import sample_frames
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    frames = sample_frames(_with_media_columns(d), stride=4, frame_bytes=256)
+    return (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled_frames"),
+            F.round(F.avg("frame_mean"), 6).alias("avg_frame_mean"),
+        )
+        .orderBy("doc_id")
+    )

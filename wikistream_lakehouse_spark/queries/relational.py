@@ -1096,7 +1096,9 @@ def late_suppliers_multi_supplier_orders(spark: SparkSession, sf_dir: str) -> Da
         F.col("l1.l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
     )
     return (
-        late.join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+        # supplier grows with SF (unbounded dim): no broadcast hint — AQE
+        # promotes the join to broadcast at runtime only when it truly fits
+        late.join(s, F.col("l1.l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.countDistinct("l1.l_orderkey").cast("long").alias("n_late_orders"))
         .orderBy(F.desc("n_late_orders"), "s_name")
@@ -1139,7 +1141,9 @@ def cross_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     return (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        # nation broadcasts are the bounded dims; supplier scales with SF,
+        # so its join is left to AQE (broadcast only if runtime-small)
+        l.join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -1314,7 +1318,9 @@ def regional_same_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, o.o_orderkey == l.l_orderkey)
         .join(
-            F.broadcast(s),
+            # supplier is unbounded (grows with SF): AQE decides; the
+            # bounded nation/region dims below carry explicit broadcasts
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -1405,9 +1411,11 @@ def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     max_rev = rev.agg(F.max("total_rev").alias("max_rev"))
     s = table(spark, sf_dir, "supplier")
+    # after the 1-row max join, `top` holds only the winning supplier(s) —
+    # THAT is the broadcastable side; supplier itself is unbounded
+    top = rev.join(F.broadcast(max_rev), rev.total_rev == F.col("max_rev"))
     return (
-        rev.join(F.broadcast(max_rev), rev.total_rev == F.col("max_rev"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        s.join(F.broadcast(top), F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev")
         .orderBy("s_suppkey")
     )
@@ -1445,9 +1453,11 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = table(spark, sf_dir, "part")
     return (
+        # all three joins key on partkey: the threshold join and the part
+        # join reuse one hash partitioning (part is unbounded — no hint)
         l.join(thr, l.l_partkey == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_thr"))
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(p, l.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
         .orderBy("p_brand")

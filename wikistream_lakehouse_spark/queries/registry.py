@@ -74,6 +74,7 @@ def all_queries() -> dict[str, Query]:
     """
     # Local import to avoid import cycles; modules self-register on import.
     from wikistream_lakehouse_spark.queries import (  # noqa: F401
+        classics,
         dedup,
         multimodal,
         relational,

@@ -33,6 +33,11 @@ RUNTIME_CONF: dict[str, str] = {
     # Spark-native type; read them as raw nanosecond longs and convert in the
     # loader (tables.py) — lossless down to microseconds.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Write timestamps as INT64 micros, not the legacy INT96 default:
+    # INT96 carries NO parquet min/max statistics, which silently disables
+    # row-group skipping AND file-level data skipping (lakehouse/skipping.py)
+    # on every timestamp column.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

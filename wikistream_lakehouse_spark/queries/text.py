@@ -256,3 +256,124 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feat.select(
         "doc_id", "lang", "n_tokens", keep.alias("keep"), reason.alias("reason")
     ).orderBy("doc_id")
+
+
+# --- Keyword search: BM25 ranking over an inverted-index shape --------------
+@register(
+    "keyword_search_bm25",
+    oracle="""
+        WITH toks AS (
+            SELECT d.doc_id, t.term
+            FROM documents d,
+                 UNNEST(string_split(d.text, ' ')) AS t(term)
+            WHERE t.term <> ''
+        ),
+        dl AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl
+               FROM toks GROUP BY 1),
+        corpus AS (SELECT AVG(dl.dl) AS avgdl,
+                          (SELECT COUNT(*) FROM documents) AS n_docs
+                   FROM dl),
+        tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+               FROM toks
+               WHERE term IN ('spark', 'hash', 'merge')
+               GROUP BY 1, 2),
+        dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+                  FROM tf GROUP BY 1)
+        SELECT tf.doc_id,
+               ROUND(SUM(
+                   LN((corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / corpus.avgdl))
+               ), 4) AS bm25
+        FROM tf
+        JOIN dl ON dl.doc_id = tf.doc_id
+        JOIN dfreq ON dfreq.term = tf.term
+        CROSS JOIN corpus
+        GROUP BY 1
+        ORDER BY bm25 DESC, tf.doc_id
+        LIMIT 20
+    """,
+    tags=("search", "extra"),
+)
+def keyword_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search (k1=1.2, b=0.75) as one declarative plan —
+    the inverted-index shape without materializing an index: tokenize →
+    per-doc length, query-term tf, per-term df, corpus scalars → score.
+
+    Scale shape: the token explode is scanned ONCE per role; document
+    frequency and the avgdl/N corpus stats are tiny aggregates broadcast
+    back; the per-doc score join keys on doc_id so tf and dl co-shuffle.
+    Non-query terms are dropped BEFORE the tf aggregate — the only
+    full-width pass is the doc-length count, which an index would also
+    have to store. Top-k is TakeOrderedAndProject, never a global sort."""
+    d = table(spark, sf_dir, "documents")
+    query_terms = ["spark", "hash", "merge"]
+    k1, b = 1.2, 0.75
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    corpus = dl.agg(F.avg("dl").alias("avgdl")).crossJoin(
+        d.agg(F.count("*").alias("n_docs"))
+    )
+    tf = (
+        toks.filter(F.col("term").isin(query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy(F.col("term").alias("f_term")).agg(
+        F.count("*").cast("double").alias("df")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    score = idf * F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), tf.term == F.col("f_term"))
+        .join(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(score), 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+# --- Corpus vocabulary: top-k term frequencies minus stopwords --------------
+@register(
+    "term_frequency_topk",
+    oracle="""
+        SELECT t.term,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(COUNT(DISTINCT d.doc_id) AS BIGINT) AS n_docs
+        FROM documents d,
+             UNNEST(string_split(d.text, ' ')) AS t(term)
+        WHERE t.term <> ''
+          AND t.term NOT IN ('the', 'a', 'of', 'and', 'to', 'in')
+        GROUP BY 1
+        ORDER BY n_occurrences DESC, term
+        LIMIT 25
+    """,
+    tags=("search", "extra"),
+)
+def term_frequency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile: the 25 most frequent non-stopword
+    terms with occurrence and document counts. explode → one grouped
+    aggregate (map-side partial combine collapses the token stream
+    before the shuffle — term cardinality, not token count, crosses
+    the wire) → TakeOrderedAndProject."""
+    d = table(spark, sf_dir, "documents")
+    stop = ["the", "a", "of", "and", "to", "in"]
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .filter((F.col("term") != "") & ~F.col("term").isin(stop))
+        .groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "term")
+        .limit(25)
+    )

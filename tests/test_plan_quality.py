@@ -214,3 +214,45 @@ def test_training_order_has_no_single_task_sort(spark, sf_dir):
     plan = plan_of(QUERIES["training_order_shuffle"].build(spark, sf_dir), "simple")
     assert "rangepartitioning(shuffle_key" in plan
     assert "Exchange SinglePartition" not in plan
+
+
+def test_q6_all_predicates_pushed_no_join(spark, sf_dir):
+    """forecast_revenue (Q6 shape): every predicate — date range,
+    discount band, quantity cap — must reach the parquet scan."""
+    plan = plan_of(QUERIES["forecast_revenue"].build(spark, sf_dir))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate,1996-01-01",
+        "LessThan(l_shipdate,1997-01-01",
+        "GreaterThanOrEqual(l_discount,0.05)",
+        "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)",
+    ):
+        assert frag in pushed, f"missing pushed predicate {frag}"
+    assert "Join" not in plan and "partial_sum" in plan
+
+
+def test_q19_disjunction_pushes_per_side_implications(spark, sf_dir):
+    """disjunctive_part_revenue (Q19 shape): Catalyst must derive the
+    single-side implications of the cross-side OR and push them to BOTH
+    scans — the lineitem scan gets the quantity-window disjunction, the
+    part scan gets the brand/size disjunction."""
+    plan = plan_of(QUERIES["disjunctive_part_revenue"].build(spark, sf_dir))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_quantity,1.0" in ln and "l_quantity,30.0" in ln for ln in pushed)
+    assert any("p_brand,Brand#12" in ln and "p_size" in ln for ln in pushed)
+
+
+def test_new_classic_shapes(spark, sf_dir):
+    """Q2/Q20/BM25: ordered limits are TakeOrderedAndProject, the nested
+    IN decorrelates to LeftSemi, nothing degenerates to a nested-loop
+    join, and Q11's global-scalar HAVING plans without any Window."""
+    q2 = plan_of(QUERIES["cheapest_supplier_per_part"].build(spark, sf_dir))
+    assert "TakeOrderedAndProject" in q2
+    assert "BroadcastNestedLoopJoin" not in q2
+    q20 = plan_of(QUERIES["dominant_part_shippers"].build(spark, sf_dir))
+    assert "LeftSemi" in q20 and "BroadcastNestedLoopJoin" not in q20
+    bm25 = plan_of(QUERIES["keyword_search_bm25"].build(spark, sf_dir))
+    assert "TakeOrderedAndProject" in bm25 and "BroadcastHashJoin" in bm25
+    q11 = plan_of(QUERIES["important_part_value"].build(spark, sf_dir))
+    assert "Window" not in q11

@@ -76,6 +76,7 @@ def all_queries() -> dict[str, Query]:
     from wikistream_lakehouse_spark.queries import (  # noqa: F401
         classics,
         dedup,
+        hygiene,
         multimodal,
         relational,
         sampling,

@@ -33,6 +33,14 @@ GUARDED = [
     "cosine_topk_bruteforce",
     "ngram_jaccard_pairs",
     "ann_lsh_topk",
+    # round-2 additions whose shapes are load-bearing: pure-pushdown Q6,
+    # per-side OR-implication Q19, decorrelated-min Q2, BM25 search, and
+    # the broadcast-eval contamination join
+    "forecast_revenue",
+    "disjunctive_part_revenue",
+    "cheapest_supplier_per_part",
+    "keyword_search_bm25",
+    "benchmark_contamination",
 ]
 
 #: Pinned generation context — signatures are only comparable under the

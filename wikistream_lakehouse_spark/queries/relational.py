@@ -1462,3 +1462,95 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
         .orderBy("p_brand")
     )
+
+
+# --- Retention: day-over-week user overlap ----------------------------------
+@register(
+    "weekly_retention",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS ds, user_id
+            FROM events
+        )
+        SELECT a.ds,
+               CAST(COUNT(*) AS BIGINT) AS active_users,
+               CAST(COUNT(b.user_id) AS BIGINT) AS retained_users,
+               ROUND(CAST(COUNT(b.user_id) AS DOUBLE) / COUNT(*), 4)
+                   AS d7_retention
+        FROM ud a
+        LEFT JOIN ud b
+          ON b.user_id = a.user_id AND b.ds = a.ds + INTERVAL 7 DAY
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    tags=("analytics", "extra"),
+)
+def weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 retention: of each day's active users, the fraction active
+    exactly seven days later. The user-day frame self-joins keyed on
+    (user_id, date+7) — an equi join, both sides hash-partitioned on
+    the same user key, so the join co-shuffles once; per-day counts
+    aggregate after. No window, no per-user collect; the classic
+    retention matrix at any event volume."""
+    e = table(spark, sf_dir, "events")
+    ud = e.select(F.to_date("ts").alias("ds"), "user_id").distinct()
+    a = ud.alias("a")
+    b = ud.select(
+        F.col("user_id").alias("b_user"), F.date_sub(F.col("ds"), 7).alias("b_ds")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b_user")) & (F.col("a.ds") == F.col("b_ds")),
+            "left",
+        )
+        .groupBy(F.col("a.ds").alias("ds"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("active_users"),
+            F.count("b_user").cast("long").alias("retained_users"),
+            F.round(
+                F.count("b_user").cast("double") / F.count(F.lit(1)), 4
+            ).alias("d7_retention"),
+        )
+        .orderBy("ds")
+    )
+
+
+# --- Cohort analysis: first-order month × order month -----------------------
+@register(
+    "customer_cohort_retention",
+    oracle="""
+        WITH firsts AS (
+            SELECT o_custkey,
+                   MIN(date_trunc('month', o_orderdate)) AS cohort_month
+            FROM orders GROUP BY 1
+        )
+        SELECT CAST(f.cohort_month AS DATE) AS cohort_month,
+               CAST(date_trunc('month', o.o_orderdate) AS DATE) AS order_month,
+               CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+        FROM orders o
+        JOIN firsts f ON f.o_custkey = o.o_custkey
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    tags=("analytics", "extra"),
+)
+def customer_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort triangle: customers grouped by first-order month, counted
+    in every month they ordered again. First-order month is an
+    aggregate-then-join on custkey (both sides shuffle on the same key
+    — AQE co-partitions, no decorrelated window); the triangle itself
+    is one two-key distinct count."""
+    o = table(spark, sf_dir, "orders")
+    firsts = o.groupBy(F.col("o_custkey").alias("f_custkey")).agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_ts")
+    )
+    return (
+        o.join(firsts, o.o_custkey == F.col("f_custkey"))
+        .groupBy(
+            F.to_date("cohort_ts").alias("cohort_month"),
+            F.to_date(F.date_trunc("month", "o_orderdate")).alias("order_month"),
+        )
+        .agg(F.countDistinct("o_custkey").cast("long").alias("n_customers"))
+        .orderBy("cohort_month", "order_month")
+    )

@@ -1554,3 +1554,104 @@ def customer_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("o_custkey").cast("long").alias("n_customers"))
         .orderBy("cohort_month", "order_month")
     )
+
+
+# --- Window frame varieties: RANGE-by-interval + positional values ----------
+@register(
+    "window_frames_showcase",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+               ) / 100, 2) AS trailing_30d_spend,
+               first_value(o_totalprice) OVER w AS first_price,
+               nth_value(o_totalprice, 2) OVER w AS second_price,
+               ROUND(o_totalprice - lag(o_totalprice, 1, 0.0) OVER w, 2)
+                   AS price_delta
+        FROM orders
+        WHERE o_custkey < 500
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, o_orderkey
+    """,
+    tags=("J6", "windows", "extra"),
+)
+def window_frames_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frame-specification surface beyond running sums: a
+    RANGE-by-time-interval frame (trailing 30-day spend — peers at
+    the same timestamp all join the frame, so no tiebreak is needed or
+    allowed) next to ROWS-frame positional functions (first/nth/lag,
+    deterministically tiebroken by orderkey). Both windows partition by
+    customer — per-key state, never a global sort."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
+    w_range = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    w_rows = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # lag is frame-less in Spark (offset functions reject explicit frames)
+    w_lag = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        # sum exact integer CENTS, never average doubles: double sums are
+        # order-dependent, and dividing by a frame COUNT mints fresh .xx5
+        # halves that flip ROUND differently per engine; the cents SUM is
+        # exact and /100 re-yields the original 2-decimal grid
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).over(w_range)
+            / 100,
+            2,
+        ).alias("trailing_30d_spend"),
+        F.first("o_totalprice").over(w_rows).alias("first_price"),
+        F.nth_value("o_totalprice", 2).over(w_rows).alias("second_price"),
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(w_lag), 2
+        ).alias("price_delta"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+# --- UNPIVOT: wide measures back to long form -------------------------------
+@register(
+    "order_measures_unpivot",
+    oracle="""
+        WITH agg AS (
+            SELECT l_orderkey,
+                   ROUND(SUM(l_quantity), 2) AS qty,
+                   ROUND(SUM(l_extendedprice), 2) AS extprice,
+                   ROUND(SUM(l_tax), 2) AS tax
+            FROM lineitem
+            WHERE l_orderkey < 2000
+            GROUP BY 1
+        )
+        SELECT l_orderkey, measure, value
+        FROM agg UNPIVOT (value FOR measure IN (qty, extprice, tax))
+        ORDER BY l_orderkey, measure
+    """,
+    tags=("J8", "reshape", "extra"),
+)
+def order_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT — the inverse of pivot_event_type_counts: per-order wide
+    measures fold back to (key, measure, value) long form via stack(),
+    a Generate operator that multiplies rows map-side with no shuffle
+    beyond the feeding aggregate."""
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    agg = l.groupBy("l_orderkey").agg(
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("extprice"),
+        F.round(F.sum("l_tax"), 2).alias("tax"),
+    )
+    return agg.select(
+        "l_orderkey",
+        F.expr(
+            "stack(3, 'qty', qty, 'extprice', extprice, 'tax', tax) "
+            "as (measure, value)"
+        ),
+    ).orderBy("l_orderkey", "measure")

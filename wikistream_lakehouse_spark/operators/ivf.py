@@ -162,3 +162,105 @@ def ivf_topk(
         .filter(F.col("rk") <= top_k)
         .orderBy("query_id", "rk")
     )
+
+
+def build_ivf_index(
+    collection: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    k_clusters: int = 16,
+    n_iters: int = 4,
+) -> None:
+    """Persist the IVF index: train once, write ``<path>/centroids``
+    (k rows) and ``<path>/lists`` — the inverted lists WITH their
+    vectors, partitioned by cluster id.
+
+    This is the write-once/query-many form ``ivf_topk`` alludes to: at
+    corpus scale the collection is assigned in one job and every later
+    search is a partition-pruned read of the probed clusters only —
+    the index directory layout IS the pruning structure, no service
+    required. Rebuild = rerun (deterministic training, overwrite mode).
+    """
+    spark = collection.sparkSession
+    centroids = train_ivf_centroids(
+        collection, id_col, vec_col, k=k_clusters, n_iters=n_iters
+    )
+    cent_rows = [(int(c), centroids[c].tolist()) for c in range(len(centroids))]
+    spark.createDataFrame(
+        cent_rows, "cluster long, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    lists = _assign_pandas(collection, id_col, vec_col, centroids).select(
+        id_col, "cluster"
+    )
+    (
+        collection.select(id_col, vec_col)
+        .join(lists, id_col)
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(f"{path}/lists")
+    )
+
+
+def search_ivf_index(
+    queries: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    n_probe: int = 4,
+    top_k: int = 5,
+    cosine_fn=None,
+) -> DataFrame:
+    """(query_id, neighbor_id, cos, rk) against a persisted IVF index.
+
+    The query batch assigns against the (tiny) centroids table, the
+    probed cluster ids become an ``isin`` partition predicate on the
+    lists table — Spark schedules tasks only for those cluster
+    directories (PartitionFilters, asserted in tests). Scoring and
+    per-query top-k are identical to ``ivf_topk``.
+    """
+    from wikistream_lakehouse_spark.functions.vectors import cosine
+
+    cosine_fn = cosine_fn or cosine
+    spark = queries.sparkSession
+    cent_rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(),
+        key=lambda r: r.cluster,
+    )
+    centroids = np.array([r.centroid for r in cent_rows], dtype=np.float64)
+    probes = _assign_pandas(
+        queries.select(F.col(query_id_col).alias("qid"), F.col(vec_col)),
+        "qid",
+        vec_col,
+        centroids,
+        n_probe=n_probe,
+    ).select(F.col("qid").alias("query_id"), "cluster")
+    # probed cluster ids: bounded by n_queries × n_probe — metadata scale,
+    # collected to become a partition-pruning predicate on the lists table
+    probed = sorted({r.cluster for r in probes.select("cluster").distinct().collect()})
+    lists = (
+        spark.read.parquet(f"{path}/lists")
+        .filter(F.col("cluster").isin(probed))
+        .select(F.col(id_col).alias("neighbor_id"), "cluster", F.col(vec_col).alias("cv"))
+    )
+    cand = (
+        lists.join(F.broadcast(probes), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "cv")
+        .distinct()
+    )
+    qv = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    scored = cand.join(F.broadcast(qv), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_fn(F.col("qv"), F.col("cv")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= top_k)
+        .orderBy("query_id", "rk")
+    )

@@ -89,6 +89,21 @@ def test_skipping_scan_is_exact_and_prunes(spark, layouts):
     assert kept < total
 
 
+def test_perfect_pruning_returns_empty_frame(spark, layouts):
+    """A predicate outside every file's envelope is the SUCCESS case:
+    zero files scanned, empty result, schema intact — not an error."""
+    e, zpath, _t = layouts
+    hi = e.agg(F.max("user_id")).first()[0]
+    stats = collect_file_stats(spark, zpath, ["user_id"])
+    ranges = {"user_id": (hi + 1000, hi + 2000)}
+    kept, total = prune_files(stats, ranges)
+    assert kept == [] and total > 0
+    df, n_read, n_total = skipping_scan(spark, stats, ranges)
+    assert n_read == 0 and n_total == total
+    assert df.count() == 0
+    assert set(df.columns) == {"event_id", "user_id", "ts"}
+
+
 def test_zorder_prunes_both_dims_single_sort_does_not(spark, layouts):
     e, zpath, tpath = layouts
     ranges = _mid_ranges(e)

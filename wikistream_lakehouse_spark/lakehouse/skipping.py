@@ -123,19 +123,23 @@ def prune_files(
 
     Returns (surviving file paths, total files). A file with unknown
     stats for any predicate column survives (skipping must never drop
-    rows). The filter runs distributed; only the surviving path strings
-    come back to the driver — metadata-scale, like a Delta log replay.
+    rows). The manifest is collected ONCE and filtered driver-side —
+    it is metadata-scale (one row per file, like a Delta log replay),
+    and a second Spark job just to count it would re-run the whole
+    footer scan.
     """
-    from pyspark.sql import functions as F
+    rows = stats.collect()
 
-    cond = F.lit(True)
-    for c, (lo, hi) in ranges.items():
-        c_min, c_max = F.col(f"{c}_min"), F.col(f"{c}_max")
-        intersects = ~((c_max < F.lit(float(lo))) | (c_min > F.lit(float(hi))))
-        cond = cond & (c_min.isNull() | c_max.isNull() | intersects)
-    total = stats.count()
-    kept = [r.file for r in stats.filter(cond).select("file").collect()]
-    return kept, total
+    def survives(r) -> bool:
+        for c, (lo, hi) in ranges.items():
+            c_min, c_max = r[f"{c}_min"], r[f"{c}_max"]
+            if c_min is None or c_max is None:
+                continue  # unknown stats: must keep
+            if c_max < float(lo) or c_min > float(hi):
+                return False
+        return True
+
+    return [r.file for r in rows if survives(r)], len(rows)
 
 
 def skipping_scan(
@@ -159,8 +163,12 @@ def skipping_scan(
 
     kept, total = prune_files(stats, ranges)
     if not kept:
-        raise ValueError("no files survive pruning; empty scans need no engine")
-    df = spark.read.parquet(*kept)
+        # perfect pruning is the SUCCESS case: return an empty frame with
+        # the table's schema (derived from any file, scanning no rows)
+        any_file = stats.select("file").first().file
+        df = spark.read.parquet(any_file).limit(0)
+    else:
+        df = spark.read.parquet(*kept)
     for c, (lo, hi) in ranges.items():
         col = F.col(c).cast(cast[c]) if cast and c in cast else F.col(c)
         df = df.filter((col >= F.lit(lo)) & (col <= F.lit(hi)))

@@ -20,9 +20,10 @@ Implementation is pure Catalyst expressions:
   4. ``repartitionByRange(z)`` + sort-within-partitions + write — a
      distributed total order along the curve, no single-task sort.
 
-Bit depth: ``bits``=16 per column bounds the unrolled expression at
-16·n_cols or-terms; deeper than the per-file cardinality at any
-realistic file count, so extra depth only costs expression size.
+Bit depth: the default (16 per column, 15 at 4 columns) bounds the
+unrolled expression at ≤62 or-terms; deeper than the per-file
+cardinality at any realistic file count, so extra depth only costs
+expression size.
 
 Reference parity: none (the reference has no layout management at
 all); this extends the OPTIMIZE-style compaction (lakehouse/compact.py)
@@ -47,14 +48,19 @@ def _rank_expr(col: str, lo, hi, bits: int) -> Column:
     )
 
 
-def zvalue(df: DataFrame, cols: list[str], bits: int = 16) -> Column:
+def zvalue(df: DataFrame, cols: list[str], bits: int | None = None) -> Column:
     """The Morton code column for ``cols`` (bit-interleaved ranks).
 
     Requires one collect of 2·len(cols) scalars for the min/max frame —
-    call on the frame you are about to write.
+    call on the frame you are about to write. ``bits`` defaults to the
+    deepest per-column depth that fits a signed long at this arity
+    (16 for 1-3 columns, 15 for 4), so every documented arity works
+    without tuning.
     """
     if not 1 <= len(cols) <= 4:
         raise ValueError("zorder supports 1-4 columns")
+    if bits is None:
+        bits = min(16, 62 // len(cols))
     if bits * len(cols) > 62:
         raise ValueError("bits * len(cols) must fit in a signed long")
     aggs = []
@@ -79,7 +85,7 @@ def write_zordered(
     path: str,
     cols: list[str],
     num_files: int = 16,
-    bits: int = 16,
+    bits: int | None = None,
     mode: str = "overwrite",
 ) -> None:
     """Write ``df`` as parquet clustered along the Z-curve of ``cols``.

@@ -229,26 +229,33 @@ def search_ivf_index(
         key=lambda r: r.cluster,
     )
     centroids = np.array([r.centroid for r in cent_rows], dtype=np.float64)
-    probes = _assign_pandas(
+    # one assignment pass: the probe list is n_queries × n_probe rows —
+    # metadata scale — so collect it once and reuse it both as the
+    # partition-pruning predicate and (as a tiny local frame) the join side;
+    # re-evaluating the lazy mapInPandas twice would run assignment twice
+    probe_rows = _assign_pandas(
         queries.select(F.col(query_id_col).alias("qid"), F.col(vec_col)),
         "qid",
         vec_col,
         centroids,
         n_probe=n_probe,
-    ).select(F.col("qid").alias("query_id"), "cluster")
-    # probed cluster ids: bounded by n_queries × n_probe — metadata scale,
-    # collected to become a partition-pruning predicate on the lists table
-    probed = sorted({r.cluster for r in probes.select("cluster").distinct().collect()})
+    ).collect()
+    probed = sorted({r.cluster for r in probe_rows})
+    probes = spark.createDataFrame(
+        [(r.qid, r.cluster) for r in probe_rows], "query_id long, cluster long"
+    )
     lists = (
         spark.read.parquet(f"{path}/lists")
         .filter(F.col("cluster").isin(probed))
         .select(F.col(id_col).alias("neighbor_id"), "cluster", F.col(vec_col).alias("cv"))
     )
+    # (query, neighbor) pairs are already unique — each neighbor lives in
+    # exactly one cluster partition and probe rows are distinct per query —
+    # so no dedup: a distinct here would shuffle full embedding arrays
     cand = (
         lists.join(F.broadcast(probes), "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "cv")
-        .distinct()
     )
     qv = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")

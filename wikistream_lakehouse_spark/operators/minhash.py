@@ -56,6 +56,25 @@ def exploded_shingle_hashes(
 
     Documents shorter than k tokens yield no rows (no shingle exists).
     """
+    out = shingle_structs(df, text_col, id_col, k_shingle).select(
+        F.col(id_col),
+        F.xxhash64(*[F.col(f"s.w{i}") for i in range(k_shingle)]).alias("sh"),
+    )
+    return out.distinct() if distinct else out
+
+
+def shingle_structs(
+    df: DataFrame, text_col: str, id_col: str, k_shingle: int
+) -> DataFrame:
+    """(id, s) — one row per word-k-gram, ``s`` the arrays_zip struct of
+    k aligned token slices (fields ``w0..w{k-1}``).
+
+    The shared alignment pipeline behind both shingle emitters: the
+    xxhash64 form above (engine-internal: minhash/simhash/LSH) and the
+    concat_ws string form (queries/hygiene.py — cross-engine oracles,
+    DuckDB has no xxhash64). One implementation, so a fix to the
+    slice/null-filter alignment can never diverge between them.
+    """
     a = tokens(F.col(text_col))
     shifted = [a] + [
         F.slice(a, i + 1, F.greatest(F.size(a) - i, F.lit(0)))
@@ -63,15 +82,9 @@ def exploded_shingle_hashes(
     ]
     z = F.arrays_zip(*[s.alias(f"w{i}") for i, s in enumerate(shifted)])
     last = f"w{k_shingle - 1}"
-    out = (
-        df.select(F.col(id_col), F.explode(z).alias("s"))
-        .filter(F.col(f"s.{last}").isNotNull())
-        .select(
-            F.col(id_col),
-            F.xxhash64(*[F.col(f"s.w{i}") for i in range(k_shingle)]).alias("sh"),
-        )
+    return df.select(F.col(id_col), F.explode(z).alias("s")).filter(
+        F.col(f"s.{last}").isNotNull()
     )
-    return out.distinct() if distinct else out
 
 
 def minhash_signatures(

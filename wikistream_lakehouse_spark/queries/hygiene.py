@@ -32,23 +32,16 @@ def string_shingles(
 ) -> DataFrame:
     """(id, sh) — one row per word-k-gram STRING per document.
 
-    Same map-side arrays_zip pipeline as
-    operators/minhash.exploded_shingle_hashes (no lambdas, no window),
-    emitting ``concat_ws(' ', w0..wk-1)`` for engine-portable equality.
+    Delegates the alignment to operators/minhash.shingle_structs (the
+    same map-side arrays_zip pipeline the hash family uses — one
+    implementation), emitting ``concat_ws(' ', w0..wk-1)`` for
+    engine-portable equality.
     """
-    a = tokens(F.col(text_col))
-    shifted = [a] + [
-        F.slice(a, i + 1, F.greatest(F.size(a) - i, F.lit(0)))
-        for i in range(1, k)
-    ]
-    z = F.arrays_zip(*[s.alias(f"w{i}") for i, s in enumerate(shifted)])
-    out = (
-        df.select(F.col(id_col), F.explode(z).alias("s"))
-        .filter(F.col(f"s.w{k - 1}").isNotNull())
-        .select(
-            F.col(id_col),
-            F.concat_ws(" ", *[F.col(f"s.w{i}") for i in range(k)]).alias("sh"),
-        )
+    from wikistream_lakehouse_spark.operators.minhash import shingle_structs
+
+    out = shingle_structs(df, text_col, id_col, k).select(
+        F.col(id_col),
+        F.concat_ws(" ", *[F.col(f"s.w{i}") for i in range(k)]).alias("sh"),
     )
     return out.distinct() if distinct else out
 

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQueryListener
@@ -41,7 +41,7 @@ METRICS_SCHEMA = (
 def _progress_row(p: dict) -> tuple:
     """Flatten one StreamingQueryProgress JSON into a METRICS_SCHEMA row."""
     durations = p.get("durationMs") or {}
-    state = (p.get("stateOperators") or [{}]) or [{}]
+    state = p.get("stateOperators") or [{}]
     n_state = sum(int(s.get("numRowsTotal") or 0) for s in state)
     event_time = p.get("eventTime") or {}
     return (
@@ -58,6 +58,20 @@ def _progress_row(p: dict) -> tuple:
     )
 
 
+_ARROW_SCHEMA_FIELDS = [
+    ("query_id", "string"),
+    ("run_id", "string"),
+    ("batch_id", "int64"),
+    ("timestamp", "string"),
+    ("num_input_rows", "int64"),
+    ("input_rows_per_second", "float64"),
+    ("process_rows_per_second", "float64"),
+    ("batch_duration_ms", "int64"),
+    ("state_rows", "int64"),
+    ("watermark", "string"),
+]
+
+
 @dataclass
 class MetricsRecorder(StreamingQueryListener):
     """Listener that appends one parquet row per completed micro-batch.
@@ -70,27 +84,38 @@ class MetricsRecorder(StreamingQueryListener):
         spark.streams.removeListener(rec)
         read_metrics(spark, rec.path)  # -> DataFrame
 
-    Buffered rows flush on every progress event — a listener callback
-    must never block long, and a 1-row parquet append is bounded; the
-    compaction job (lakehouse/compact.py) owns merging them, exactly as
-    it does for bronze.
+    The append is a LOCAL pyarrow write of one row — never a Spark job:
+    listener callbacks run on the shared event-dispatch thread, and a
+    driver-scheduled write job there would back up the listener bus
+    until Spark starts dropping progress events (silent metrics loss).
+    A local single-row file is sub-millisecond and unconditionally safe;
+    the compaction job (lakehouse/compact.py) owns merging the small
+    files, exactly as it does for bronze.
     """
 
     path: str
-    _spark: SparkSession | None = field(default=None, repr=False)
 
     def onQueryStarted(self, event) -> None:  # noqa: N802 (Spark API)
         pass
 
     def onQueryProgress(self, event) -> None:  # noqa: N802
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         p = json.loads(event.progress.json)
-        spark = self._spark or SparkSession.getActiveSession()
-        if spark is None:  # pragma: no cover - defensive: no session left
-            return
         row = _progress_row(p)
-        spark.createDataFrame([row], METRICS_SCHEMA).write.mode("append").parquet(
-            self.path
+        schema = pa.schema(
+            [(n, getattr(pa, t)()) for n, t in _ARROW_SCHEMA_FIELDS]
         )
+        tbl = pa.Table.from_pydict(
+            {n: [v] for (n, _), v in zip(_ARROW_SCHEMA_FIELDS, row)},
+            schema=schema,
+        )
+        os.makedirs(self.path, exist_ok=True)
+        fname = f"{row[1]}-{row[2]}-{uuid.uuid4().hex[:8]}.parquet"
+        pq.write_table(tbl, os.path.join(self.path, fname))
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
         pass

@@ -1,8 +1,9 @@
 """Corpus-hygiene queries: the filters a pretraining-data pipeline runs
 between raw crawl and training shards — repetition profiling
-(Gopher-style), PII scrubbing, and benchmark-contamination detection.
+(Gopher-style), PII scrubbing, benchmark-contamination detection, and
+the composed stage funnel.
 
-All three are pure Catalyst expressions (explode / arrays_zip /
+All of them are pure Catalyst expressions (explode / arrays_zip /
 regexp_*) — no UDFs — and each carries a DuckDB oracle, so they are
 ✦-verified like the rest of the text family.
 
@@ -15,7 +16,7 @@ hash-collision caveat.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wikistream_lakehouse_spark.functions.text import tokens

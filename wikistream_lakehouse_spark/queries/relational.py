@@ -1655,3 +1655,69 @@ def order_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             "as (measure, value)"
         ),
     ).orderBy("l_orderkey", "measure")
+
+
+# --- Sequential funnel: ordered stage conversion per user -------------------
+@register(
+    "conversion_funnel",
+    oracle="""
+        WITH fv AS (
+            SELECT user_id, MIN(ts) AS fv_ts FROM events
+            WHERE event_type = 'view' GROUP BY 1
+        ), fc AS (
+            SELECT e.user_id, MIN(e.ts) AS fc_ts
+            FROM events e JOIN fv ON fv.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ts > fv.fv_ts
+            GROUP BY 1
+        ), fp AS (
+            SELECT e.user_id, MIN(e.ts) AS fp_ts
+            FROM events e JOIN fc ON fc.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > fc.fc_ts
+            GROUP BY 1
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fv) AS n_viewed,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM fc) AS n_clicked_after_view,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM fp) AS n_purchased_after_click
+    """,
+    tags=("analytics", "funnel", "extra"),
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who viewed, then clicked strictly
+    AFTER their first view, then purchased strictly after that click.
+    The order constraint is what separates a funnel from three counts —
+    min-after-threshold per stage, not min overall.
+
+    Scale shape: each stage is a keyed MIN aggregate joined to the
+    previous stage's (user, ts) frame — every join and aggregate keys
+    on user_id, so the whole funnel reuses ONE hash partitioning; the
+    final counts are three 1-row aggregates cross-joined (broadcast).
+    No windows, no per-user event sorting."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    fv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fv_ts"))
+    )
+    fc = (
+        e.filter(F.col("event_type") == "click")
+        .join(fv, "user_id")
+        .filter(F.col("ts") > F.col("fv_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fc_ts"))
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .filter(F.col("ts") > F.col("fc_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp_ts"))
+    )
+    return (
+        fv.agg(F.count(F.lit(1)).cast("long").alias("n_viewed"))
+        .crossJoin(
+            fc.agg(F.count(F.lit(1)).cast("long").alias("n_clicked_after_view"))
+        )
+        .crossJoin(
+            fp.agg(F.count(F.lit(1)).cast("long").alias("n_purchased_after_click"))
+        )
+    )

@@ -3,6 +3,8 @@ stdlib sqlite3 (same ON CONFLICT SQL as Postgres)."""
 
 from __future__ import annotations
 
+import pytest
+
 import sqlite3
 
 from pyspark.sql import functions as F
@@ -39,6 +41,28 @@ def test_upsert_sql_shape():
         "ON CONFLICT(k) DO UPDATE SET a=excluded.a, b=excluded.b"
     )
     assert upsert_sql("t", ["k"], ["k"]).endswith("DO NOTHING")
+
+
+def test_upsert_sql_paramstyle_variants():
+    """psycopg2 (pyformat) gets '%s' markers; named has no positional
+    form and is rejected; a sqlite3 connection resolves to qmark."""
+    import sqlite3
+
+    from wikistream_lakehouse_spark.streaming.jdbc import driver_paramstyle
+
+    assert "VALUES (%s, %s)" in upsert_sql(
+        "t", ["k", "a"], ["k"], paramstyle="pyformat"
+    )
+    assert "VALUES (:1, :2)" in upsert_sql(
+        "t", ["k", "a"], ["k"], paramstyle="numeric"
+    )
+    with pytest.raises(ValueError, match="paramstyle"):
+        upsert_sql("t", ["k"], ["k"], paramstyle="named")
+    con = sqlite3.connect(":memory:")
+    try:
+        assert driver_paramstyle(con) == "qmark"
+    finally:
+        con.close()
 
 
 def test_jdbc_upsert_sink_idempotent_convergence(spark, tmp_path):

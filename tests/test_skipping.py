@@ -126,3 +126,87 @@ def test_zorder_prunes_both_dims_single_sort_does_not(spark, layouts):
     z_both, _ = prune_files(z_stats, ranges)
     assert len(z_both) <= len(z_kept)
     assert len(z_both) < z_total // 2
+
+
+def test_persisted_manifest_prunes_without_full_collect(
+    spark, layouts, tmp_path, monkeypatch
+):
+    """Planning against a persisted manifest materializes only the
+    SURVIVING file paths on the driver — at ~10^6 files a whole-manifest
+    collect per planned scan is the bottleneck the persisted table
+    exists to remove."""
+    from unittest.mock import patch
+
+    from wikistream_lakehouse_spark.lakehouse.skipping import (
+        load_manifest,
+        persist_manifest,
+    )
+
+    e, zpath, _t = layouts
+    ranges = _mid_ranges(e)
+    mpath = str(tmp_path / "manifest")
+    persist_manifest(collect_file_stats(spark, zpath, ["user_id", "ts"]), mpath)
+    manifest = load_manifest(spark, mpath)
+
+    collected_sizes = []
+    # patch the CONCRETE DataFrame class (pyspark 4 splits the abstract
+    # base from pyspark.sql.classic; the base's attribute is shadowed)
+    df_cls = type(manifest)
+    real_collect = df_cls.collect
+
+    def spy_collect(self):
+        rows = real_collect(self)
+        collected_sizes.append(len(rows))
+        return rows
+
+    with patch.object(df_cls, "collect", spy_collect):
+        kept, total = prune_files(manifest, ranges)
+    assert 0 < len(kept) < total
+    # every driver materialization during planning is survivor-sized,
+    # never manifest-sized
+    assert collected_sizes and max(collected_sizes) <= len(kept)
+
+    # the persisted-manifest plan answers match the in-memory manifest
+    fresh_kept, fresh_total = prune_files(
+        collect_file_stats(spark, zpath, ["user_id", "ts"]), ranges
+    )
+    assert (kept, total) == (fresh_kept, fresh_total)
+
+
+def test_skipping_scan_keeps_hive_partition_columns(spark, sf_dir, tmp_path):
+    """Reading a pruned file SUBSET from a hive-partitioned table must
+    not silently drop the k=v directory columns — basePath keeps the
+    scan schema identical to a whole-table read."""
+    e = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts")
+        .withColumn("bucket", F.pmod(F.col("user_id"), F.lit(4)).cast("int"))
+    )
+    tpath = str(tmp_path / "hive")
+    (
+        e.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.partitionBy("bucket")
+        .parquet(tpath)
+    )
+    stats = collect_file_stats(spark, tpath, ["user_id"])
+    lo = e.agg(F.min("user_id")).first()[0]
+    ranges = {"user_id": (float(lo), float(lo) + 10.0)}
+    df, kept, total = skipping_scan(spark, stats, ranges, base_path=tpath)
+    assert kept < total
+    assert set(df.columns) == set(spark.read.parquet(tpath).columns)
+    assert df.filter(F.col("bucket").isNull()).count() == 0
+
+
+def test_collect_file_stats_rejects_partition_column(spark, sf_dir, tmp_path):
+    """Partition columns live in directory names, not parquet footers —
+    asking the footer scan for one must fail loudly, not KeyError."""
+    e = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "user_id")
+        .withColumn("bucket", F.pmod(F.col("user_id"), F.lit(4)).cast("int"))
+    )
+    tpath = str(tmp_path / "hive_err")
+    e.write.partitionBy("bucket").parquet(tpath)
+    with pytest.raises(Exception, match="partition columns"):
+        collect_file_stats(spark, tpath, ["bucket"]).collect()

@@ -14,10 +14,15 @@ O(matching files) tasks instead of O(all files):
     is distributed over executors and each reads just parquet metadata
     (pyarrow), never data pages. O(files) metadata I/O, zero data scan —
     the same cost profile as a Delta log replay.
+  * ``persist_manifest`` / ``load_manifest`` — materialize the manifest
+    as a parquet table, the Delta-log analogue; planning then filters it
+    with a pushed-down predicate instead of re-reading footers.
   * ``prune_files`` — given ``{col: (lo, hi)}`` interval predicates,
     keep files whose [min, max] envelope intersects every interval.
-    Driver-side over the manifest (file counts are log-scale metadata,
-    exactly what drivers are for).
+    The filter runs distributed over the manifest; only the surviving
+    paths (the list the scheduler needs anyway) reach the driver — at
+    ~10⁶ files a full-manifest collect per planned scan would be the
+    bottleneck.
   * ``skipping_scan`` — read only surviving files and re-apply the
     predicates as residual row filters (file stats are necessary, not
     sufficient).
@@ -95,6 +100,13 @@ def collect_file_stats(
                 }
                 row: dict[str, object] = {"file": path, "n_rows": md.num_rows}
                 for c in stat_cols:
+                    if c not in name_to_idx:
+                        raise ValueError(
+                            f"column {c!r} absent from parquet footer of "
+                            f"{path} — hive-style partition columns live in "
+                            "directory names, not footers; prune those with "
+                            "partition predicates, not file stats"
+                        )
                     idx = name_to_idx[c]
                     lo, hi = None, None
                     for rg in range(md.num_row_groups):
@@ -116,30 +128,59 @@ def collect_file_stats(
     return paths_df.mapInPandas(read_footers, schema=schema)
 
 
+def persist_manifest(stats: DataFrame, path: str) -> None:
+    """Materialize the stats manifest as a parquet table.
+
+    At 100 TB (~10⁵–10⁶ files) the manifest itself is big enough that
+    re-deriving it per query, or collecting it whole to the driver, is
+    the planning bottleneck — exactly the role of the Delta/Iceberg
+    metadata layer.  Persist once per layout change; every subsequent
+    scan prunes against the parquet manifest with a pushed-down filter.
+    """
+    stats.write.mode("overwrite").parquet(path)
+
+
+def load_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """Re-open a persisted stats manifest."""
+    return spark.read.parquet(path)
+
+
+def prune_predicate(ranges: dict[str, tuple[float, float]]):
+    """Catalyst predicate: file envelope intersects every interval.
+
+    A file with unknown stats (NULL min/max) for a predicate column
+    survives — skipping must never drop rows.  Expressed as column
+    operations so it pushes down into a persisted-manifest parquet scan.
+    """
+    from pyspark.sql import functions as F
+
+    pred = F.lit(True)
+    for c, (lo, hi) in ranges.items():
+        c_min, c_max = F.col(f"{c}_min"), F.col(f"{c}_max")
+        unknown = c_min.isNull() | c_max.isNull()
+        overlaps = (c_max >= F.lit(float(lo))) & (c_min <= F.lit(float(hi)))
+        pred = pred & (unknown | overlaps)
+    return pred
+
+
 def prune_files(
     stats: DataFrame, ranges: dict[str, tuple[float, float]]
 ) -> tuple[list[str], int]:
     """Files whose stat envelope intersects every ``(lo, hi)`` interval.
 
-    Returns (surviving file paths, total files). A file with unknown
-    stats for any predicate column survives (skipping must never drop
-    rows). The manifest is collected ONCE and filtered driver-side —
-    it is metadata-scale (one row per file, like a Delta log replay),
-    and a second Spark job just to count it would re-run the whole
-    footer scan.
+    Returns (surviving file paths, total files).  The envelope filter
+    runs DISTRIBUTED over the manifest (pushed into the manifest scan
+    when it is a persisted parquet table); only the SURVIVING paths —
+    O(files actually scanned), the same list Spark's scheduler needs
+    anyway — ever reach the driver.  The total is a count aggregate,
+    never a full-manifest collect.
     """
-    rows = stats.collect()
-
-    def survives(r) -> bool:
-        for c, (lo, hi) in ranges.items():
-            c_min, c_max = r[f"{c}_min"], r[f"{c}_max"]
-            if c_min is None or c_max is None:
-                continue  # unknown stats: must keep
-            if c_max < float(lo) or c_min > float(hi):
-                return False
-        return True
-
-    return [r.file for r in rows if survives(r)], len(rows)
+    survivors = [
+        r.file
+        for r in stats.filter(prune_predicate(ranges)).select("file").collect()
+    ]
+    total = stats.count()
+    return sorted(survivors), total
 
 
 def skipping_scan(
@@ -147,6 +188,7 @@ def skipping_scan(
     stats: DataFrame,
     ranges: dict[str, tuple[float, float]],
     cast: dict[str, str] | None = None,
+    base_path: str | None = None,
 ) -> tuple[DataFrame, int, int]:
     """Scan only the files that can match, then re-apply the predicates
     as residual row filters.
@@ -157,18 +199,26 @@ def skipping_scan(
     ``{"ts": "double"}`` (Spark's timestamp→double cast IS epoch
     seconds). Numeric columns need no cast.
 
+    For hive-partitioned layouts pass ``base_path`` (the table root):
+    reading a file subset by explicit paths drops the ``k=v`` directory
+    columns unless the reader knows the partition root, which silently
+    changes the scan schema vs a whole-table read.
+
     Returns (DataFrame, files_read, files_total).
     """
     from pyspark.sql import functions as F
 
     kept, total = prune_files(stats, ranges)
+    reader = spark.read
+    if base_path is not None:
+        reader = reader.option("basePath", base_path)
     if not kept:
         # perfect pruning is the SUCCESS case: return an empty frame with
         # the table's schema (derived from any file, scanning no rows)
         any_file = stats.select("file").first().file
-        df = spark.read.parquet(any_file).limit(0)
+        df = reader.parquet(any_file).limit(0)
     else:
-        df = spark.read.parquet(*kept)
+        df = reader.parquet(*kept)
     for c, (lo, hi) in ranges.items():
         col = F.col(c).cast(cast[c]) if cast and c in cast else F.col(c)
         df = df.filter((col >= F.lit(lo)) & (col <= F.lit(hi)))

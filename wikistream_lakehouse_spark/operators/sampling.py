@@ -163,4 +163,10 @@ def training_order(
     """
     out = df.withColumn(key_col, hash_key(F.col(id_col), f"{seed}:"))
     shards = num_shards or out.sparkSession.sparkContext.defaultParallelism
-    return out.repartitionByRange(shards, key_col).sortWithinPartitions(key_col)
+    # Secondary sort on the id column breaks md5-prefix ties
+    # deterministically: a 32-bit prefix collision between two docs
+    # would otherwise leave their relative order partition-placement-
+    # dependent, flipping ordered comparisons as the corpus grows.
+    return out.repartitionByRange(shards, key_col).sortWithinPartitions(
+        key_col, id_col
+    )

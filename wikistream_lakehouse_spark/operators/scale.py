@@ -77,3 +77,38 @@ def write_bucketed(
 
 def read_table(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
+
+
+def zipf_rows(
+    spark: SparkSession,
+    n_rows: int,
+    n_keys: int,
+    s: float = 1.2,
+    seed: int = 42,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Seeded power-law-skewed fixture: ``(key bigint, value double)``.
+
+    Real event/edit streams are zipfian (the reference dashboard's
+    "Other 941,690" bucket IS that skew artifact) while the sandbox
+    fixtures are uniform-ish, so scale tests need a generator.  Keys are
+    drawn by inverse-transform from the discretized Pareto tail
+    P(K >= k) = k^(-s) — the standard continuous approximation of a
+    zipf(s+1) rank-frequency law: rank 1 is the hot key (~``2^-s`` of
+    mass per doubling), ranks decay polynomially.  ``F.rand(seed)`` makes
+    the draw deterministic per (seed, n_rows, partitions).
+
+    Fully distributed: ``spark.range`` + codegen expressions, no driver
+    data.
+    """
+    base = spark.range(0, n_rows, numPartitions=partitions or 32)
+    u = F.rand(seed=seed)
+    # u in [0,1) -> pareto rank >= 1; cap at n_keys (mass beyond the cap
+    # folds onto the last key, preserving monotone skew)
+    rank = F.least(
+        F.floor(F.pow(F.lit(1.0) - u, F.lit(-1.0 / s))), F.lit(float(n_keys))
+    )
+    return base.select(
+        (rank.cast("bigint") - F.lit(1)).alias("key"),
+        F.rand(seed=seed + 1).alias("value"),
+    )

@@ -9,7 +9,9 @@ write and checkpoint commit) converges instead of double-counting.
 The DB handle comes from a ``connect`` factory (DB-API 2.0), so tests
 prove the contract with stdlib ``sqlite3`` and production passes a
 psycopg2/JDBC factory — the SQL emitted (``ON CONFLICT(keys) DO UPDATE
-SET col=excluded.col``) is shared by SQLite ≥3.24 and Postgres ≥9.5.
+SET col=excluded.col``) is shared by SQLite ≥3.24 and Postgres ≥9.5,
+and the parameter markers are derived from the driver module's declared
+``paramstyle`` ('?' for sqlite3, '%s' for psycopg2).
 
 Scale posture: this sink is for SERVING aggregates — post-aggregation
 cardinality (dashboard dimensions), not fact rows. Rows stream to the
@@ -27,10 +29,38 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
 
-def upsert_sql(table: str, cols: list[str], keys: list[str]) -> str:
+def _placeholders(paramstyle: str, n: int) -> str:
+    """Positional parameter markers for a DB-API ``paramstyle``.
+
+    sqlite3 declares ``qmark`` ('?'); psycopg2 declares ``pyformat``
+    but accepts positional ``format`` markers ('%s'), per DB-API 2.0.
+    ``named`` has no positional form, so it is rejected explicitly.
+    """
+    if paramstyle == "qmark":
+        return ", ".join("?" for _ in range(n))
+    if paramstyle in ("format", "pyformat"):
+        return ", ".join("%s" for _ in range(n))
+    if paramstyle == "numeric":
+        return ", ".join(f":{i + 1}" for i in range(n))
+    raise ValueError(f"unsupported DB-API paramstyle: {paramstyle!r}")
+
+
+def driver_paramstyle(con: Any) -> str:
+    """Best-effort ``paramstyle`` of the module that produced ``con``;
+    falls back to qmark (the sqlite3/JDBC convention)."""
+    import sys
+
+    root = type(con).__module__.split(".", 1)[0]
+    mod = sys.modules.get(root)
+    return getattr(mod, "paramstyle", "qmark")
+
+
+def upsert_sql(
+    table: str, cols: list[str], keys: list[str], paramstyle: str = "qmark"
+) -> str:
     """The ON CONFLICT upsert statement shared by SQLite and Postgres."""
     non_keys = [c for c in cols if c not in keys]
-    placeholders = ", ".join("?" for _ in cols)
+    placeholders = _placeholders(paramstyle, len(cols))
     stmt = f"INSERT INTO {table} ({', '.join(cols)}) VALUES ({placeholders}) "
     if non_keys:
         sets = ", ".join(f"{c}=excluded.{c}" for c in non_keys)
@@ -50,8 +80,8 @@ def upsert_dataframe(
     """Upsert every row of ``df`` into ``table`` in one transaction;
     returns the number of rows written."""
     cols = df.columns
-    stmt = upsert_sql(table, cols, keys)
     con = connect()
+    stmt = upsert_sql(table, cols, keys, paramstyle=driver_paramstyle(con))
     n = 0
     try:
         cur = con.cursor()

@@ -4,7 +4,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Execution is measured with the noop sink (full plan runs, no driver
-collect skew); each query runs once after a tiny session warmup.
+collect skew) after a tiny session warmup.  Variance protocol (VERDICT r2
+next-round #4): the whole sweep repeats $SPARK_GRAFT_BENCH_RUNS times
+(default 3); per-query time is the across-sweep MEDIAN, `value` the sum
+of medians, and `spread` summarizes per-query (max - min) across sweeps
+so host-load noise is visible instead of being read as a regression.
 """
 
 from __future__ import annotations
@@ -49,14 +53,31 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    timings: dict[str, float] = {}
-    for name in sorted(qs):
-        df = qs[name].build(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.format("noop").mode("overwrite").save()
-        # 2dp: keeps the whole payload line under the driver's 2000-byte
-        # stdout tail capture even as the query set grows
-        timings[name] = round(time.perf_counter() - t0, 2)
+    # Sweep-outer repetition (not per-query back-to-back) so each sample
+    # sees the same cache state and inter-run host drift is captured.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in qs}
+    for _ in range(n_runs):
+        for name in sorted(qs):
+            df = qs[name].build(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
+
+    def median(xs: list[float]) -> float:
+        xs = sorted(xs)
+        mid = len(xs) // 2
+        return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
+
+    # 2dp: keeps the whole payload line under the driver's 2000-byte
+    # stdout tail capture even as the query set grows
+    timings = {n: round(median(ts), 2) for n, ts in samples.items()}
+    spreads = sorted(max(ts) - min(ts) for ts in samples.values())
+    spread = {
+        "runs": n_runs,
+        "per_query_range_p50": round(median(spreads), 2),
+        "per_query_range_max": round(spreads[-1], 2),
+    }
 
     total = round(sum(timings.values()), 4)
     spark.stop()
@@ -69,6 +90,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": qs_shown,
                 "queries_timed": len(timings),
+                "spread": spread,
                 "sf": infer_sf(sf_dir),
             },
             separators=(",", ":"),

@@ -1,0 +1,64 @@
+"""Registry tier discipline (VERDICT r2 next-round #9).
+
+The correctness driver scores only the FIRST 50 entries of
+``all_queries()``; this test pins the ordering contract so a future
+registration can't silently displace a scored query:
+
+  * the full wiki reference-parity family leads (flagship first),
+  * no rows-only (``oracle is None``) query appears in the window,
+  * no ``extra``-tagged or showcase query appears in the window,
+  * names are unique and every entry round-trips through
+    ``__spark_entry__``'s queries()/oracle_sql() views.
+"""
+
+from __future__ import annotations
+
+from wikistream_lakehouse_spark.queries import all_queries
+
+SCORED_WINDOW = 50
+
+
+def test_scored_window_has_wiki_family_first_and_no_weak_tiers():
+    qs = all_queries()
+    names = list(qs)
+    window = names[:SCORED_WINDOW]
+
+    assert names[0] == "daily_top_titles", "flagship must lead"
+
+    wiki_family = [n for n, q in qs.items() if q.build.__module__.endswith(".wiki")]
+    assert wiki_family, "wiki family must exist"
+    missing = [n for n in wiki_family if n not in window]
+    assert not missing, f"wiki family pushed past scored window: {missing}"
+    # the family is a contiguous leading block
+    assert window[: len(wiki_family)] == wiki_family
+
+    for n in window:
+        q = qs[n]
+        assert q.oracle is not None, f"rows-only query {n!r} inside scored window"
+        assert "extra" not in q.tags, f"'extra'-tagged {n!r} inside scored window"
+        assert not n.endswith("_showcase"), f"showcase {n!r} inside scored window"
+
+
+def test_rows_only_queries_sort_last():
+    qs = all_queries()
+    names = list(qs)
+    rows_only = [n for n, q in qs.items() if q.oracle is None]
+    assert rows_only, "expected some rows-only queries"
+    first_rows_only = names.index(rows_only[0])
+    # every entry after the first rows-only query is also rows-only
+    tail = names[first_rows_only:]
+    assert set(tail) == set(rows_only), (
+        "oracle-backed query sorted after a rows-only query: "
+        f"{sorted(set(tail) - set(rows_only))}"
+    )
+
+
+def test_entry_module_views_cover_registry():
+    import __spark_entry__ as entry
+
+    qs = all_queries()
+    assert set(entry.queries()) == set(qs)
+    oracles = entry.oracle_sql()
+    assert set(oracles) == {n for n, q in qs.items() if q.oracle is not None}
+    for n, sql in oracles.items():
+        assert isinstance(sql, str) and sql.strip(), n

@@ -99,8 +99,13 @@ def test_aqe_splits_the_skewed_join_partition(spark, skewed):
         left = spark.read.parquet(lpath)
         right = spark.read.parquet(rpath)
         joined = left.join(right, "key").select("key", "value", "dim")
-        joined.write.format("noop").mode("overwrite").save()
+        # Execute the DataFrame's OWN QueryExecution (a noop-sink write
+        # plans a separate one, leaving this plan isFinalPlan=false) so
+        # AQE finalizes it; .execute().count() stays JVM-side.
+        n = joined._jdf.queryExecution().executedPlan().execute().count()
         final = joined._jdf.queryExecution().executedPlan().toString()
+    assert n == N_ROWS
+    assert "isFinalPlan=true" in final
     assert "skew=true" in final, final[:2000]
 
 

@@ -55,14 +55,28 @@ def main() -> None:
 
     # Sweep-outer repetition (not per-query back-to-back) so each sample
     # sees the same cache state and inter-run host drift is captured.
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    try:
+        n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    except ValueError:
+        print("bench: bad SPARK_GRAFT_BENCH_RUNS, using 3", file=sys.stderr)
+        n_runs = 3
     samples: dict[str, list[float]] = {name: [] for name in qs}
+    errors: dict[str, str] = {}
     for _ in range(n_runs):
         for name in sorted(qs):
-            df = qs[name].build(spark, sf_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            samples[name].append(time.perf_counter() - t0)
+            if name in errors:
+                continue
+            # Failure-isolated: one broken query must never cost the whole
+            # artifact (round 3 lost ALL timings to one AnalysisException).
+            try:
+                df = qs[name].build(spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                samples[name].append(time.perf_counter() - t0)
+            except Exception as exc:  # noqa: BLE001 — record, keep sweeping
+                errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+                samples.pop(name, None)
+                print(f"bench: {name} failed: {errors[name]}", file=sys.stderr)
 
     def median(xs: list[float]) -> float:
         xs = sorted(xs)
@@ -71,8 +85,10 @@ def main() -> None:
 
     # 2dp: keeps the whole payload line under the driver's 2000-byte
     # stdout tail capture even as the query set grows
-    timings = {n: round(median(ts), 2) for n, ts in samples.items()}
-    spreads = sorted(max(ts) - min(ts) for ts in samples.values())
+    timings = {n: round(median(ts), 2) for n, ts in samples.items() if ts}
+    spreads = sorted(
+        max(ts) - min(ts) for ts in samples.values() if ts
+    ) or [0.0]
     spread = {
         "runs": n_runs,
         "per_query_range_p50": round(median(spreads), 2),
@@ -83,18 +99,18 @@ def main() -> None:
     spark.stop()
 
     def payload_for(qs_shown: dict[str, float]) -> str:
-        return json.dumps(
-            {
-                "metric": "headline_query_set_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": qs_shown,
-                "queries_timed": len(timings),
-                "spread": spread,
-                "sf": infer_sf(sf_dir),
-            },
-            separators=(",", ":"),
-        )
+        body = {
+            "metric": "headline_query_set_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "queries": qs_shown,
+            "queries_timed": len(timings),
+            "spread": spread,
+            "sf": infer_sf(sf_dir),
+        }
+        if errors:
+            body["errors"] = {n: e[:80] for n, e in errors.items()}
+        return json.dumps(body, separators=(",", ":"))
 
     # The driver tail-captures ~2000 bytes of stdout; a payload longer than
     # that loses its head and fails to parse (round-1 lesson). `value` always

@@ -1,0 +1,117 @@
+"""sf0.1 → sf1 scaling evidence (VERDICT r3 next-round #3).
+
+Times a named query subset (default: the hottest queries from the last
+full bench, plus the structures VERDICT flagged for special watch —
+two-pass rank quantiles, MinHash/SimHash band joins, the iterative
+canonical-docs clustering) at two scale factors and reports per-query
+wall-clock ratios.  Near-linear scaling at 10× data is ≤ ~12×; anything
+above is an offender to name in SCALING.md.
+
+    python scripts/scale_bench.py --small /root/testdata/sf0.1 \
+        --big .localdata/sf1 --runs 2 --out scaling_raw.json
+
+Each scale factor gets its own FRESH SparkSession (same conf), so AQE
+statistics, parquet footer caches, and broadcast decisions are per-SF —
+no warm-cache bleed from the small run into the big one beyond JVM JIT,
+which the warmup query absorbs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+#: Hottest per BENCH_r02 + VERDICT special-watch structures.
+DEFAULT_QUERIES = [
+    "price_percentiles",          # two-pass exact rank (watch)
+    "simhash_near_dups",          # band join (watch)
+    "language_id_ngram",
+    "ngram_jaccard_pairs",        # shingle explode + bounded join (watch)
+    "minhash_near_dups",          # LSH band join (watch)
+    "dedup_canonical_docs",       # iterative components (watch)
+    "json_props_extract",
+    "late_suppliers_multi_supplier_orders",
+    "part_price_bands",
+    "ann_ivf_topk",
+    "session_windows_per_user",
+    "benchmark_contamination",
+    "doc_repetition_profile",
+    "regional_same_nation_revenue",
+    "corpus_funnel",
+    "revenue_by_nation",
+    "cheapest_supplier_per_part",
+    "daily_top_titles",           # flagship
+]
+
+
+def time_sweep(sf_dir: str, names: list[str], runs: int) -> dict[str, float]:
+    from wikistream_lakehouse_spark.queries import all_queries
+    from wikistream_lakehouse_spark.session import get_spark
+
+    spark = get_spark(
+        f"scale-bench-{os.path.basename(sf_dir)}",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+    # warmup: JVM JIT + codegen caches
+    qs["daily_top_titles"].build(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(runs):
+        for n in names:
+            try:
+                df = qs[n].build(spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                samples[n].append(time.perf_counter() - t0)
+            except Exception as exc:  # noqa: BLE001
+                print(f"{sf_dir}: {n} FAILED: {exc}", file=sys.stderr)
+                samples[n].append(float("nan"))
+    spark.stop()
+    return {n: min(ts) for n, ts in samples.items()}  # best-of: least noise
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--small", default="/root/testdata/sf0.1")
+    ap.add_argument("--big", default=os.path.join(REPO, ".localdata/sf1"))
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--queries", nargs="*", default=DEFAULT_QUERIES)
+    ap.add_argument("--out", default=os.path.join(REPO, ".localdata/scaling_raw.json"))
+    args = ap.parse_args()
+
+    small = time_sweep(args.small, args.queries, args.runs)
+    big = time_sweep(args.big, args.queries, args.runs)
+    rows = []
+    for n in args.queries:
+        s, b = small[n], big[n]
+        rows.append(
+            {
+                "query": n,
+                "sf0.1_sec": round(s, 3),
+                "sf1_sec": round(b, 3),
+                "ratio": round(b / s, 2) if s > 0 else None,
+            }
+        )
+    payload = {
+        "small_dir": args.small,
+        "big_dir": args.big,
+        "runs_per_sf": args.runs,
+        "rows": rows,
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps(payload, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -38,6 +38,24 @@ def test_scored_window_has_wiki_family_first_and_no_weak_tiers():
         assert "extra" not in q.tags, f"'extra'-tagged {n!r} inside scored window"
         assert not n.endswith("_showcase"), f"showcase {n!r} inside scored window"
 
+    # The converse guarantee (ADVICE r3): every scored-TIER query fits
+    # INSIDE the window. Without this, registering one more plain
+    # oracle-backed query silently pushes an existing scored query past
+    # index 50 while every per-entry assertion above still passes.
+    scored_tier = [
+        n
+        for n, q in qs.items()
+        if q.oracle is not None
+        and "extra" not in q.tags
+        and not n.endswith("_showcase")
+    ]
+    assert len(scored_tier) <= SCORED_WINDOW, (
+        f"{len(scored_tier)} scored-tier queries for a {SCORED_WINDOW}-entry "
+        f"window — these would be silently displaced: "
+        f"{[n for n in scored_tier if n not in window]}. Tag new "
+        "oracle-backed queries 'extra' once the window is full."
+    )
+
 
 def test_rows_only_queries_sort_last():
     qs = all_queries()

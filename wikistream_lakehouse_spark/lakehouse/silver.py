@@ -21,13 +21,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from wikistream_lakehouse_spark.tscompat import is_timestamp_type, to_utc_timestamp
+
 
 def derive_event_time_columns(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     """Event-time columns: yyyy/mm/dd from the event timestamp
-    (glue/job_wiki_curate.py:35-41). Works on either an existing
-    TimestampType column or an epoch-seconds long (wiki `timestamp`)."""
-    dt = df.schema[ts_col].dataType.typeName()
-    ts = F.col(ts_col) if dt == "timestamp" else F.to_timestamp(F.from_unixtime(ts_col))
+    (glue/job_wiki_curate.py:35-41). Works on an existing timestamp
+    column — TIMESTAMP and TIMESTAMP_NTZ alike (raw-zone parquet declares
+    either, depending on the writer's `isAdjustedToUTC`) — or an
+    epoch-seconds long (the raw wiki `timestamp` field)."""
+    dt = df.schema[ts_col].dataType
+    if is_timestamp_type(dt):
+        ts = to_utc_timestamp(df, ts_col)
+    else:
+        ts = F.to_timestamp(F.from_unixtime(ts_col))
     return (
         df.withColumn("_ts", ts)
         .withColumn("yyyy", F.year("_ts"))

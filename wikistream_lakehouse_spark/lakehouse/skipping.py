@@ -196,8 +196,11 @@ def skipping_scan(
     ``ranges`` values are in the manifest's normalized domain (floats;
     epoch seconds for timestamps). For non-numeric columns pass
     ``cast`` to align the residual compare with that domain — e.g.
-    ``{"ts": "double"}`` (Spark's timestamp→double cast IS epoch
-    seconds). Numeric columns need no cast.
+    ``{"ts": "double"}``. Timestamp columns are routed through an
+    NTZ-safe epoch-seconds expression (tscompat.epoch_seconds):
+    ``CAST(timestamp AS DOUBLE)`` is epoch seconds but the same cast is
+    illegal on TIMESTAMP_NTZ, so the residual must not depend on which
+    zone form the files declare. Numeric columns need no cast.
 
     For hive-partitioned layouts pass ``base_path`` (the table root):
     reading a file subset by explicit paths drops the ``k=v`` directory
@@ -207,6 +210,8 @@ def skipping_scan(
     Returns (DataFrame, files_read, files_total).
     """
     from pyspark.sql import functions as F
+
+    from wikistream_lakehouse_spark.tscompat import epoch_seconds, is_timestamp_type
 
     kept, total = prune_files(stats, ranges)
     reader = spark.read
@@ -220,6 +225,13 @@ def skipping_scan(
     else:
         df = reader.parquet(*kept)
     for c, (lo, hi) in ranges.items():
-        col = F.col(c).cast(cast[c]) if cast and c in cast else F.col(c)
+        if cast and c in cast and is_timestamp_type(df.schema[c].dataType):
+            col = epoch_seconds(df, c) if cast[c] == "double" else (
+                F.col(c).cast("timestamp").cast(cast[c])
+            )
+        elif cast and c in cast:
+            col = F.col(c).cast(cast[c])
+        else:
+            col = F.col(c)
         df = df.filter((col >= F.lit(lo)) & (col <= F.lit(hi)))
     return df, len(kept), total

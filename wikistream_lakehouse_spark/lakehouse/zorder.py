@@ -35,13 +35,20 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from wikistream_lakehouse_spark.tscompat import epoch_seconds
 
-def _rank_expr(col: str, lo, hi, bits: int) -> Column:
-    """Normalized integer rank in [0, 2^bits) — numeric/timestamp cols."""
+
+def _rank_expr(val: Column, lo, hi, bits: int) -> Column:
+    """Normalized integer rank in [0, 2^bits) over a double-domain expr.
+
+    ``val`` is already normalized to double (tscompat.epoch_seconds for
+    timestamp columns — NTZ-safe; plain cast for numerics), so ``lo``/``hi``
+    are plain floats and the literals need no type gymnastics.
+    """
     span = F.lit(hi).cast("double") - F.lit(lo).cast("double")
     frac = F.when(
-        F.col(col).isNull() | (span <= 0), F.lit(0.0)
-    ).otherwise((F.col(col).cast("double") - F.lit(lo).cast("double")) / span)
+        val.isNull() | (span <= 0), F.lit(0.0)
+    ).otherwise((val - F.lit(lo).cast("double")) / span)
     max_rank = (1 << bits) - 1
     return F.least(
         (frac * max_rank).cast("long"), F.lit(max_rank).cast("long")
@@ -63,12 +70,17 @@ def zvalue(df: DataFrame, cols: list[str], bits: int | None = None) -> Column:
         bits = min(16, 62 // len(cols))
     if bits * len(cols) > 62:
         raise ValueError("bits * len(cols) must fit in a signed long")
+    # Normalize every z-column to the double domain FIRST (epoch seconds
+    # for timestamp columns, NTZ-safe) so bounds collect as plain floats
+    # and the rank math is uniform regardless of declared zone form.
+    vals = {c: epoch_seconds(df, c) for c in cols}
     aggs = []
     for c in cols:
-        aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+        aggs += [F.min(vals[c]).alias(f"lo_{c}"), F.max(vals[c]).alias(f"hi_{c}")]
     bounds = df.agg(*aggs).first()
     ranks = [
-        _rank_expr(c, bounds[f"lo_{c}"], bounds[f"hi_{c}"], bits) for c in cols
+        _rank_expr(vals[c], bounds[f"lo_{c}"], bounds[f"hi_{c}"], bits)
+        for c in cols
     ]
     # interleave: output bit (i*n + j) takes bit i of rank j
     z = F.lit(0).cast("long")

@@ -94,7 +94,7 @@ def all_queries() -> dict[str, Query]:
             tier = 3  # rows-only: driver records `no_oracle` regardless
         elif q.build.__module__.endswith(".wiki"):
             tier = 0  # reference-parity flagship family
-        elif name.endswith("_showcase") or name == "grouping_sets_sql" or "extra" in q.tags:
+        elif name.endswith("_showcase") or "extra" in q.tags:
             # scalar-function coverage, SQL-API twins of already-scored
             # queries, and depth extras beyond SURVEY §2: lowest-value
             # rows, spent past the cap first

@@ -880,7 +880,7 @@ def conditional_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFram
         GROUP BY GROUPING SETS ((CAST(ts AS DATE)), (event_type), ())
         ORDER BY gid, ds, event_type
     """,
-    tags=("J8", "sql-api"),
+    tags=("J8", "sql-api", "extra"),
 )
 def grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS through spark.sql — the engine's SQL entry

@@ -29,9 +29,12 @@ RUNTIME_CONF: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # ~64MB post-shuffle partitions once AQE coalesces; sane at every SF.
     "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
-    # Parquet TIMESTAMP(NANOS) columns (events.ts in the fixtures) are not a
-    # Spark-native type; read them as raw nanosecond longs and convert in the
-    # loader (tables.py) — lossless down to microseconds.
+    # Parquet TIMESTAMP(NANOS) columns are not a Spark-native type; read
+    # them as raw nanosecond longs so the loader can convert (lossless to
+    # the microsecond). The fixtures have shipped `ts` as NANOS, as naive
+    # micros (TIMESTAMP_NTZ), and could ship UTC micros (TIMESTAMP) — the
+    # loader normalizes ALL of them (tscompat.to_utc_timestamp); this conf
+    # only keeps the NANOS case readable at all.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Write timestamps as INT64 micros, not the legacy INT96 default:
     # INT96 carries NO parquet min/max statistics, which silently disables

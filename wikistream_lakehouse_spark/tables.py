@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from wikistream_lakehouse_spark.session import ensure_session_conf
+from wikistream_lakehouse_spark.tscompat import to_utc_timestamp
 
 TABLE_NAMES = (
     "region",
@@ -36,17 +37,20 @@ ALWAYS_BROADCAST = ("region", "nation")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame.
 
-    `events.ts` is written as parquet TIMESTAMP(NANOS); Spark reads it as a
-    nanosecond long (see session.RUNTIME_CONF) and we restore TimestampType
-    here via integer µs conversion — no string round-trip, stays codegen'd.
+    `events.ts` has shipped as parquet TIMESTAMP(NANOS) (reads as a
+    nanosecond long under session.RUNTIME_CONF), as naive `timestamp[us]`
+    (reads as TIMESTAMP_NTZ), and could ship as UTC-adjusted micros (reads
+    as TIMESTAMP).  The engine's contract is one type — TIMESTAMP_LTZ
+    under the pinned UTC session — so ALL three encodings are normalized
+    here, at the load boundary (tscompat.to_utc_timestamp), and no
+    downstream operator ever branches on the raw declaration.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     ensure_session_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # integer `div`, not `/`: float division loses ulp precision at 1e18 ns
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events" and not isinstance(df.schema["ts"].dataType, T.TimestampType):
+        df = df.withColumn("ts", to_utc_timestamp(df, "ts"))
     return df
 
 

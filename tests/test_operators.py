@@ -217,7 +217,11 @@ def test_ivf_topk_recall_and_determinism(spark, sf_dir):
     for r in first:
         got.setdefault(r.query_id, set()).add(r.neighbor_id)
     recalls = [len(truth[q] & got.get(q, set())) / len(truth[q]) for q in truth]
-    assert sum(recalls) / len(recalls) >= 0.6  # measured 0.88; generous floor
+    # fixture embeddings are near-uniform on the sphere, so recall at a
+    # 25% scan fraction is bounded by the data, not the operator — the
+    # seed-swept floor + clustered-data ≥0.85 certification live in
+    # tests/test_ivf_index.py
+    assert sum(recalls) / len(recalls) >= 0.6
     assert min(recalls) >= 0.4
     second = qs["ann_ivf_topk"].build(spark, sf_dir).collect()
     assert sorted(map(tuple, first)) == sorted(map(tuple, second))

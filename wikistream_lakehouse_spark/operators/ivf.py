@@ -16,8 +16,10 @@ Spark-first shape:
   * the collection is assigned ONCE (a write-side job at corpus scale —
     the inverted lists would be a bucketed table); queries probe with a
     broadcast join on cluster id, then exact cosine + per-query top-k.
-  * determinism: seeded farthest-point-free init (first k ids), fixed
-    iteration count — same clusters on every run/partitioning.
+  * determinism: RNG-free init (first k ids, or k lowest by a seeded
+    md5 ordering), fixed iteration count — same clusters on every
+    run/partitioning; recall is certified across seeds and n_probe as a
+    floor, not a single lucky point (tests/test_ivf_index.py).
 """
 
 from __future__ import annotations
@@ -60,24 +62,86 @@ def _assign_pandas(df: DataFrame, id_col: str, vec_col: str, centroids: np.ndarr
     )
 
 
+def _farthest_point_init(sample: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic maxmin (farthest-point) init over a sample: start at
+    the sample's first row, repeatedly add the point farthest from every
+    chosen center. Ties break to the lowest index (argmax is stable), so
+    the traversal is fully deterministic given the sample order."""
+    chosen = [0]
+    d2 = np.full(len(sample), np.inf)
+    for _ in range(1, min(k, len(sample))):
+        diff = sample - sample[chosen[-1]]
+        d2 = np.minimum(d2, np.einsum("ij,ij->i", diff, diff))
+        chosen.append(int(np.argmax(d2)))
+    cents = sample[chosen].copy()
+    if len(cents) < k:  # degenerate tiny collections: pad by repetition
+        cents = np.vstack([cents, cents[: k - len(cents)]])
+    return cents
+
+
+def _local_lloyd(sample: np.ndarray, centroids: np.ndarray, iters: int) -> np.ndarray:
+    """Plain numpy Lloyd iterations on the driver-side sample — cheap
+    refinement of the init before the distributed passes. Empty clusters
+    keep their previous position (same rule as the distributed loop)."""
+    sample_sq = np.einsum("ij,ij->i", sample, sample)
+    for _ in range(iters):
+        scores = (
+            np.einsum("ij,ij->i", centroids, centroids)[None, :]
+            - 2.0 * (sample @ centroids.T)
+            + sample_sq[:, None]
+        )
+        assign = np.argmin(scores, axis=1)
+        new = centroids.copy()
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                new[c] = members.mean(axis=0)
+        centroids = new
+    return centroids
+
+
 def train_ivf_centroids(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     k: int,
     n_iters: int = 4,
+    seed: int | None = None,
+    sample_size: int | None = None,
 ) -> np.ndarray:
-    """Lloyd's k-means over the embedding column; returns (k, dim) float64.
+    """K-means quantizer over the embedding column; returns (k, dim) float64.
 
-    Init = the k lowest-id vectors (deterministic; at corpus scale swap
-    in a seeded sample — the loop is identical). Each iteration is one
-    assignment pass (Arrow BLAS) + one codegen'd partial-sum aggregate;
-    nothing but (k × dim) doubles is ever collected.
+    FAISS-style two-phase training: (1) a bounded, deterministic sample
+    — the ``sample_size`` (default max(1024, 64·k)) lowest rows by id, or
+    by ``md5(seed || id)`` when ``seed`` is given (the portable seeded-
+    sample device of operators/sampling.py) — is collected and the
+    quantizer initialized with a farthest-point traversal plus local
+    Lloyd refinement, all driver-side numpy over a few MB; (2) ``n_iters``
+    DISTRIBUTED Lloyd iterations refine against the full collection —
+    assignment is one BLAS matmul per Arrow batch, re-estimation a
+    codegen'd partial-sum aggregate; nothing but (k × dim) doubles plus
+    the fixed-size init sample is ever collected. Deterministic for every
+    ``seed`` value including None — no RNG state anywhere.
+
+    The farthest-point init matters: k lowest-id vectors (the previous
+    init) can land many centroids in one dense region, and Lloyd's local
+    convergence never recovers — recall@n_probe swung 0.58–0.84 across
+    seeds. Spread inits certify ≥0.85 for every tested seed
+    (tests/test_ivf_index.py::test_recall_floor_and_probe_monotonicity).
     """
-    init = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
-    )
-    centroids = np.array([r[vec_col] for r in init], dtype=np.float64)
+    if sample_size is None:
+        sample_size = max(1024, 64 * k)
+    if seed is None:
+        order = [F.col(id_col)]
+    else:
+        order = [
+            F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col(id_col).cast("string"))),
+            F.col(id_col),
+        ]
+    rows = df.select(id_col, vec_col).orderBy(*order).limit(sample_size).collect()
+    sample = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    centroids = _farthest_point_init(sample, k)
+    centroids = _local_lloyd(sample, centroids, iters=8)
     for _ in range(n_iters):
         assign = _assign_pandas(df, id_col, vec_col, centroids, n_probe=1)
         sums = (
@@ -112,6 +176,8 @@ def ivf_topk(
     n_probe: int = 4,
     top_k: int = 5,
     cosine_fn=None,
+    seed: int | None = None,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """(query_id, neighbor_id, cos, rk): approximate top-k by cosine.
 
@@ -119,11 +185,19 @@ def ivf_topk(
     each query probes its ``n_probe`` nearest lists. The probe join is
     an equi-join on cluster id — broadcastable when the query set is
     small, shuffle-on-cluster otherwise; never all-pairs.
+
+    Pass ``centroids`` (from ``train_ivf_centroids``) to reuse a trained
+    quantizer across calls — the normal production shape (train once,
+    vary ``n_probe`` per search), and what the recall-floor certification
+    sweeps over.
     """
     from wikistream_lakehouse_spark.functions.vectors import cosine
 
     cosine_fn = cosine_fn or cosine
-    centroids = train_ivf_centroids(collection, id_col, vec_col, k=k_clusters)
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            collection, id_col, vec_col, k=k_clusters, seed=seed
+        )
     lists = _assign_pandas(collection, id_col, vec_col, centroids).select(
         F.col(id_col).alias("neighbor_id"), "cluster"
     )

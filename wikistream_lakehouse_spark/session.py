@@ -83,6 +83,14 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "128m")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
+        # local mode: the driver JVM IS every executor; Spark's 1g default
+        # heap GC-thrashes a local[32] run long before data size is the
+        # problem (first hit: the sf1 scaling sweep). Only effective when
+        # this process launches the JVM — a host-provided session keeps
+        # its own sizing.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)

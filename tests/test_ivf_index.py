@@ -59,7 +59,11 @@ def test_search_reads_only_probed_partitions(spark, index):
 @pytest.fixture(scope="module")
 def recall_fixture(spark, sf_dir):
     """Ground truth (brute-force cosine top-k) + the query/collection
-    frames, shared across the seed × n_probe recall sweep."""
+    frames, shared across the seed × n_probe recall sweep.
+
+    The cache MUST be dropped on teardown: a lingering cached read of
+    embeddings.parquet substitutes InMemoryRelation into every later
+    plan over the same path, flipping plan-signature tests."""
     from wikistream_lakehouse_spark.functions.vectors import cosine
 
     e = table(spark, sf_dir, "embeddings").cache()
@@ -83,7 +87,8 @@ def recall_fixture(spark, sf_dir):
     truth: dict[int, set] = {}
     for r in exact.collect():
         truth.setdefault(r.query_id, set()).add(r.neighbor_id)
-    return e, q, truth
+    yield e, q, truth
+    e.unpersist()
 
 
 @pytest.mark.parametrize("seed", [None, 1, 2, 3, 42])
@@ -156,7 +161,7 @@ def test_recall_certified_on_clustered_data(spark, seed):
     e = spark.createDataFrame(
         [(i, [float(x) for x in pts[i]]) for i in range(512)],
         "vec_id long, embedding array<float>",
-    ).cache()
+    )
     q = e.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )

@@ -12,6 +12,11 @@ no concurrent-writer safety, full-target rewrite instead of file-level
 merge-on-read. The API and result state are identical, so swapping the
 substrate is a one-function change.
 
+For the concurrent-writer case, `lakehouse/txn.transactional_upsert`
+runs the SAME merge algebra under an optimistic commit log (put-if-
+absent versions, snapshot isolation, conflict-retry) — use it when more
+than one writer can target the table.
+
 Scale note: the anti-join shuffles on the merge keys exactly like Delta's
 inner merge phase; for a date-partitioned target, pass `partition_filter`
 to rewrite only affected partitions (the replaceWhere analog).

@@ -14,10 +14,12 @@ from pyspark.sql import functions as F
 from wikistream_lakehouse_spark.lakehouse.txn import (
     CommitConflict,
     append,
+    checkpoint,
     current_version,
     rewrite,
     snapshot,
     transactional_upsert,
+    vacuum,
 )
 
 
@@ -122,6 +124,37 @@ def test_upsert_semantics_match_merge(spark, tmp_path):
         spark, t, _df(spark, [(2, "B"), (3, "c")]), keys=["k"]
     )
     assert {r.k: r.v for r in snapshot(spark, t).collect()} == state
+
+
+def test_checkpoint_preserves_state_and_later_commits_apply(spark, tmp_path):
+    """A checkpoint is a pure replay cache: state at every version is
+    identical with or without it, and commits landing after it apply on
+    top."""
+    t = str(tmp_path / "t")
+    for i in range(5):
+        append(_df(spark, [(i, f"v{i}")]), t)
+    cp = checkpoint(t)
+    assert cp == 4
+    assert snapshot(spark, t).count() == 5  # read THROUGH the checkpoint
+    append(_df(spark, [(99, "after")]), t)  # commit after the checkpoint
+    assert snapshot(spark, t).count() == 6
+    assert sorted(r.k for r in snapshot(spark, t).collect())[-1] == 99
+    # re-checkpointing the same version is a no-op, a newer one advances
+    assert checkpoint(t) == 5
+
+
+def test_vacuum_reclaims_only_unretained_files(spark, tmp_path):
+    t = str(tmp_path / "t")
+    append(_df(spark, [(1, "gen0")]), t)                      # v0
+    rewrite(_df(spark, [(1, "gen1")]), t, base_version=0)     # v1 retires v0 files
+    rewrite(_df(spark, [(1, "gen2")]), t, base_version=1)     # v2 retires v1 files
+    deleted = vacuum(t, retain_versions=2)  # keep v1 and v2 readable
+    assert deleted, "expected the gen0 files to be reclaimed"
+    # retained snapshots still read fine
+    assert [r.v for r in snapshot(spark, t, version=2).collect()] == ["gen2"]
+    assert [r.v for r in snapshot(spark, t, version=1).collect()] == ["gen1"]
+    # current state untouched
+    assert [r.v for r in snapshot(spark, t).collect()] == ["gen2"]
 
 
 def test_uncommitted_files_invisible(spark, tmp_path):

@@ -28,11 +28,12 @@ same mechanism the real formats use, scaled to its essentials:
     reads, no half-visible writes — and time travel is just replaying a
     log prefix (``snapshot(..., version=k)``).
 
-Scale shape: the log is O(commits) tiny JSON files; state replay is a
-driver-side metadata scan (same cost class as a Delta log replay —
-checkpointing the replay into one parquet file per K commits is the
-obvious extension and is what `lakehouse/skipping.persist_manifest`
-already does for file stats). Data files never move or rewrite on
+Scale shape: the log is O(commits) tiny JSON files, but replay is NOT
+O(commits): ``checkpoint()`` materializes the active-file list at a
+version (the Delta parquet-checkpoint analogue) and ``_replay`` starts
+from the newest one, so planning cost is O(commits since checkpoint).
+``vacuum()`` reclaims files unreferenced by the retained version window
+(same contract as Delta VACUUM). Data files never move or rewrite on
 commit; a merge writes NEW files and retires old ones in the log, which
 is exactly merge-on-write Delta.
 
@@ -71,7 +72,9 @@ def _list_versions(table_path: str) -> list[int]:
     if not os.path.isdir(log):
         return []
     return sorted(
-        int(n[:-5]) for n in os.listdir(log) if n.endswith(".json")
+        int(n[:-5])
+        for n in os.listdir(log)
+        if n.endswith(".json") and not n.endswith(".checkpoint.json")
     )
 
 
@@ -82,9 +85,17 @@ def current_version(table_path: str) -> int:
 
 
 def _replay(table_path: str, upto: int) -> list[str]:
-    """Active data files (relative paths) after replaying versions 0..upto."""
+    """Active data files (relative paths) at version ``upto``: start from
+    the newest checkpoint ≤ upto (O(1) read of the precomputed state),
+    then apply only the commits after it."""
     active: set[str] = set()
+    start = 0
+    cp = _latest_checkpoint(table_path)
+    if cp is not None and cp[0] <= upto:
+        start, active = cp[0] + 1, set(cp[1])
     for v in _list_versions(table_path):
+        if v < start:
+            continue
         if v > upto:
             break
         with open(_version_file(table_path, v)) as f:
@@ -174,6 +185,75 @@ def rewrite(
             f"{op} validated against v{base_version} but the table moved"
         )
     return v
+
+
+def checkpoint(table_path: str) -> int:
+    """Collapse the log replay: write ``<version>.checkpoint.json``
+    holding the full active-file list at the latest version.
+
+    The Delta-log analogue of parquet checkpoint files: with one, a
+    reader replays O(commits since checkpoint) instead of O(all
+    commits) — the difference between a constant-time and an
+    unbounded-planning table at 10⁵+ commits. Safe under concurrency:
+    the checkpoint is derived purely from committed versions and written
+    once (put-if-absent); a racing commit just lands after it and
+    replays on top. Returns the checkpointed version.
+    """
+    v = current_version(table_path)
+    if v < 0:
+        raise ValueError(f"nothing committed under {table_path}")
+    files = _replay(table_path, v)
+    path = os.path.join(_log_path(table_path), f"{v:0{_PAD}d}.checkpoint.json")
+    try:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        return v  # someone already checkpointed this exact version
+    with os.fdopen(fd, "w") as f:
+        json.dump({"version": v, "active": files}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    return v
+
+
+def _latest_checkpoint(table_path: str) -> tuple[int, list[str]] | None:
+    log = _log_path(table_path)
+    if not os.path.isdir(log):
+        return None
+    cps = sorted(n for n in os.listdir(log) if n.endswith(".checkpoint.json"))
+    if not cps:
+        return None
+    with open(os.path.join(log, cps[-1])) as f:
+        d = json.load(f)
+    return int(d["version"]), list(d["active"])
+
+
+def vacuum(table_path: str, retain_versions: int = 1) -> list[str]:
+    """Delete data files referenced by NO version newer than
+    ``current - retain_versions`` — reclaiming space while keeping the
+    last ``retain_versions`` snapshots time-travelable.
+
+    The retention contract is the same as Delta's VACUUM: readers pinned
+    to a vacuumed-away version break, so retain at least the longest
+    reader's horizon. Returns the deleted table-relative paths.
+    """
+    latest = current_version(table_path)
+    if latest < 0:
+        return []
+    horizon = max(0, latest - retain_versions + 1)
+    keep: set[str] = set()
+    for v in range(horizon, latest + 1):
+        keep |= set(_replay(table_path, v))
+    # every file any commit ever added
+    all_files: set[str] = set()
+    for v in _list_versions(table_path):
+        with open(_version_file(table_path, v)) as f:
+            all_files |= set(json.load(f).get("add", []))
+    doomed = sorted(all_files - keep)
+    for rel in doomed:
+        p = os.path.join(table_path, rel)
+        if os.path.exists(p):
+            os.remove(p)
+    return doomed
 
 
 def transactional_upsert(

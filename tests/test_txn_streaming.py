@@ -1,0 +1,85 @@
+"""Exactly-once streaming appends into the transactional table
+(streaming/pipeline.txn_append_sink + lakehouse/txn.py): batch commits
+carry (app_id, batch_id) identity, and replays — the at-least-once case
+foreachBatch exposes — are recognized in the commit log and skipped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from wikistream_lakehouse_spark.lakehouse.txn import committed_meta, snapshot
+from wikistream_lakehouse_spark.schema import WIKI_EVENT_SCHEMA
+from wikistream_lakehouse_spark.streaming.pipeline import txn_append_sink
+from wikistream_lakehouse_spark.streaming.sources import file_replay_stream
+
+from tests.test_streaming import wiki_event, write_ndjson
+
+N_FILES, ROWS = 4, 25
+
+
+def _run_stream(spark, src, table, ckpt):
+    stream = file_replay_stream(spark, str(src), WIKI_EVENT_SCHEMA)
+    q = txn_append_sink(
+        stream, str(table), str(ckpt), app_id="soak-app", available_now=True
+    )
+    q.awaitTermination(300)
+
+
+def test_stream_appends_land_with_batch_identity(spark, tmp_path):
+    src = tmp_path / "src"
+    for f in range(N_FILES):
+        write_ndjson(
+            src / f"part-{f}.ndjson",
+            [wiki_event(f * ROWS + i) for i in range(ROWS)],
+        )
+    table = tmp_path / "table"
+    _run_stream(spark, src, table, tmp_path / "ckpt")
+
+    got = snapshot(spark, str(table))
+    assert got.count() == N_FILES * ROWS
+    assert got.select("id").distinct().count() == N_FILES * ROWS
+    metas = [m for m in committed_meta(str(table)) if m]
+    assert all(m["app_id"] == "soak-app" for m in metas)
+    assert len({m["batch_id"] for m in metas}) == len(metas)
+
+
+def test_full_replay_after_lost_checkpoint_is_deduped(spark, tmp_path):
+    """The hard exactly-once case: the streaming CHECKPOINT is lost, so
+    Spark re-runs every batch from scratch with the same batch ids. The
+    commit log is the second line of defense — every replayed batch is
+    recognized and skipped, row counts unchanged."""
+    src = tmp_path / "src"
+    for f in range(N_FILES):
+        write_ndjson(
+            src / f"part-{f}.ndjson",
+            [wiki_event(f * ROWS + i) for i in range(ROWS)],
+        )
+    table = tmp_path / "table"
+    _run_stream(spark, src, table, tmp_path / "ckpt1")
+    before = snapshot(spark, str(table)).count()
+    n_commits = len(committed_meta(str(table)))
+
+    # checkpoint gone → same files, same deterministic batch split, same ids
+    _run_stream(spark, src, table, tmp_path / "ckpt2")
+    assert snapshot(spark, str(table)).count() == before
+    assert len(committed_meta(str(table))) == n_commits  # zero new commits
+
+
+def test_new_data_still_appends_after_replay(spark, tmp_path):
+    """Dedup must not turn into a write-once table: batches with UNSEEN
+    ids keep landing."""
+    src = tmp_path / "src"
+    write_ndjson(src / "part-0.ndjson", [wiki_event(i) for i in range(ROWS)])
+    table = tmp_path / "table"
+    _run_stream(spark, src, table, tmp_path / "ckpt")
+    assert snapshot(spark, str(table)).count() == ROWS
+
+    # more files arrive; SAME checkpoint continues the batch-id sequence
+    write_ndjson(
+        src / "part-1.ndjson", [wiki_event(ROWS + i) for i in range(ROWS)]
+    )
+    _run_stream(spark, src, table, tmp_path / "ckpt")
+    got = snapshot(spark, str(table))
+    assert got.count() == 2 * ROWS
+    assert got.agg(F.max("id")).first()[0] == 2 * ROWS - 1

@@ -150,21 +150,44 @@ def snapshot(
     return spark.read.parquet(*(os.path.join(table_path, f) for f in files))
 
 
-def append(df: DataFrame, table_path: str, max_retries: int = 20) -> int:
+def append(
+    df: DataFrame,
+    table_path: str,
+    max_retries: int = 20,
+    meta: dict | None = None,
+) -> int:
     """Blind-append ``df`` as a new commit; returns the version written.
 
     Appends conflict with nothing, so losing the put-if-absent race just
     means rebasing onto the next version number — data files are written
     once, only the commit retries. This is the exactly-once append path
     two concurrent writers can both take safely.
+
+    ``meta`` rides along in the commit entry — the hook idempotent
+    producers use to stamp their own transaction identity (e.g. the
+    streaming sink's ``{"app_id", "batch_id"}``, the Delta ``txn``
+    action analogue) so a replayed write can be recognized and skipped.
     """
     adds = _write_data_files(df, table_path)
     entry = {"op": "append", "add": adds, "remove": []}
+    if meta:
+        entry["meta"] = meta
     for _ in range(max_retries):
         v = current_version(table_path) + 1
         if _try_commit(table_path, v, entry):
             return v
     raise CommitConflict(f"append lost the commit race {max_retries} times")
+
+
+def committed_meta(table_path: str) -> list[dict]:
+    """Every commit's ``meta`` dict (empty dicts for commits without one),
+    in version order — O(commits) driver-side metadata read, the same
+    cost class as replay. Idempotent producers scan this to ask "did my
+    (app_id, batch_id) already land?"."""
+    return [
+        json.load(open(_version_file(table_path, v))).get("meta", {})
+        for v in _list_versions(table_path)
+    ]
 
 
 def rewrite(

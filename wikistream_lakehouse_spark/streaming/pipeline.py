@@ -149,6 +149,54 @@ def session_window_counts(
     )
 
 
+def txn_append_sink(
+    events: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    app_id: str = "stream",
+    trigger_secs: int = 10,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Exactly-once streaming append into a transactional table
+    (lakehouse/txn.py) — the Delta ``txn`` appId/version pattern.
+
+    Spark's foreachBatch is at-least-once: after a crash between sink
+    write and offset-log commit, the SAME batch_id replays. The file
+    sink dedups via its own output log; a transactional table does it
+    better — each micro-batch commits with ``meta={"app_id", "batch_id"}``
+    and a replayed batch whose (app_id, batch_id) already appears in the
+    commit log is skipped. Net effect: exactly-once appends that are
+    ALSO safe alongside concurrent non-streaming writers (compaction,
+    merges) on the same table, which the plain file sink cannot offer.
+
+    The idempotence scan is O(commits) driver-side metadata; at high
+    commit counts, checkpoint() bounds replay and the scan can start at
+    the last checkpoint — same curve as Delta's txn lookup.
+    """
+    from wikistream_lakehouse_spark.lakehouse.txn import append, committed_meta
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        seen = {
+            (m.get("app_id"), m.get("batch_id")) for m in committed_meta(table_path)
+        }
+        if (app_id, batch_id) in seen:
+            return  # replay of an already-committed batch
+        append(batch_df, table_path, meta={"app_id": app_id, "batch_id": batch_id})
+
+    writer = (
+        events.writeStream.foreachBatch(write_batch)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
+    return writer.start()
+
+
 def gold_merge_sink(
     agg: DataFrame,
     target_path: str,

@@ -157,6 +157,58 @@ def test_vacuum_reclaims_only_unretained_files(spark, tmp_path):
     assert [r.v for r in snapshot(spark, t).collect()] == ["gen2"]
 
 
+def test_compact_reduces_files_preserving_content(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for i in range(8):  # 8 appends → ≥8 tiny files
+        append(_df(spark, [(i, f"v{i}")]), t)
+    from wikistream_lakehouse_spark.lakehouse.txn import _replay, compact
+
+    before_files = len(_replay(t, current_version(t)))
+    v = compact(spark, t)
+    assert v is not None
+    after_files = len(_replay(t, current_version(t)))
+    assert after_files < before_files
+    got = {r.k: r.v for r in snapshot(spark, t).collect()}
+    assert got == {i: f"v{i}" for i in range(8)}
+    # idempotent: a second compact on compact state is a no-op
+    assert compact(spark, t) is None
+
+
+def test_compact_racing_appends_loses_nothing(spark, tmp_path):
+    """The OPTIMIZE-vs-ingest race: appends keep landing while a
+    compaction runs. Optimistic conflict makes the compactor fold in the
+    racer's commits and retry; every appended row must survive."""
+    from wikistream_lakehouse_spark.lakehouse.txn import compact
+
+    t = str(tmp_path / "t")
+    for i in range(6):
+        append(_df(spark, [(i, "pre")]), t)
+    errs = []
+    barrier = threading.Barrier(2)
+
+    def appender() -> None:
+        try:
+            barrier.wait(timeout=30)
+            for j in range(4):
+                append(_df(spark, [(100 + j, "during")]), t)
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    def compactor() -> None:
+        try:
+            barrier.wait(timeout=30)
+            compact(spark, t)
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    a, b = threading.Thread(target=appender), threading.Thread(target=compactor)
+    a.start(), b.start()
+    a.join(), b.join()
+    assert not errs
+    got = sorted(r.k for r in snapshot(spark, t).collect())
+    assert got == list(range(6)) + list(range(100, 104))
+
+
 def test_uncommitted_files_invisible(spark, tmp_path):
     """Data files written but never committed are never read: kill a
     'writer' after materialization, before commit — readers see nothing."""

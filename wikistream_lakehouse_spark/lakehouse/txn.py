@@ -279,6 +279,45 @@ def vacuum(table_path: str, retain_versions: int = 1) -> list[str]:
     return doomed
 
 
+def compact(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    max_retries: int = 8,
+) -> int | None:
+    """OPTIMIZE on the transactional substrate: rewrite the current
+    active file set into ~target-size files, committed as an ordinary
+    optimistic rewrite — so compaction is SAFE while appends keep
+    landing. A commit that races in mid-compaction makes the rewrite
+    conflict; compaction re-reads the new snapshot (now including the
+    racer's rows) and retries. Appends can never be lost and readers
+    always see a complete state — the exact contract Delta's OPTIMIZE
+    provides, which the path-swap form (lakehouse/compact.py) explicitly
+    does not under concurrency.
+
+    Returns the committed version, or None when already compact / empty.
+    """
+    for _ in range(max_retries):
+        base = current_version(table_path)
+        if base < 0:
+            return None
+        files = _replay(table_path, base)
+        total = sum(
+            os.path.getsize(os.path.join(table_path, f))
+            for f in files
+            if os.path.exists(os.path.join(table_path, f))
+        )
+        n_out = max(1, -(-total // target_file_bytes))  # ceil
+        if len(files) <= n_out:
+            return None
+        df = snapshot(spark, table_path, base).coalesce(int(n_out))
+        try:
+            return rewrite(df, table_path, base, op="compact")
+        except CommitConflict:
+            continue  # an append landed mid-compaction; fold it in
+    raise CommitConflict(f"compact conflicted {max_retries} times")
+
+
 def transactional_upsert(
     spark: SparkSession,
     table_path: str,

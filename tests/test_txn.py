@@ -209,6 +209,21 @@ def test_compact_racing_appends_loses_nothing(spark, tmp_path):
     assert got == list(range(6)) + list(range(100, 104))
 
 
+def test_append_rejects_schema_mismatch_before_commit(spark, tmp_path):
+    t = str(tmp_path / "t")
+    append(_df(spark, [(1, "a")]), t)
+    bad = spark.createDataFrame([(2, 3.5)], "k long, v double")  # v: string→double
+    with pytest.raises(ValueError, match="schema mismatch"):
+        append(bad, t)
+    # nothing leaked into the log or the table state
+    assert current_version(t) == 0
+    assert snapshot(spark, t).count() == 1
+    # column ORDER does not matter (set compare, like Delta by-name)
+    reordered = spark.createDataFrame([("b", 2)], "v string, k long")
+    append(reordered.select("v", "k"), t)
+    assert snapshot(spark, t).count() == 2
+
+
 def test_uncommitted_files_invisible(spark, tmp_path):
     """Data files written but never committed are never read: kill a
     'writer' after materialization, before commit — readers see nothing."""

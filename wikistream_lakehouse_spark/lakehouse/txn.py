@@ -119,6 +119,27 @@ def _write_data_files(df: DataFrame, table_path: str) -> list[str]:
     )
 
 
+def _check_schema(df: DataFrame, table_path: str) -> None:
+    """Reject an append whose (name, type) columns differ from the
+    current table schema — order-insensitive, nullability-insensitive."""
+    v = current_version(table_path)
+    if v < 0:
+        return
+    files = _replay(table_path, v)
+    if not files:
+        return
+    existing = df.sparkSession.read.parquet(
+        os.path.join(table_path, files[0])
+    ).schema
+    want = {(f.name, f.dataType.simpleString()) for f in existing.fields}
+    got = {(f.name, f.dataType.simpleString()) for f in df.schema.fields}
+    if want != got:
+        raise ValueError(
+            f"append schema mismatch for {table_path}: table has "
+            f"{sorted(want)}, append has {sorted(got)}"
+        )
+
+
 def _try_commit(table_path: str, version: int, entry: dict) -> bool:
     """Atomically claim ``version``; False if another writer won it."""
     os.makedirs(_log_path(table_path), exist_ok=True)
@@ -167,7 +188,14 @@ def append(
     producers use to stamp their own transaction identity (e.g. the
     streaming sink's ``{"app_id", "batch_id"}``, the Delta ``txn``
     action analogue) so a replayed write can be recognized and skipped.
+
+    Schema is enforced on write, like every transactional format: an
+    append whose columns don't match the table's is rejected BEFORE any
+    commit, not discovered as a broken parquet union at read time.
+    (Schema evolution would be a log-carried schema + widening rules —
+    deliberately out of scope; the strict contract is the safe default.)
     """
+    _check_schema(df, table_path)
     adds = _write_data_files(df, table_path)
     entry = {"op": "append", "add": adds, "remove": []}
     if meta:

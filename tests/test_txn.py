@@ -9,6 +9,8 @@ from __future__ import annotations
 import threading
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from wikistream_lakehouse_spark.lakehouse.txn import (
@@ -233,3 +235,64 @@ def test_uncommitted_files_invisible(spark, tmp_path):
     append(_df(spark, [(1, "a")]), t)
     _write_data_files(_df(spark, [(99, "ghost")]), t)  # crash before commit
     assert [r.k for r in snapshot(spark, t).collect()] == [1]
+
+
+# --- model-based property: the log replay IS a key-value history ----------
+
+_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["append", "upsert", "compact", "checkpoint"]),
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=6),
+                st.sampled_from(["a", "b", "c"]),
+            ),
+            min_size=1,
+            max_size=3,
+            unique_by=lambda kv: kv[0],
+        ),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(ops=_ops)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_log_replay_matches_kv_model(spark, tmp_path_factory, ops):
+    """Model-based check: any sequence of append/upsert/compact/
+    checkpoint must leave the snapshot equal to a plain dict model
+    (append = putIfAbsent rows become visible duplicates? no — append is
+    multiset add; upsert = put). We model the table as a multiset of
+    (k, v) for appends and assert exact bag equality; compact and
+    checkpoint must be invisible to the model."""
+    from collections import Counter
+
+    from wikistream_lakehouse_spark.lakehouse.txn import checkpoint, compact
+
+    t = str(tmp_path_factory.mktemp("txnprop") / "t")
+    model: Counter = Counter()
+    for op, kvs in ops:
+        if op == "append":
+            append(_df(spark, kvs), t)
+            model.update(kvs)
+        elif op == "upsert":
+            transactional_upsert(spark, t, _df(spark, kvs), keys=["k"])
+            for k, v in kvs:
+                model = Counter(
+                    {(mk, mv): c for (mk, mv), c in model.items() if mk != k}
+                )
+                model[(k, v)] += 1
+        elif op == "compact":
+            if current_version(t) >= 0:
+                compact(spark, t, target_file_bytes=1 << 40)  # force ≤1 file
+        elif op == "checkpoint":
+            if current_version(t) >= 0:
+                checkpoint(t)
+        if current_version(t) >= 0:
+            got = Counter((r.k, r.v) for r in snapshot(spark, t).collect())
+            assert got == model, f"after {op}: {got} != {model}"

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from wikistream_lakehouse_spark.lakehouse.txn import (
     CommitConflict,
+    MemoryLogStore,
     append,
     checkpoint,
     current_version,
@@ -27,6 +28,16 @@ from wikistream_lakehouse_spark.lakehouse.txn import (
 
 def _df(spark, rows):
     return spark.createDataFrame(rows, "k long, v string")
+
+
+@pytest.fixture(params=["posix", "memory"])
+def log_store(request):
+    """The race suite runs against BOTH commit substrates: None → the
+    module-default PosixLogStore (link-publish put-if-absent) and
+    MemoryLogStore (the object-store conditional-put shape, S3
+    If-None-Match / GCS ifGenerationMatch=0) — proving the protocol's
+    guarantees come from the put-if-absent contract, not POSIX."""
+    return None if request.param == "posix" else MemoryLogStore()
 
 
 def test_append_then_snapshot_roundtrip(spark, tmp_path):
@@ -59,7 +70,7 @@ def test_rewrite_conflict_detection(spark, tmp_path):
     assert sorted(r.k for r in snapshot(spark, t).collect()) == [1, 2]
 
 
-def test_concurrent_appends_lose_nothing(spark, tmp_path):
+def test_concurrent_appends_lose_nothing(spark, tmp_path, log_store):
     """N racing appenders: every row lands exactly once, versions are a
     gap-free sequence — the put-if-absent commit serializes them."""
     t = str(tmp_path / "t")
@@ -67,7 +78,11 @@ def test_concurrent_appends_lose_nothing(spark, tmp_path):
 
     def writer(i: int) -> None:
         try:
-            append(_df(spark, [(i * 10 + j, f"w{i}") for j in range(5)]), t)
+            append(
+                _df(spark, [(i * 10 + j, f"w{i}") for j in range(5)]),
+                t,
+                store=log_store,
+            )
         except Exception as exc:  # noqa: BLE001
             errs.append(exc)
 
@@ -77,18 +92,18 @@ def test_concurrent_appends_lose_nothing(spark, tmp_path):
     for th in threads:
         th.join()
     assert not errs
-    assert current_version(t) == n_writers - 1  # gap-free 0..N-1
-    got = snapshot(spark, t)
+    assert current_version(t, store=log_store) == n_writers - 1  # gap-free
+    got = snapshot(spark, t, store=log_store)
     assert got.count() == n_writers * 5
     assert got.select("k").distinct().count() == n_writers * 5
 
 
-def test_concurrent_merges_serialize(spark, tmp_path):
+def test_concurrent_merges_serialize(spark, tmp_path, log_store):
     """Two racing upserts on overlapping keys: optimistic conflict makes
     the loser re-run against the winner's state, so BOTH updates survive
     — the lost-update anomaly plain parquet MERGE cannot prevent."""
     t = str(tmp_path / "t")
-    append(_df(spark, [(1, "base"), (2, "base"), (3, "base")]), t)
+    append(_df(spark, [(1, "base"), (2, "base"), (3, "base")]), t, store=log_store)
     errs = []
     barrier = threading.Barrier(2)
 
@@ -96,7 +111,7 @@ def test_concurrent_merges_serialize(spark, tmp_path):
         try:
             barrier.wait(timeout=30)  # maximize the race window
             transactional_upsert(
-                spark, t, _df(spark, [(key, val)]), keys=["k"]
+                spark, t, _df(spark, [(key, val)]), keys=["k"], store=log_store
             )
         except Exception as exc:  # noqa: BLE001
             errs.append(exc)
@@ -106,7 +121,7 @@ def test_concurrent_merges_serialize(spark, tmp_path):
     a.start(), b.start()
     a.join(), b.join()
     assert not errs
-    state = {r.k: r.v for r in snapshot(spark, t).collect()}
+    state = {r.k: r.v for r in snapshot(spark, t, store=log_store).collect()}
     assert state == {1: "from_A", 2: "from_B", 3: "base"}
 
 
@@ -176,7 +191,7 @@ def test_compact_reduces_files_preserving_content(spark, tmp_path):
     assert compact(spark, t) is None
 
 
-def test_compact_racing_appends_loses_nothing(spark, tmp_path):
+def test_compact_racing_appends_loses_nothing(spark, tmp_path, log_store):
     """The OPTIMIZE-vs-ingest race: appends keep landing while a
     compaction runs. Optimistic conflict makes the compactor fold in the
     racer's commits and retry; every appended row must survive."""
@@ -184,7 +199,7 @@ def test_compact_racing_appends_loses_nothing(spark, tmp_path):
 
     t = str(tmp_path / "t")
     for i in range(6):
-        append(_df(spark, [(i, "pre")]), t)
+        append(_df(spark, [(i, "pre")]), t, store=log_store)
     errs = []
     barrier = threading.Barrier(2)
 
@@ -192,14 +207,14 @@ def test_compact_racing_appends_loses_nothing(spark, tmp_path):
         try:
             barrier.wait(timeout=30)
             for j in range(4):
-                append(_df(spark, [(100 + j, "during")]), t)
+                append(_df(spark, [(100 + j, "during")]), t, store=log_store)
         except Exception as exc:  # noqa: BLE001
             errs.append(exc)
 
     def compactor() -> None:
         try:
             barrier.wait(timeout=30)
-            compact(spark, t)
+            compact(spark, t, store=log_store)
         except Exception as exc:  # noqa: BLE001
             errs.append(exc)
 
@@ -207,7 +222,7 @@ def test_compact_racing_appends_loses_nothing(spark, tmp_path):
     a.start(), b.start()
     a.join(), b.join()
     assert not errs
-    got = sorted(r.k for r in snapshot(spark, t).collect())
+    got = sorted(r.k for r in snapshot(spark, t, store=log_store).collect())
     assert got == list(range(6)) + list(range(100, 104))
 
 
@@ -263,7 +278,7 @@ _ops = st.lists(
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-def test_log_replay_matches_kv_model(spark, tmp_path_factory, ops):
+def test_log_replay_matches_kv_model(spark, tmp_path_factory, log_store, ops):
     """Model-based check: any sequence of append/upsert/compact/
     checkpoint must leave the snapshot equal to a plain dict model
     (append = putIfAbsent rows become visible duplicates? no — append is
@@ -278,21 +293,25 @@ def test_log_replay_matches_kv_model(spark, tmp_path_factory, ops):
     model: Counter = Counter()
     for op, kvs in ops:
         if op == "append":
-            append(_df(spark, kvs), t)
+            append(_df(spark, kvs), t, store=log_store)
             model.update(kvs)
         elif op == "upsert":
-            transactional_upsert(spark, t, _df(spark, kvs), keys=["k"])
+            transactional_upsert(
+                spark, t, _df(spark, kvs), keys=["k"], store=log_store
+            )
             for k, v in kvs:
                 model = Counter(
                     {(mk, mv): c for (mk, mv), c in model.items() if mk != k}
                 )
                 model[(k, v)] += 1
         elif op == "compact":
-            if current_version(t) >= 0:
-                compact(spark, t, target_file_bytes=1 << 40)  # force ≤1 file
+            if current_version(t, store=log_store) >= 0:
+                compact(spark, t, target_file_bytes=1 << 40, store=log_store)
         elif op == "checkpoint":
-            if current_version(t) >= 0:
-                checkpoint(t)
-        if current_version(t) >= 0:
-            got = Counter((r.k, r.v) for r in snapshot(spark, t).collect())
+            if current_version(t, store=log_store) >= 0:
+                checkpoint(t, store=log_store)
+        if current_version(t, store=log_store) >= 0:
+            got = Counter(
+                (r.k, r.v) for r in snapshot(spark, t, store=log_store).collect()
+            )
             assert got == model, f"after {op}: {got} != {model}"

@@ -1,0 +1,380 @@
+"""Durability, corruption-tolerance, orphan-reclaim, schema-race, and
+partition-level guarantees of the transactional log (lakehouse/txn.py) —
+the ADVICE r4 findings plus VERDICT r4 asks #2/#3/#7, each pinned by
+behavior rather than docstring:
+
+* atomic publish: a commit file can never be observed torn (the store
+  primitive writes temp+fsync then link/conditional-put);
+* a torn claim (crashed pre-protocol writer, tampering) is uncommitted
+  for every reader AND writer — the table keeps working and never
+  reuses the dead version number;
+* a conflicted rewrite deletes its unreferenced data files, and vacuum
+  sweeps aged orphans, so lost races / crashed writers cost no space;
+* schema enforcement holds under the v0 creation race and on merge;
+* replace_partitions swaps exactly the touched partitions atomically;
+* read_table time travel (version / as_of) honors vacuum's retention.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikistream_lakehouse_spark.lakehouse.txn import (
+    CommitConflict,
+    MemoryLogStore,
+    _claimed_versions,
+    _replay,
+    _version_file,
+    _write_data_files,
+    append,
+    checkpoint,
+    committed_meta,
+    compact,
+    current_version,
+    history,
+    read_table,
+    repair_log,
+    replace_partitions,
+    rewrite,
+    snapshot,
+    transactional_upsert,
+    vacuum,
+    version_as_of,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def _data_files_on_disk(table_path: str) -> list[str]:
+    out = []
+    for root, _dirs, files in os.walk(table_path):
+        if "_txnlog" in root:
+            continue
+        for n in files:
+            if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                out.append(os.path.relpath(os.path.join(root, n), table_path))
+    return sorted(out)
+
+
+# --------------------------------------------------------------------------
+# Torn-claim tolerance (ADVICE r4 high)
+# --------------------------------------------------------------------------
+
+
+def test_torn_trailing_claim_is_uncommitted_and_never_reused(spark, tmp_path):
+    """A garbage claim file (what a crashed pre-atomic-publish writer
+    could leave) neither breaks readers nor wedges writers: reads skip
+    it, the next append allocates PAST it, and repair_log removes it."""
+    t = str(tmp_path / "t")
+    append(_df(spark, [(1, "a")]), t)  # v0
+    append(_df(spark, [(2, "b")]), t)  # v1
+    # tamper: torn claim at v2 (empty file — json.load would explode)
+    with open(_version_file(t, 2), "w") as f:
+        f.write('{"op": "append", "add"')  # truncated mid-write
+    assert current_version(t) == 1
+    assert snapshot(spark, t).count() == 2  # readers unbothered
+    v = append(_df(spark, [(3, "c")]), t)
+    assert v == 3  # allocated past the dead claim, never reusing 2
+    assert snapshot(spark, t).count() == 3
+    assert committed_meta(t) == [{}, {}, {}]  # torn claim invisible
+    removed = repair_log(t)
+    assert removed == ["00000000000000000002.json"]
+    assert _claimed_versions(t) == [0, 1, 3]
+
+
+def test_store_publish_is_atomic_under_concurrent_reads(spark, tmp_path):
+    """Hammer the publish path: readers polling the log while commits
+    land must NEVER observe a torn entry (the exact ADVICE r4 failure:
+    open-then-write left an empty file visible). 40 commits × a reader
+    spinning on every version file — any partial JSON read fails."""
+    import threading
+
+    t = str(tmp_path / "t")
+    stop, errors = threading.Event(), []
+
+    def reader() -> None:
+        while not stop.is_set():
+            try:
+                current_version(t)  # parses every post-checkpoint entry
+                committed_meta(t)  # parses ALL entries
+            except Exception as exc:  # noqa: BLE001
+                errors.append(exc)
+                return
+
+    th = threading.Thread(target=reader)
+    th.start()
+    try:
+        one = _df(spark, [(1, "x")])
+        for _ in range(40):
+            append(one, t)
+    finally:
+        stop.set()
+        th.join()
+    assert not errors, errors[:1]
+    assert current_version(t) == 39
+
+
+# --------------------------------------------------------------------------
+# Orphan cleanup (ADVICE r4 medium)
+# --------------------------------------------------------------------------
+
+
+def test_conflicted_rewrite_leaves_no_orphan_files(spark, tmp_path):
+    """A rewrite that loses its optimistic race must delete the data
+    files it materialized — otherwise every retry of a contended
+    compact/merge leaks a full table copy vacuum can never reclaim."""
+    t = str(tmp_path / "t")
+    append(_df(spark, [(1, "a")]), t)
+    append(_df(spark, [(2, "b")]), t)
+    before = _data_files_on_disk(t)
+    with pytest.raises(CommitConflict):
+        rewrite(_df(spark, [(9, "z")]), t, base_version=0)  # stale base
+    assert _data_files_on_disk(t) == before  # nothing leaked
+
+
+def test_vacuum_sweeps_aged_orphans_but_not_fresh_writes(spark, tmp_path):
+    """Files a crashed writer materialized but never committed are
+    reclaimed once older than the grace window; files younger than it
+    (a LIVE writer's in-flight output) are untouched."""
+    t = str(tmp_path / "t")
+    append(_df(spark, [(1, "a")]), t)
+    ghost_adds, _sub = _write_data_files(_df(spark, [(99, "ghost")]), t)
+    assert set(ghost_adds) <= set(_data_files_on_disk(t))
+    # within grace: orphan survives (might be a live writer)
+    assert vacuum(t, orphan_grace_secs=3600) == []
+    assert set(ghost_adds) <= set(_data_files_on_disk(t))
+    # past grace: orphan reclaimed, committed data untouched
+    deleted = vacuum(t, orphan_grace_secs=0)
+    assert set(deleted) == set(ghost_adds)
+    assert snapshot(spark, t).count() == 1
+
+
+# --------------------------------------------------------------------------
+# Schema races (ADVICE r4 low)
+# --------------------------------------------------------------------------
+
+
+class _InjectingStore(MemoryLogStore):
+    """Fires a callback once, just before the first put-if-absent — the
+    deterministic re-creation of 'a concurrent writer committed between
+    my schema check and my commit'."""
+
+    def __init__(self, inject) -> None:
+        super().__init__()
+        self._inject = inject
+
+    def put_if_absent(self, path: str, payload: bytes) -> bool:
+        inject, self._inject = self._inject, None
+        if inject is not None:
+            inject()
+        return super().put_if_absent(path, payload)
+
+
+def test_v0_schema_race_loser_is_rejected(spark, tmp_path):
+    """Two concurrent FIRST appenders with different schemas: the race
+    loser must be rejected on its post-race re-validation, not allowed
+    to commit a second schema because it once saw an empty table."""
+    t = str(tmp_path / "t")
+    winner = _df(spark, [(1, "a")])  # k long, v string
+
+    def winner_commits() -> None:
+        append(winner, t, store=store)
+
+    store = _InjectingStore(winner_commits)
+    loser = spark.createDataFrame([(2, 3.5)], "k long, v double")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        append(loser, t, store=store)
+    # winner's commit stands alone; loser's data files were cleaned up
+    assert current_version(t, store=store) == 0
+    got = snapshot(spark, t, store=store)
+    assert [r.v for r in got.collect()] == ["a"]
+    assert len(_data_files_on_disk(t)) == len(_replay(t, 0, store=store))
+
+
+def test_upsert_rejects_schema_drift(spark, tmp_path):
+    t = str(tmp_path / "t")
+    append(_df(spark, [(1, "a")]), t)
+    drifted = spark.createDataFrame([(1, 2.0)], "k long, v double")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        transactional_upsert(spark, t, drifted, keys=["k"])
+    assert current_version(t) == 0
+
+
+def test_compact_preserves_schema_enforcement(spark, tmp_path):
+    """compact routes through rewrite with enforce_schema=True: its
+    output schema equals its input schema by construction, so this just
+    pins that the guard doesn't false-positive on the identity case."""
+    t = str(tmp_path / "t")
+    for i in range(4):
+        append(_df(spark, [(i, "x")]), t)
+    assert compact(spark, t) is not None
+    assert snapshot(spark, t).count() == 4
+
+
+# --------------------------------------------------------------------------
+# Partition-aware commits (replaceWhere analogue)
+# --------------------------------------------------------------------------
+
+
+def _pdf(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string, ds string")
+
+
+def test_partitioned_append_and_snapshot_roundtrip(spark, tmp_path):
+    t = str(tmp_path / "t")
+    append(_pdf(spark, [(1, "a", "d1"), (2, "b", "d2")]), t, partition_by=["ds"])
+    append(_pdf(spark, [(3, "c", "d2")]), t)  # inherits table partitioning
+    got = snapshot(spark, t)
+    assert set(got.columns) == {"k", "v", "ds"}
+    assert got.count() == 3
+    # the partition column is prunable: filter reaches PartitionFilters
+    plan = (
+        got.filter(F.col("ds") == "d2")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and "ds" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_append_partitioning_mismatch_rejected(spark, tmp_path):
+    t = str(tmp_path / "t")
+    append(_pdf(spark, [(1, "a", "d1")]), t, partition_by=["ds"])
+    with pytest.raises(ValueError, match="partitioned by"):
+        append(_pdf(spark, [(2, "b", "d1")]), t, partition_by=["v"])
+
+
+def test_replace_partitions_swaps_exactly_touched_partitions(spark, tmp_path):
+    t = str(tmp_path / "t")
+    append(
+        _pdf(spark, [(1, "old", "d1"), (2, "old", "d2"), (3, "old", "d3")]),
+        t,
+        partition_by=["ds"],
+    )
+    replace_partitions(spark, t, _pdf(spark, [(20, "new", "d2")]))
+    state = {(r.k, r.v, r.ds) for r in snapshot(spark, t).collect()}
+    assert state == {(1, "old", "d1"), (20, "new", "d2"), (3, "old", "d3")}
+    # file-level: d1/d3 files are the ORIGINAL ones (not rewritten)
+    files_v0 = set(_replay(t, 0))
+    files_v1 = set(_replay(t, 1))
+    untouched = {f for f in files_v0 if "/ds=d2/" not in f}
+    assert untouched <= files_v1
+    assert all("/ds=d2/" not in f or f not in files_v0 for f in files_v1)
+    # idempotent: re-running the same replace converges
+    replace_partitions(spark, t, _pdf(spark, [(20, "new", "d2")]))
+    assert {(r.k, r.v, r.ds) for r in snapshot(spark, t).collect()} == state
+
+
+def test_replace_partitions_folds_in_racing_append(spark, tmp_path):
+    """A concurrent append (to ANOTHER partition) landing mid-replace
+    must survive: replace_partitions recomputes its remove-list against
+    the new snapshot instead of aborting."""
+    t = str(tmp_path / "t")
+
+    class RaceStore(MemoryLogStore):
+        def __init__(self):
+            super().__init__()
+            self.fired = False
+
+        def put_if_absent(self, path: str, payload: bytes) -> bool:
+            import json
+
+            entry = json.loads(payload)
+            if not self.fired and entry.get("op") == "replace_partitions":
+                self.fired = True
+                append(_pdf(spark, [(9, "racer", "d9")]), t, store=self)
+            return super().put_if_absent(path, payload)
+
+    store = RaceStore()
+    append(
+        _pdf(spark, [(1, "old", "d1"), (2, "old", "d2")]),
+        t,
+        store=store,
+        partition_by=["ds"],
+    )
+    replace_partitions(spark, t, _pdf(spark, [(20, "new", "d2")]), store=store)
+    assert store.fired
+    state = {(r.k, r.v, r.ds) for r in snapshot(spark, t, store=store).collect()}
+    assert state == {(1, "old", "d1"), (20, "new", "d2"), (9, "racer", "d9")}
+
+
+def test_replace_partitions_requires_partitioned_table(spark, tmp_path):
+    t = str(tmp_path / "t")
+    append(_df(spark, [(1, "a")]), t)
+    with pytest.raises(ValueError, match="partitioned"):
+        replace_partitions(spark, t, _df(spark, [(2, "b")]))
+
+
+def test_reserved_commit_column_rejected(spark, tmp_path):
+    t = str(tmp_path / "t")
+    bad = spark.createDataFrame([(1, "x")], "k long, txc string")
+    with pytest.raises(ValueError, match="reserved"):
+        append(bad, t)
+
+
+# --------------------------------------------------------------------------
+# Time travel surface (VERDICT r4 #7)
+# --------------------------------------------------------------------------
+
+
+def test_read_table_time_travel_across_compact_and_vacuum(spark, tmp_path):
+    """Three historical versions read back by version AND by as_of
+    timestamp; after compact + vacuum(retain_versions=2) the retained
+    window still reads while the reclaimed snapshot fails loudly."""
+    t = str(tmp_path / "t")
+    ts = []
+    for i in range(3):
+        append(_df(spark, [(i, f"gen{i}")]), t)
+        ts.append(time.time())
+        time.sleep(0.05)  # commit timestamps must be distinguishable
+
+    for v in range(3):
+        assert read_table(spark, t, version=v).count() == v + 1
+        assert version_as_of(t, ts[v]) == v
+    assert read_table(spark, t, as_of=ts[1]).count() == 2
+    hist = history(t)
+    assert [h["version"] for h in hist] == [0, 1, 2]
+    assert all(h["ts"] is not None for h in hist)
+    assert hist[0]["ts"] <= hist[1]["ts"] <= hist[2]["ts"]
+
+    compacted = compact(spark, t)  # v3 rewrites into fewer files
+    assert compacted == 3
+    # appends share files across versions, so retaining v2+v3 keeps
+    # everything: vacuum must reclaim NOTHING (retention honored) ...
+    assert vacuum(t, retain_versions=2, orphan_grace_secs=0) == []
+    assert read_table(spark, t, version=2).count() == 3
+    # ... and with retain_versions=1 the pre-compact files finally go
+    deleted = vacuum(t, retain_versions=1, orphan_grace_secs=0)
+    assert deleted
+    assert read_table(spark, t, version=3).count() == 3
+    # a vacuumed-away snapshot fails loudly, not silently-partially
+    with pytest.raises(Exception):
+        read_table(spark, t, version=0).collect()
+    # as_of before the first commit is a clear error
+    with pytest.raises(ValueError, match="no commit"):
+        version_as_of(t, ts[0] - 1e6)
+    with pytest.raises(ValueError, match="not both"):
+        read_table(spark, t, version=1, as_of=ts[1])
+
+
+def test_checkpoint_bounds_validation_reads(spark, tmp_path):
+    """After a checkpoint, planning only parses commits PAST it — pinned
+    by tampering: corrupting an entry BELOW the checkpoint must not
+    affect reads, because the checkpointed prefix is never re-parsed
+    (the active state comes from the checkpoint itself)."""
+    t = str(tmp_path / "t")
+    for i in range(5):
+        append(_df(spark, [(i, "x")]), t)
+    assert checkpoint(t) == 4
+    append(_df(spark, [(99, "after")]), t)
+    # tamper below the checkpoint: planning must not even read it
+    with open(_version_file(t, 2), "w") as f:
+        f.write("garbage")
+    assert current_version(t) == 5
+    assert snapshot(spark, t).count() == 6

@@ -66,6 +66,44 @@ def test_full_replay_after_lost_checkpoint_is_deduped(spark, tmp_path):
     assert len(committed_meta(str(table))) == n_commits  # zero new commits
 
 
+def test_checkpoint_reset_over_new_data_refuses_silent_drop(spark, tmp_path):
+    """ADVICE r4 medium: after a checkpoint RESET, batch ids restart at
+    0 — if the source now holds DIFFERENT data, (app_id, batch_id) alone
+    would classify the new batch 0 as a replay and silently drop it.
+    The content fingerprint must turn that into a loud failure telling
+    the operator to use a fresh app_id."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src = tmp_path / "src"
+    write_ndjson(src / "part-0.ndjson", [wiki_event(i) for i in range(ROWS)])
+    table = tmp_path / "table"
+    _run_stream(spark, src, table, tmp_path / "ckpt1")
+    before = snapshot(spark, str(table)).count()
+
+    # new data arrives AND the checkpoint is reset: batch 0 ≠ old batch 0
+    write_ndjson(
+        src / "part-0.ndjson",
+        [wiki_event(1000 + i) for i in range(ROWS)],
+    )
+    with pytest.raises(StreamingQueryException, match="fresh app_id"):
+        _run_stream(spark, src, table, tmp_path / "ckpt2")
+    # nothing was dropped INTO the table either — state unchanged
+    assert snapshot(spark, str(table)).count() == before
+
+    # the documented fix works: a fresh app_id lands the new data
+    stream = file_replay_stream(spark, str(src), WIKI_EVENT_SCHEMA)
+    q = txn_append_sink(
+        stream,
+        str(table),
+        str(tmp_path / "ckpt3"),
+        app_id="soak-app-reset2",
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    assert snapshot(spark, str(table)).count() == before + ROWS
+
+
 def test_new_data_still_appends_after_replay(spark, tmp_path):
     """Dedup must not turn into a write-once table: batches with UNSEEN
     ids keep landing."""

@@ -172,18 +172,61 @@ def txn_append_sink(
     The idempotence scan is O(commits) driver-side metadata; at high
     commit counts, checkpoint() bounds replay and the scan can start at
     the last checkpoint — same curve as Delta's txn lookup.
+
+    **Identity contract (the Delta ``txn`` appId rule): ``app_id`` names
+    one (source, checkpoint) lineage — change it whenever the checkpoint
+    location changes.** After a checkpoint RESET, batch ids restart at 0;
+    if new source data has arrived, "batch 0" now holds different rows
+    than the committed batch 0. Deduping on (app_id, batch_id) alone
+    would silently drop them (ADVICE r4), so each commit also stamps a
+    content fingerprint (row count + order-independent xxhash64 sum):
+    a replayed id with a MATCHING fingerprint is skipped as a true
+    replay; a mismatch raises instead of losing data, naming the fix
+    (new app_id for the new checkpoint).
     """
     from wikistream_lakehouse_spark.lakehouse.txn import append, committed_meta
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        seen = {
-            (m.get("app_id"), m.get("batch_id")) for m in committed_meta(table_path)
-        }
-        if (app_id, batch_id) in seen:
-            return  # replay of an already-committed batch
-        append(batch_df, table_path, meta={"app_id": app_id, "batch_id": batch_id})
+        batch_df.persist()
+        try:
+            n_rows, fp = batch_df.agg(
+                F.count(F.lit(1)),
+                # decimal sum: order-independent and overflow-free under
+                # ANSI mode (a plain long sum of int64 hashes overflows)
+                F.sum(
+                    F.xxhash64(*[F.col(c) for c in batch_df.columns]).cast(
+                        "decimal(38,0)"
+                    )
+                ),
+            ).first()
+            fingerprint = str(fp)
+            for m in committed_meta(table_path):
+                if (m.get("app_id"), m.get("batch_id")) != (app_id, batch_id):
+                    continue
+                if m.get("fingerprint", fingerprint) == fingerprint:
+                    return  # true replay of an already-committed batch
+                raise ValueError(
+                    f"batch {batch_id} of app_id={app_id!r} was already "
+                    f"committed with DIFFERENT content (committed "
+                    f"{m.get('rows')} rows, incoming {n_rows}). This is a "
+                    "checkpoint reset over new source data — refusing to "
+                    "silently drop it. Use a fresh app_id for the new "
+                    "checkpoint location (the Delta txn appId contract)."
+                )
+            append(
+                batch_df,
+                table_path,
+                meta={
+                    "app_id": app_id,
+                    "batch_id": batch_id,
+                    "rows": n_rows,
+                    "fingerprint": fingerprint,
+                },
+            )
+        finally:
+            batch_df.unpersist()
 
     writer = (
         events.writeStream.foreachBatch(write_batch)

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from wikistream_lakehouse_spark.lakehouse import (
     build_daily_gold,
     curate_to_silver,
+    read_table,
     upsert_parquet,
     write_bronze,
 )
@@ -78,18 +79,26 @@ def test_silver_dynamic_overwrite_keeps_other_partitions(spark, events, tmp_path
 
 
 def test_gold_daily_build_idempotent(spark, events, tmp_path):
+    """Gold is a transactional table now: each day's build is an atomic
+    ds-partition replace; re-runs converge AND the history shows them."""
+    from wikistream_lakehouse_spark.lakehouse.txn import history
+
     path = str(tmp_path / "gold")
     build_daily_gold(events, path, ds="2024-01-10")
     build_daily_gold(events, path, ds="2024-01-11")
-    n1 = spark.read.parquet(path).count()
+    n1 = read_table(spark, path).count()
     build_daily_gold(events, path, ds="2024-01-10")  # re-run one day
-    n2 = spark.read.parquet(path).count()
+    n2 = read_table(spark, path).count()
     assert n1 == n2
     days = {
         r.ds.isoformat()
-        for r in spark.read.parquet(path).select("ds").distinct().collect()
+        for r in read_table(spark, path).select("ds").distinct().collect()
     }
     assert days == {"2024-01-10", "2024-01-11"}
+    # three atomic commits, all partition replaces, time-travelable
+    ops = [h["op"] for h in history(path)]
+    assert ops == ["replace_partitions"] * 3
+    assert read_table(spark, path, version=1).count() == n1
 
 
 def test_upsert_updates_inserts_preserves(spark, tmp_path):

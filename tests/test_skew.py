@@ -109,46 +109,80 @@ def test_aqe_splits_the_skewed_join_partition(spark, skewed):
     assert "skew=true" in final, final[:2000]
 
 
-def test_salted_join_beats_plain_join_when_aqe_cannot_split(spark, skewed):
+_SALT_CONFS = {
+    "spark.sql.adaptive.skewJoin.enabled": "false",
+    "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.shuffle.partitions": "32",
+}
+
+
+def _join_shapes(spark, skewed):
+    lpath, rpath = skewed
+    left = spark.read.parquet(lpath)
+    right = spark.read.parquet(rpath)
+    plain = left.join(right, "key").select("key", "value", "dim")
+    salted = salted_join(left, right, "key", salt=32).select(
+        "key", "value", "dim"
+    )
+    return plain, salted
+
+
+def _max_partition_share(df) -> float:
+    """Share of output rows held by the fullest shuffle partition.
+    ``spark_partition_id()`` is evaluated in the post-join stage (before
+    the measuring groupBy's own shuffle), so this reads the JOIN's
+    reducer distribution — the thing salting exists to flatten."""
+    counts = [
+        r["n"]
+        for r in df.select(F.spark_partition_id().alias("p"))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    return max(counts) / sum(counts)
+
+
+def test_salted_join_spreads_the_hot_key_when_aqe_cannot_split(spark, skewed):
     """Where AQE's splitter is unavailable (off here; in production:
     skew surviving into a same-key aggregation, or pre-3.0 clusters),
-    salting spreads the hot key over `salt` reducers. Same rows, less
-    wall-clock — the equality AND the speedup are both asserted."""
-    lpath, rpath = skewed
-    with spark_confs(
-        spark,
-        {
-            "spark.sql.adaptive.skewJoin.enabled": "false",
-            "spark.sql.adaptive.coalescePartitions.enabled": "false",
-            "spark.sql.autoBroadcastJoinThreshold": "-1",
-            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
-            "spark.sql.shuffle.partitions": "32",
-        },
-    ):
-        left = spark.read.parquet(lpath)
-        right = spark.read.parquet(rpath)
+    salting spreads the hot key over `salt` reducers. Asserted on the
+    MECHANISM — per-shuffle-partition row distribution — not wall-clock
+    (VERDICT r4 #1: a 10% timing margin is not noise-proof under suite
+    load). The hot key holds >20% of rows, so the plain join's fullest
+    reducer holds >20% of the output while the salted join's is near
+    uniform (~1/32)."""
+    with spark_confs(spark, _SALT_CONFS):
+        plain, salted = _join_shapes(spark, skewed)
 
-        def run(df):
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            return time.perf_counter() - t0
-
-        plain = left.join(right, "key").select("key", "value", "dim")
-        salted = salted_join(left, right, "key", salt=32).select(
-            "key", "value", "dim"
-        )
-
-        # equality first (also warms caches for both shapes)
+        # identical rows first — salting must not change semantics
         checksum = F.sum(F.hash("key", "dim")).alias("h")
         assert (
             plain.agg(F.count("*"), checksum).first()
             == salted.agg(F.count("*"), checksum).first()
         )
 
-        # interleave to cancel host-load drift; compare medians
+        plain_share = _max_partition_share(plain)
+        salted_share = _max_partition_share(salted)
+    assert plain_share > 0.20, plain_share  # one reducer owns the hot key
+    assert salted_share < 0.08, salted_share  # spread ≈ uniform over 32
+    assert salted_share < plain_share / 2.5, (plain_share, salted_share)
+
+
+@pytest.mark.slow
+def test_salted_join_beats_plain_join_wall_clock(spark, skewed):
+    """The timing claim, kept under the slow marker where it runs
+    without suite-load interference: same rows, less wall-clock."""
+    with spark_confs(spark, _SALT_CONFS):
+        plain, salted = _join_shapes(spark, skewed)
+
+        def run(df):
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            return time.perf_counter() - t0
+
+        run(plain), run(salted)  # warm both shapes
         t_plain = sorted(run(plain) for _ in range(3))[1]
         t_salted = sorted(run(salted) for _ in range(3))[1]
-    # the hot key holds >20% of 2M rows: one reducer sorts ~500k rows
-    # alone while salting spreads them over 32. Generous margin — this
-    # must stay green on a noisy host.
     assert t_salted < t_plain * 0.9, (t_plain, t_salted)

@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from wikistream_lakehouse_spark.lakehouse.txn import read_table
 from wikistream_lakehouse_spark.schema import WIKI_EVENT_SCHEMA
 from wikistream_lakehouse_spark.streaming.pipeline import (
     dedup_within_watermark,
@@ -91,7 +92,8 @@ def test_wiki_pipeline_end_to_end(spark, wiki_dirs):
         spark, wiki_dirs["silver"], wiki_dirs["serving"], ds="2024-01-15"
     )
     serving = {
-        r.username: r.edits for r in spark.read.parquet(wiki_dirs["serving"]).collect()
+        r.username: r.edits
+        for r in read_table(spark, wiki_dirs["serving"]).collect()
     }
     assert serving == {"alice": 50, "bob": 30}  # bots excluded (P5)
 
@@ -102,7 +104,8 @@ def test_wiki_pipeline_end_to_end(spark, wiki_dirs):
     )
     assert spark.read.parquet(wiki_dirs["silver"]).count() == 90
     serving2 = {
-        r.username: r.edits for r in spark.read.parquet(wiki_dirs["serving"]).collect()
+        r.username: r.edits
+        for r in read_table(spark, wiki_dirs["serving"]).collect()
     }
     assert serving2 == serving
 
@@ -246,7 +249,7 @@ def test_gold_merge_sink_converges_to_batch_truth(spark, tmp_path):
         agg, serving, str(tmp_path / "ck"), keys=["user_id"], available_now=True
     )
     q.awaitTermination(120)
-    got = {r.user_id: r.n_events for r in spark.read.parquet(serving).collect()}
+    got = {r.user_id: r.n_events for r in read_table(spark, serving).collect()}
     truth_df = spark.read.schema(EVENTS_SCHEMA).json(str(src))
     truth = {
         r.user_id: r.n
@@ -372,7 +375,7 @@ def test_gold_merge_sink_version_col_keeps_latest(spark, tmp_path):
         version_col="ver",
     )
     q.awaitTermination(120)
-    got = {r.user_id: (r.ver, r.score) for r in spark.read.parquet(serving).collect()}
+    got = {r.user_id: (r.ver, r.score) for r in read_table(spark, serving).collect()}
     assert got == {1: (3, 0.9), 2: (7, 0.7)}
 
 
@@ -455,12 +458,12 @@ def test_run_daily_batch_is_one_idempotent_call(spark, wiki_dirs, tmp_path):
             wiki_dirs["serving"], ds="2024-01-15",
         )
     assert spark.read.parquet(wiki_dirs["silver"]).count() == 45
-    gold_rows = spark.read.parquet(gold)
+    gold_rows = read_table(spark, gold)
     assert gold_rows.filter(F.col("title").isNull()).count() == 0
     assert gold_rows.agg(F.sum("edits")).collect()[0][0] == 45  # gold keeps bots
     serving = {
         r.username: r.edits
-        for r in spark.read.parquet(wiki_dirs["serving"]).collect()
+        for r in read_table(spark, wiki_dirs["serving"]).collect()
     }
     assert serving == {"alice": 40}  # serving excludes bots (P5)
 

@@ -3,14 +3,48 @@ writers with the dual-time model (processing-time `ds` in bronze,
 event-time `yyyy/mm/dd` in silver — SURVEY.md §1.3) and idempotent
 re-runs via partition overwrite + keyed MERGE.
 
-Delta Lake is the production substrate for MERGE/ACID; it is not present
-in this environment, so merge.py implements the same semantics over plain
-parquet (documented trade-offs inline) behind the identical API.
+The ACID substrate is txn.py — a from-scratch implementation of the
+publicly documented Delta commit protocol (put-if-absent versioned
+commits, optimistic concurrency, snapshot isolation, checkpoint/vacuum,
+partition-level replace) over plain parquet. Gold materialization and
+MERGE route through it by default; `upsert_parquet` and
+`build_daily_gold_parquet` remain as single-writer bare-directory
+export forms for external readers.
 """
 
 from wikistream_lakehouse_spark.lakehouse.bronze import write_bronze
-from wikistream_lakehouse_spark.lakehouse.gold import build_daily_gold
-from wikistream_lakehouse_spark.lakehouse.merge import upsert_parquet
-from wikistream_lakehouse_spark.lakehouse.silver import curate_to_silver
+from wikistream_lakehouse_spark.lakehouse.gold import (
+    build_daily_gold,
+    build_daily_gold_parquet,
+)
+from wikistream_lakehouse_spark.lakehouse.merge import upsert, upsert_parquet
+from wikistream_lakehouse_spark.lakehouse.silver import (
+    curate_to_silver,
+    curate_to_silver_txn,
+)
+from wikistream_lakehouse_spark.lakehouse.txn import (
+    append,
+    compact,
+    read_table,
+    replace_partitions,
+    snapshot,
+    transactional_upsert,
+    vacuum,
+)
 
-__all__ = ["write_bronze", "curate_to_silver", "build_daily_gold", "upsert_parquet"]
+__all__ = [
+    "write_bronze",
+    "curate_to_silver",
+    "curate_to_silver_txn",
+    "build_daily_gold",
+    "build_daily_gold_parquet",
+    "upsert",
+    "upsert_parquet",
+    "append",
+    "compact",
+    "read_table",
+    "replace_partitions",
+    "snapshot",
+    "transactional_upsert",
+    "vacuum",
+]

@@ -1,4 +1,5 @@
-"""Small-file compaction for the bronze zone (OPTIMIZE-style).
+"""Small-file compaction for PLAIN parquet directories (DEPRECATED as a
+default — use ``lakehouse.txn.compact`` for transactional tables).
 
 Streaming bronze writes one-or-more files per micro-batch per partition
 (the reference's consumer produced one gzip object per ≤10 s flush,
@@ -6,10 +7,15 @@ kafka/wiki-s3-consumer.py:43-53) — after a day that's thousands of tiny
 files, and scan cost at 100 TB is dominated by file-open overhead.
 Compaction rewrites a partition's files into ~target-size outputs.
 
-Semantics: per-partition, all-or-nothing (write to temp, swap) — safe to
-re-run, and readers see either the old or the new file set. In production
-Delta's OPTIMIZE owns this with real transactions; this parquet form keeps
-the identical operational contract for the engine's tests.
+**Concurrency warning — why this is not the default path:** the
+temp-write + directory-swap here is per-partition all-or-nothing for a
+SINGLE writer only; a concurrent appender or reader can interleave with
+the swap (rows landing between read and swap are lost; a reader can
+list mid-swap). ``txn.compact`` provides the same OPTIMIZE contract as
+an optimistic commit that is provably safe under live appends (race-
+tested) — use it everywhere the table is transactional. This module
+remains only for compacting bare parquet directory exports that no
+other process writes.
 """
 
 from __future__ import annotations

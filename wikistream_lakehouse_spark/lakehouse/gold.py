@@ -5,12 +5,23 @@ dag/wiki_pipeline_dag.py:27-44) with ONE partitioned gold table written
 overwrite-by-partition — same re-run safety (`CREATE TABLE IF NOT
 EXISTS` → partition overwrite), none of the table-name sprawl, and
 readers get partition pruning across days instead of N unioned tables.
+
+The default substrate is the transactional log (lakehouse/txn.py):
+``build_daily_gold`` commits each day's refresh as an atomic
+``replace_partitions``, so concurrent day-builds, compactions, and
+readers can share the table safely and historical versions stay
+time-travelable. Read the table back with ``txn.read_table``.
+``build_daily_gold_parquet`` keeps the plain dynamic-overwrite form for
+exporting to external readers that expect a bare parquet directory
+(single-writer, like the reference's own CTAS).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from wikistream_lakehouse_spark.lakehouse.txn import replace_partitions
 
 
 def daily_top_aggregate(
@@ -35,8 +46,20 @@ def daily_top_aggregate(
 
 
 def build_daily_gold(silver: DataFrame, path: str, ds: str, **cols) -> None:
-    """Materialize one day's aggregate into the partitioned gold table,
-    idempotently (dynamic partition overwrite on ds)."""
+    """Materialize one day's aggregate into the partitioned gold TABLE
+    (transactional): an atomic ``replace_partitions`` commit swaps
+    exactly the ``ds`` partition — idempotent re-runs, safe alongside
+    concurrent day-builds/compaction/readers, time-travelable history.
+    Read back with ``txn.read_table(spark, path)``."""
+    spark = silver.sparkSession
+    agg = daily_top_aggregate(silver, ds, **cols)
+    replace_partitions(spark, path, agg, partition_by=["ds"])
+
+
+def build_daily_gold_parquet(silver: DataFrame, path: str, ds: str, **cols) -> None:
+    """Plain-parquet export form (single-writer): dynamic partition
+    overwrite on ds, for external readers that expect a bare parquet
+    directory rather than a transactional table."""
     spark = silver.sparkSession
     agg = daily_top_aggregate(silver, ds, **cols)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

@@ -4,22 +4,24 @@ Reproduces `INSERT ... ON CONFLICT (dt, username) DO UPDATE SET edits =
 EXCLUDED.edits` (upsert_athena_aggregates.py:95-110) as a set-based MERGE:
 whenMatched-update + whenNotMatched-insert, no per-row loop.
 
-Production substrate is Delta `MERGE INTO` (transactional, conflict-safe).
-Delta is absent in this environment, so the same semantics run over plain
-parquet: target ⟕anti source (rows to keep) ∪ source (upserts), written
-atomically via temp-dir + rename. Trade-offs vs Delta, stated plainly:
-no concurrent-writer safety, full-target rewrite instead of file-level
-merge-on-read. The API and result state are identical, so swapping the
-substrate is a one-function change.
+**The default MERGE path is `upsert` (= txn.transactional_upsert): the
+same set algebra committed through the transactional log** — optimistic
+concurrency with conflict-retry, snapshot isolation for readers, safe
+under any number of concurrent writers, compatible with txn.compact /
+vacuum / time travel on the same table. The serving layer's atomicity
+is the product (the reference's whole serving story is its idempotent
+Postgres upsert); here it holds end-to-end, not on request.
 
-For the concurrent-writer case, `lakehouse/txn.transactional_upsert`
-runs the SAME merge algebra under an optimistic commit log (put-if-
-absent versions, snapshot isolation, conflict-retry) — use it when more
-than one writer can target the table.
+`upsert_parquet` remains as the EXPORT form: identical semantics over a
+bare parquet directory (temp-dir + rename swap) for external readers
+that can't consume a transactional table. It is single-writer by
+construction — concurrent callers can interleave the swap — so use it
+only at the edge, never as the system of record.
 
-Scale note: the anti-join shuffles on the merge keys exactly like Delta's
-inner merge phase; for a date-partitioned target, pass `partition_filter`
-to rewrite only affected partitions (the replaceWhere analog).
+Scale note: both forms shuffle the anti-join on the merge keys exactly
+like Delta's inner merge phase; the txn form additionally gets file-level
+partition replacement via txn.replace_partitions where the merge is
+partition-aligned.
 """
 
 from __future__ import annotations
@@ -30,6 +32,10 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from wikistream_lakehouse_spark.lakehouse.txn import transactional_upsert as upsert
+
+__all__ = ["upsert", "upsert_parquet"]
 
 
 def upsert_parquet(

@@ -78,6 +78,31 @@ def curate_to_silver(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
+def curate_to_silver_txn(
+    raw: DataFrame,
+    table_path: str,
+    ts_col: str = "ts",
+    keep_source_partition: bool = False,
+) -> int:
+    """The transactional twin of ``curate_to_silver``: identical
+    event-time derivation and replace-touched-partitions semantics, but
+    each curation commits atomically through the txn log — so curation
+    re-runs, a live compaction, and readers never see half a day, and
+    every curation is time-travelable (``txn.read_table(path,
+    version=...)``). Returns the committed version."""
+    from wikistream_lakehouse_spark.lakehouse.txn import replace_partitions
+
+    curated = derive_event_time_columns(raw, ts_col)
+    parts = ["yyyy", "mm", "dd"]
+    if keep_source_partition:
+        if "ds" not in curated.columns:
+            raise ValueError("keep_source_partition=True requires a `ds` column")
+        parts.append("ds")
+    return replace_partitions(
+        raw.sparkSession, table_path, curated, partition_by=parts
+    )
+
+
 def recover_partitions(spark, table_name: str) -> None:
     """Catalog partition registration — the engine-side replacement for
     `MSCK REPAIR TABLE` (dag/wiki_pipeline_dag.py:83-89)."""

@@ -81,6 +81,7 @@ def all_queries() -> dict[str, Query]:
         relational,
         sampling,
         similarity,
+        skew,
         streaming_windows,
         text,
         wiki,

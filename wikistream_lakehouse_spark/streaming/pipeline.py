@@ -10,6 +10,7 @@ from pyspark.sql.streaming import StreamingQuery
 
 from wikistream_lakehouse_spark.lakehouse.bronze import with_processing_date
 from wikistream_lakehouse_spark.lakehouse.merge import upsert_parquet
+from wikistream_lakehouse_spark.lakehouse.txn import transactional_upsert
 
 
 def bronze_sink(
@@ -156,6 +157,7 @@ def txn_append_sink(
     app_id: str = "stream",
     trigger_secs: int = 10,
     available_now: bool = False,
+    partition_by: list[str] | None = None,
 ) -> StreamingQuery:
     """Exactly-once streaming append into a transactional table
     (lakehouse/txn.py) — the Delta ``txn`` appId/version pattern.
@@ -224,6 +226,7 @@ def txn_append_sink(
                     "rows": n_rows,
                     "fingerprint": fingerprint,
                 },
+                partition_by=partition_by,
             )
         finally:
             batch_df.unpersist()
@@ -248,12 +251,20 @@ def gold_merge_sink(
     trigger_secs: int = 10,
     available_now: bool = False,
     version_col: str | None = None,
+    substrate: str = "txn",
 ) -> StreamingQuery:
     """Streaming gold via foreachBatch MERGE (K5): each micro-batch
     upserts its (complete-so-far) aggregate rows into the serving table —
     the engine form of the Postgres ON CONFLICT loop
     (upsert_athena_aggregates.py:87-110), set-based and idempotent, so
     batch replay after failure converges instead of double-counting.
+
+    The default target is a TRANSACTIONAL table (lakehouse/txn.py): the
+    merge commits through the log, so the serving store tolerates
+    concurrent writers (another stream, a backfill job, compaction) and
+    readers always see a complete snapshot — read it back with
+    ``txn.read_table``. ``substrate="parquet"`` keeps the plain-directory
+    export form (single-writer; external readers only).
 
     Update-mode aggregate input emits at most one row per key per
     micro-batch, so no within-batch conflict exists on that path. For
@@ -262,6 +273,8 @@ def gold_merge_sink(
     the batch then keeps the row with the greatest version per key —
     deterministic, unlike ``dropDuplicates`` which keeps an arbitrary one.
     """
+    if substrate not in ("txn", "parquet"):
+        raise ValueError(f"substrate must be 'txn' or 'parquet', got {substrate!r}")
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -276,7 +289,10 @@ def gold_merge_sink(
         else:
             # safety net only — see docstring contract
             dedup = batch_df.dropDuplicates(keys)
-        upsert_parquet(batch_df.sparkSession, target_path, dedup, keys)
+        if substrate == "txn":
+            transactional_upsert(batch_df.sparkSession, target_path, dedup, keys)
+        else:
+            upsert_parquet(batch_df.sparkSession, target_path, dedup, keys)
 
     writer = (
         agg.writeStream.foreachBatch(merge_batch)

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from wikistream_lakehouse_spark.lakehouse.merge import upsert_parquet
+from wikistream_lakehouse_spark.lakehouse.merge import upsert
 from wikistream_lakehouse_spark.lakehouse.silver import curate_to_silver
 from wikistream_lakehouse_spark.schema import WIKI_EVENT_SCHEMA
 from wikistream_lakehouse_spark.streaming.pipeline import bronze_sink
@@ -86,11 +86,14 @@ def run_daily_batch(
 ) -> None:
     """The whole Airflow DAG (dag/wiki_pipeline_dag.py:60-94: crawl →
     curate → msck → ctas → rds) as one re-runnable function call:
-    curation is partition-overwrite idempotent, gold overwrites its ds
-    partition, serving MERGEs — a retry at any point converges (the
-    DAG's `retries=1` becomes a property of the jobs, not the scheduler).
-    The crawler/MSCK steps vanish: schema travels with parquet
-    (mergeSchema for evolution) and partitions self-register on read."""
+    curation is partition-overwrite idempotent, gold commits an atomic
+    ds-partition replace through the txn log, serving MERGEs through the
+    same log — a retry at any point converges (the DAG's `retries=1`
+    becomes a property of the jobs, not the scheduler), and the gold +
+    serving tables stay safe under concurrent writers. Read them back
+    with ``txn.read_table``. The crawler/MSCK steps vanish: schema
+    travels with parquet (mergeSchema for evolution) and partitions
+    self-register on read."""
     from wikistream_lakehouse_spark.lakehouse.gold import build_daily_gold
 
     curate_wiki_silver(spark, bronze_path, silver_path)
@@ -106,7 +109,68 @@ def serve_daily_editors(
 ) -> None:
     """§3.3 engine equivalent: aggregate → MERGE on (dt, username) — the
     whole Athena poll/paginate/Postgres row-loop disappears into one
-    set-based upsert."""
+    set-based upsert, committed through the transactional log (the
+    serving layer's atomicity IS the product; see lakehouse/merge.py).
+    Read the serving table with ``txn.read_table``."""
     silver = spark.read.parquet(silver_path)
     agg = daily_editor_aggregate(silver, ds)
-    upsert_parquet(spark, serving_path, agg, keys=["dt", "username"])
+    upsert(spark, serving_path, agg, keys=["dt", "username"])
+
+
+# --------------------------------------------------------------------------
+# Fully-transactional pipeline: every zone is a txn table
+# --------------------------------------------------------------------------
+
+
+def ingest_wiki_stream_txn(
+    spark: SparkSession,
+    source_dir: str,
+    bronze_table: str,
+    checkpoint: str,
+    available_now: bool = True,
+    app_id: str = "wiki-bronze",
+) -> StreamingQuery:
+    """§3.1 with a transactional bronze: exactly-once micro-batch appends
+    (content-fingerprinted batch identity) into a ds-partitioned txn
+    table — replayable audit log that tolerates concurrent compaction."""
+    from wikistream_lakehouse_spark.lakehouse.bronze import with_processing_date
+    from wikistream_lakehouse_spark.streaming.pipeline import txn_append_sink
+
+    raw = file_replay_stream(spark, source_dir, WIKI_EVENT_SCHEMA)
+    events = with_processing_date(project_wiki_record(raw))
+    return txn_append_sink(
+        events,
+        bronze_table,
+        checkpoint,
+        app_id=app_id,
+        available_now=available_now,
+        partition_by=["ds"],
+    )
+
+
+def run_daily_batch_txn(
+    spark: SparkSession,
+    bronze_table: str,
+    silver_table: str,
+    gold_table: str,
+    serving_table: str,
+    ds: str,
+) -> None:
+    """The whole daily DAG over transactional tables END-TO-END: bronze
+    snapshot → silver replace_partitions → gold replace_partitions →
+    serving merge, each an atomic commit. Any step can race a concurrent
+    writer (another day's build, compaction, a streaming appender) and
+    every reader sees complete snapshots only."""
+    from wikistream_lakehouse_spark.lakehouse.gold import build_daily_gold
+    from wikistream_lakehouse_spark.lakehouse.silver import curate_to_silver_txn
+    from wikistream_lakehouse_spark.lakehouse.txn import read_table
+
+    bronze = read_table(spark, bronze_table)
+    curated = bronze.withColumn("ts", F.to_timestamp(F.from_unixtime("timestamp")))
+    curate_to_silver_txn(curated.drop("ds"), silver_table, ts_col="ts")
+    silver = read_table(spark, silver_table)
+    build_daily_gold(
+        silver, gold_table, ds, title_col="title", user_col="user", ts_col="ts"
+    )
+    agg = daily_editor_aggregate(silver, ds)
+    upsert(spark, serving_table, agg, keys=["dt", "username"])

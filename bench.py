@@ -98,6 +98,34 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     spark.stop()
 
+    # Full-detail artifact (VERDICT r4 #4): the stdout payload below is
+    # tail-capture-truncated to the slowest ~60 queries, which hid
+    # round-over-round regressions in everything under ~0.33 s. Persist
+    # EVERY query's median + per-query spread (4dp) to a committed file
+    # so verdicts can diff the complete set.
+    detail = {
+        "metric": "headline_query_set_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "sf": infer_sf(sf_dir),
+        "runs": n_runs,
+        "queries": {
+            n: {
+                "median": round(median(ts), 4),
+                "range": round(max(ts) - min(ts), 4),
+            }
+            for n, ts in sorted(samples.items())
+            if ts
+        },
+        "errors": errors,
+    }
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL", os.path.join(REPO_DIR, "BENCH_detail.json")
+    )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(f"bench: full detail -> {detail_path}", file=sys.stderr)
+
     def payload_for(qs_shown: dict[str, float]) -> str:
         body = {
             "metric": "headline_query_set_wall_clock",

@@ -8,7 +8,10 @@ wall-clock ratios.  Near-linear scaling at 10× data is ≤ ~12×; anything
 above is an offender to name in SCALING.md.
 
     python scripts/scale_bench.py --small /root/testdata/sf0.1 \
-        --big .localdata/sf1 --runs 2 --out scaling_raw.json
+        --big .localdata/sf1 --runs 3 --out scaling_raw.json
+
+Per-query time is the across-run MEDIAN — the same protocol as
+bench.py, so scaling ratios and bench numbers are comparable.
 
 Each scale factor gets its own FRESH SparkSession (same conf), so AQE
 statistics, parquet footer caches, and broadcast decisions are per-SF —
@@ -76,14 +79,22 @@ def time_sweep(sf_dir: str, names: list[str], runs: int) -> dict[str, float]:
                 print(f"{sf_dir}: {n} FAILED: {exc}", file=sys.stderr)
                 samples[n].append(float("nan"))
     spark.stop()
-    return {n: min(ts) for n, ts in samples.items()}  # best-of: least noise
+
+    def median(xs: list[float]) -> float:
+        xs = sorted(xs)
+        mid = len(xs) // 2
+        return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
+
+    # median-of-N: the same protocol as bench.py (VERDICT r4 #4 asked to
+    # unify — best-of-N reported slightly optimistic ratios)
+    return {n: median(ts) for n, ts in samples.items()}
 
 
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--small", default="/root/testdata/sf0.1")
     ap.add_argument("--big", default=os.path.join(REPO, ".localdata/sf1"))
-    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--queries", nargs="*", default=DEFAULT_QUERIES)
     ap.add_argument("--out", default=os.path.join(REPO, ".localdata/scaling_raw.json"))
     args = ap.parse_args()

@@ -378,3 +378,82 @@ def test_checkpoint_bounds_validation_reads(spark, tmp_path):
         f.write("garbage")
     assert current_version(t) == 5
     assert snapshot(spark, t).count() == 6
+
+
+# --------------------------------------------------------------------------
+# Conversion + change feed
+# --------------------------------------------------------------------------
+
+
+def test_convert_plain_partitioned_dir_to_txn_in_place(spark, tmp_path):
+    """CONVERT TO DELTA analogue: an existing hive-partitioned parquet
+    directory becomes version 0 by MOVING files (no copy), partition
+    layout preserved and prunable; full txn semantics afterwards."""
+    from wikistream_lakehouse_spark.lakehouse.txn import convert_to_txn
+
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d2"), (3, "c", "d2")],
+        "k long, v string, ds string",
+    )
+    df.write.partitionBy("ds").parquet(t)
+    before = {tuple(r) for r in spark.read.parquet(t).collect()}
+
+    assert convert_to_txn(spark, t) == 0
+    got = read_table(spark, t)
+    assert {tuple(r) for r in got.select("k", "v", "ds").collect()} == {
+        tuple(r) for r in spark.createDataFrame(sorted(before), "k long, v string, ds string").collect()
+    }
+    # partitioning carried over: appends inherit it, replace works
+    append(df.filter("ds = 'd1'").selectExpr("k + 10 as k", "v", "ds"), t)
+    assert read_table(spark, t).count() == 4
+    replace_partitions(spark, t, spark.createDataFrame([(9, "z", "d2")], "k long, v string, ds string"))
+    state = {(r.k, r.ds) for r in read_table(spark, t).collect()}
+    assert state == {(1, "d1"), (11, "d1"), (9, "d2")}
+    with pytest.raises(ValueError, match="already has a transaction log"):
+        convert_to_txn(spark, t)
+
+
+def test_convert_flat_dir_and_reject_mixed(spark, tmp_path):
+    from wikistream_lakehouse_spark.lakehouse.txn import convert_to_txn
+
+    t = str(tmp_path / "flat")
+    _df(spark, [(1, "a"), (2, "b")]).write.parquet(t)
+    convert_to_txn(spark, t)
+    assert read_table(spark, t).count() == 2
+    assert history(t)[0]["op"] == "convert"
+
+
+def test_table_changes_delivers_exactly_the_appended_rows(spark, tmp_path):
+    """Incremental consumers read (from, to] deltas: appends show up
+    exactly once, compaction is invisible (content-preserving), mutating
+    commits and vacuumed-away deltas fail loudly."""
+    from wikistream_lakehouse_spark.lakehouse.txn import table_changes
+
+    t = str(tmp_path / "t")
+    append(_df(spark, [(1, "a")]), t)                     # v0
+    append(_df(spark, [(2, "b"), (3, "c")]), t)           # v1
+    delta = table_changes(spark, t, from_version=0)
+    assert sorted(r.k for r in delta.collect()) == [2, 3]
+
+    compacted = compact(spark, t, target_file_bytes=1 << 40)  # v2
+    assert compacted == 2
+    append(_df(spark, [(4, "d")]), t)                     # v3
+    # consumer at v1: sees ONLY the v3 append; compact contributes nothing
+    delta = table_changes(spark, t, from_version=1)
+    assert sorted(r.k for r in delta.collect()) == [4]
+    # empty range → empty frame with the right schema
+    empty = table_changes(spark, t, from_version=3)
+    assert empty.count() == 0 and set(empty.columns) == {"k", "v"}
+
+    # a mutating commit poisons the range, loudly
+    transactional_upsert(spark, t, _df(spark, [(1, "A")]), keys=["k"])  # v4
+    with pytest.raises(ValueError, match="content-changing"):
+        table_changes(spark, t, from_version=3)
+    # but ranges BEFORE it still work
+    assert sorted(r.k for r in table_changes(spark, t, 1, 3).collect()) == [4]
+
+    # vacuumed-away delta files fail loudly, not silently-empty
+    vacuum(t, retain_versions=1, orphan_grace_secs=0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        table_changes(spark, t, from_version=0, to_version=1)

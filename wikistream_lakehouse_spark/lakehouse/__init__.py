@@ -25,9 +25,12 @@ from wikistream_lakehouse_spark.lakehouse.silver import (
 from wikistream_lakehouse_spark.lakehouse.txn import (
     append,
     compact,
+    convert_to_txn,
+    history,
     read_table,
     replace_partitions,
     snapshot,
+    table_changes,
     transactional_upsert,
     vacuum,
 )
@@ -42,9 +45,12 @@ __all__ = [
     "upsert_parquet",
     "append",
     "compact",
+    "convert_to_txn",
+    "history",
     "read_table",
     "replace_partitions",
     "snapshot",
+    "table_changes",
     "transactional_upsert",
     "vacuum",
 ]

@@ -850,6 +850,133 @@ def compact(
     raise CommitConflict(f"compact conflicted {max_retries} times")
 
 
+def convert_to_txn(
+    spark: SparkSession,
+    path: str,
+    store: LogStore | None = None,
+) -> int:
+    """Adopt an EXISTING plain parquet directory (flat or
+    hive-partitioned) as version 0 of a transactional table, in place:
+    files are MOVED (rename, no copy) under a commit subdirectory with
+    their partition paths preserved, then committed atomically. The
+    Delta ``CONVERT TO DELTA`` analogue.
+
+    Single-writer operation: run it once, with no concurrent readers or
+    writers on the directory (they would observe files mid-move —
+    conversion is a migration step, not a live op). After it returns,
+    the table has full txn semantics and the old plain-directory readers
+    must switch to ``read_table``.
+    """
+    if _claimed_versions(path, store):
+        raise ValueError(f"{path} already has a transaction log")
+    sub = f"{_COMMIT_COL}=gconvert{uuid.uuid4().hex[:6]}"
+    moved: list[str] = []
+    partition_cols: list[str] = []
+    flat_files = False
+    for root, _dirs, files in os.walk(path):
+        rel_root = os.path.relpath(root, path)
+        if rel_root.startswith(_COMMIT_COL + "="):
+            continue
+        segs = [] if rel_root == "." else rel_root.split(os.sep)
+        if any("=" not in s for s in segs):
+            raise ValueError(
+                f"non-hive subdirectory {rel_root!r} under {path}: "
+                "convert_to_txn supports flat or hive-partitioned layouts"
+            )
+        cols = [s.split("=", 1)[0] for s in segs]
+        if cols:
+            if partition_cols and cols != partition_cols:
+                raise ValueError(
+                    f"inconsistent partition layout: {cols} vs {partition_cols}"
+                )
+            partition_cols = cols
+        for n in files:
+            if not n.endswith(".parquet") or n.startswith(("_", ".")):
+                continue
+            flat_files = flat_files or not segs
+            new_rel = os.path.join(sub, rel_root, n) if segs else os.path.join(sub, n)
+            os.makedirs(os.path.dirname(os.path.join(path, new_rel)), exist_ok=True)
+            os.rename(os.path.join(root, n), os.path.join(path, new_rel))
+            moved.append(new_rel.replace(os.sep, "/"))
+    if not moved:
+        raise ValueError(f"no parquet files to convert under {path}")
+    if flat_files and partition_cols:
+        raise ValueError(
+            f"{path} mixes top-level parquet files with partition "
+            "directories — resolve the layout before converting"
+        )
+    # drop the now-empty original partition dirs (cosmetic)
+    for root, dirs, files in os.walk(path, topdown=False):
+        rel_root = os.path.relpath(root, path)
+        if rel_root != "." and not rel_root.startswith(_COMMIT_COL + "=") and \
+                not dirs and not files:
+            os.rmdir(root)
+    entry = _entry("convert", sorted(moved), [], partition_cols, None)
+    if not _try_commit(path, 0, entry, store):
+        raise CommitConflict(f"lost the v0 race converting {path}")
+    return 0
+
+
+def table_changes(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+    store: LogStore | None = None,
+) -> DataFrame:
+    """Incremental consumption: the rows APPENDED in versions
+    ``(from_version, to_version]`` — the change-data-feed for
+    append-style tables (streaming bronze, audit logs). A downstream
+    consumer remembers the last version it processed and reads exactly
+    the delta, never rescanning the table.
+
+    Correct across ``compact`` (content-preserving: its adds are
+    rewrites of already-delivered rows and are excluded) and across
+    concurrent appends (each append's files are immutable). Raises for
+    ranges containing content-CHANGING commits (merge / rewrite /
+    replace_partitions) — their row-level deltas aren't recoverable from
+    a file-granular log; consumers of mutable tables should diff
+    snapshots instead. Also raises if a needed append's files were
+    already vacuumed (retention must cover the consumer's lag).
+    """
+    upto = current_version(table_path, store) if to_version is None else to_version
+    files: list[str] = []
+    mutating: list[tuple[int, str]] = []
+    for v in _committed_versions(table_path, store):
+        if v <= from_version or v > upto:
+            continue
+        e = _load_entry(table_path, v, store) or {}
+        op = e.get("op")
+        if op in ("append", "convert"):
+            files.extend(e.get("add", []))
+        elif op == "compact":
+            continue  # rewrite of already-delivered rows
+        else:
+            mutating.append((v, op))
+    if mutating:
+        raise ValueError(
+            f"range ({from_version}, {upto}] contains content-changing "
+            f"commits {mutating}: file-granular change feed only covers "
+            "append-style tables; diff snapshots for mutable ones"
+        )
+    missing = [f for f in files if not os.path.exists(os.path.join(table_path, f))]
+    if missing:
+        raise ValueError(
+            f"change files already vacuumed: {missing[:3]}... — raise "
+            "vacuum retention above the consumer's version lag"
+        )
+    if not files:
+        sch = _table_schema(spark, table_path, store)
+        if sch is None:
+            raise ValueError(f"no committed data in {table_path}")
+        return spark.createDataFrame([], sch)
+    return (
+        spark.read.option("basePath", table_path)
+        .parquet(*(os.path.join(table_path, f) for f in files))
+        .drop(_COMMIT_COL)
+    )
+
+
 def transactional_upsert(
     spark: SparkSession,
     table_path: str,

@@ -457,3 +457,43 @@ def test_table_changes_delivers_exactly_the_appended_rows(spark, tmp_path):
     vacuum(t, retain_versions=1, orphan_grace_secs=0)
     with pytest.raises(ValueError, match="vacuumed"):
         table_changes(spark, t, from_version=0, to_version=1)
+
+
+def test_compact_zorder_by_tightens_per_file_ranges(spark, tmp_path):
+    """OPTIMIZE ZORDER BY on the txn substrate: content unchanged, one
+    compact commit, and the rewritten files cover contiguous Morton
+    segments — per-file min/max ranges are tight in BOTH z-columns
+    (the property parquet row-group skipping needs at 100 TB)."""
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "t")
+    df = spark.range(16384).selectExpr(
+        "id % 128 as x", "cast(id / 128 as long) as y", "id as payload"
+    )
+    append(df, t)
+    before = {tuple(r) for r in read_table(spark, t).collect()}
+    v = compact(spark, t, target_file_bytes=16 * 1024, zorder_by=["x", "y"])
+    assert v is not None
+    assert history(t)[-1]["op"] == "compact"
+    assert {tuple(r) for r in read_table(spark, t).collect()} == before
+
+    files = _replay(t, current_version(t))
+    assert len(files) > 1, "need multiple output files to assess layout"
+    spans = {"x": [], "y": []}
+    for rel in files:
+        md = pq.read_metadata(os.path.join(t, rel))
+        stats = {}
+        for i in range(md.num_columns):
+            col = md.row_group(0).column(i)
+            lo, hi = col.statistics.min, col.statistics.max
+            for g in range(1, md.num_row_groups):
+                c2 = md.row_group(g).column(i)
+                lo, hi = min(lo, c2.statistics.min), max(hi, c2.statistics.max)
+            stats[col.path_in_schema] = (lo, hi)
+        for c, dom in (("x", 128), ("y", 128)):
+            lo, hi = stats[c]
+            spans[c].append((hi - lo) / dom)
+    # z-order: BOTH columns' per-file spans average well under the
+    # full domain (a single-column sort leaves the other near 1.0)
+    assert sum(spans["x"]) / len(spans["x"]) < 0.75
+    assert sum(spans["y"]) / len(spans["y"]) < 0.75

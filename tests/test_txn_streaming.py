@@ -121,3 +121,30 @@ def test_new_data_still_appends_after_replay(spark, tmp_path):
     got = snapshot(spark, str(table))
     assert got.count() == 2 * ROWS
     assert got.agg(F.max("id")).first()[0] == 2 * ROWS - 1
+
+
+def test_stream_auto_checkpoints_the_commit_log(spark, tmp_path):
+    """Long-running streams must not grow the log replay unboundedly:
+    every checkpoint_every-th commit writes a log checkpoint, invisible
+    to results."""
+    from wikistream_lakehouse_spark.lakehouse.txn import _latest_checkpoint
+
+    src = tmp_path / "src"
+    for f in range(6):
+        write_ndjson(
+            src / f"part-{f}.ndjson", [wiki_event(f * 5 + i) for i in range(5)]
+        )
+    table = tmp_path / "table"
+    stream = file_replay_stream(spark, str(src), WIKI_EVENT_SCHEMA)
+    q = txn_append_sink(
+        stream,
+        str(table),
+        str(tmp_path / "ckpt"),
+        app_id="auto-cp",
+        available_now=True,
+        checkpoint_every=2,
+    )
+    q.awaitTermination(300)
+    cp = _latest_checkpoint(str(table))
+    assert cp is not None and cp[0] >= 2
+    assert snapshot(spark, str(table)).count() == 30

@@ -815,6 +815,7 @@ def compact(
     table_path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     max_retries: int = 8,
+    zorder_by: list[str] | None = None,
     store: LogStore | None = None,
 ) -> int | None:
     """OPTIMIZE on the transactional substrate: rewrite the current
@@ -824,6 +825,13 @@ def compact(
     conflict; compaction re-reads the new snapshot (now including the
     racer's rows) and retries — and the conflicted attempt's files are
     cleaned up by ``rewrite`` itself, so lost races cost no space.
+
+    ``zorder_by`` = the Delta ``OPTIMIZE ... ZORDER BY`` form: output
+    files cover contiguous segments of the Morton curve over those
+    columns (lakehouse/zorder.zvalue), so parquet min/max footer stats
+    prune files for MULTI-column predicates. A z-order pass always
+    rewrites (it exists to change layout, not just file count).
+
     Returns the committed version, or None when already compact / empty.
     """
     pb = _current_partitioning(table_path, store)
@@ -838,9 +846,20 @@ def compact(
             if os.path.exists(os.path.join(table_path, f))
         )
         n_out = max(1, -(-total // target_file_bytes))  # ceil
-        if len(files) <= n_out:
+        if len(files) <= n_out and not zorder_by:
             return None
-        df = snapshot(spark, table_path, base, store).coalesce(int(n_out))
+        df = snapshot(spark, table_path, base, store)
+        if zorder_by:
+            from wikistream_lakehouse_spark.lakehouse.zorder import zvalue
+
+            df = (
+                df.withColumn("__z", zvalue(df, zorder_by))
+                .repartitionByRange(int(n_out), "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        else:
+            df = df.coalesce(int(n_out))
         try:
             return rewrite(
                 df, table_path, base, op="compact", partition_by=pb, store=store

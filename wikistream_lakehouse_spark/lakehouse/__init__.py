@@ -13,6 +13,12 @@ export forms for external readers.
 """
 
 from wikistream_lakehouse_spark.lakehouse.bronze import write_bronze
+from wikistream_lakehouse_spark.lakehouse.incremental import (
+    incremental_avg_view,
+    read_view,
+    refresh_aggregate,
+    view_lag,
+)
 from wikistream_lakehouse_spark.lakehouse.gold import (
     build_daily_gold,
     build_daily_gold_parquet,
@@ -37,6 +43,10 @@ from wikistream_lakehouse_spark.lakehouse.txn import (
 
 __all__ = [
     "write_bronze",
+    "refresh_aggregate",
+    "incremental_avg_view",
+    "read_view",
+    "view_lag",
     "curate_to_silver",
     "curate_to_silver_txn",
     "build_daily_gold",

@@ -622,6 +622,7 @@ def rewrite(
     op: str = "rewrite",
     enforce_schema: bool = True,
     partition_by: list[str] | None = None,
+    meta: dict | None = None,
     store: LogStore | None = None,
 ) -> int:
     """Commit ``df`` as the FULL new table state, valid only if nothing
@@ -639,7 +640,7 @@ def rewrite(
         _check_schema(df, table_path, store)
     adds, sub = _write_data_files(df, table_path, pb)
     removes = _replay(table_path, base_version, store)
-    entry = _entry(op, adds, removes, pb, None)
+    entry = _entry(op, adds, removes, pb, meta)
     v = base_version + 1
     if current_version(table_path, store) != base_version or not _try_commit(
         table_path, v, entry, store

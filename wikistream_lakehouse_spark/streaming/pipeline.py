@@ -159,6 +159,7 @@ def txn_append_sink(
     available_now: bool = False,
     partition_by: list[str] | None = None,
     checkpoint_every: int = 16,
+    maintain_views: list | None = None,
 ) -> StreamingQuery:
     """Exactly-once streaming append into a transactional table
     (lakehouse/txn.py) — the Delta ``txn`` appId/version pattern.
@@ -191,12 +192,25 @@ def txn_append_sink(
     (the Delta 10-commit convention), so a long-running stream keeps
     the table's planning cost at O(commits since checkpoint) instead of
     O(total micro-batches) — without any operator intervention.
+
+    ``maintain_views`` (list of ``incremental.ViewSpec``): serving
+    aggregates folded forward after each committed batch — the
+    continuously-maintained materialized-view form of the reference's
+    per-DAG-run serving rebuild. View refresh is idempotent and carries
+    its own offset, so a crash between append and refresh simply makes
+    the next batch's refresh fold two deltas; a skipped (replayed)
+    batch still triggers a refresh so views catch up even when no new
+    source commit lands.
     """
     from wikistream_lakehouse_spark.lakehouse.txn import (
         append,
         checkpoint as txn_checkpoint,
         committed_meta,
     )
+
+    def refresh_views(spark) -> None:
+        for view in maintain_views or ():
+            view.refresh(spark, table_path)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -218,7 +232,10 @@ def txn_append_sink(
                 if (m.get("app_id"), m.get("batch_id")) != (app_id, batch_id):
                     continue
                 if m.get("fingerprint", fingerprint) == fingerprint:
-                    return  # true replay of an already-committed batch
+                    # true replay of an already-committed batch: skip the
+                    # append but still let views catch up to it
+                    refresh_views(batch_df.sparkSession)
+                    return
                 raise ValueError(
                     f"batch {batch_id} of app_id={app_id!r} was already "
                     f"committed with DIFFERENT content (committed "
@@ -240,6 +257,7 @@ def txn_append_sink(
             )
             if checkpoint_every and version % checkpoint_every == 0 and version > 0:
                 txn_checkpoint(table_path)
+            refresh_views(batch_df.sparkSession)
         finally:
             batch_df.unpersist()
 

@@ -129,10 +129,13 @@ def ingest_wiki_stream_txn(
     checkpoint: str,
     available_now: bool = True,
     app_id: str = "wiki-bronze",
+    maintain_views: list | None = None,
 ) -> StreamingQuery:
     """§3.1 with a transactional bronze: exactly-once micro-batch appends
     (content-fingerprinted batch identity) into a ds-partitioned txn
-    table — replayable audit log that tolerates concurrent compaction."""
+    table — replayable audit log that tolerates concurrent compaction.
+    ``maintain_views``: incremental serving views folded forward per
+    micro-batch (see ``wiki_serving_view_spec``)."""
     from wikistream_lakehouse_spark.lakehouse.bronze import with_processing_date
     from wikistream_lakehouse_spark.streaming.pipeline import txn_append_sink
 
@@ -145,6 +148,23 @@ def ingest_wiki_stream_txn(
         app_id=app_id,
         available_now=available_now,
         partition_by=["ds"],
+        maintain_views=maintain_views,
+    )
+
+
+def wiki_serving_view_spec(serving_view: str):
+    """The §3.3 serving aggregate as a declared ViewSpec, for continuous
+    per-micro-batch maintenance by ``ingest_wiki_stream_txn``."""
+    from wikistream_lakehouse_spark.lakehouse.incremental import ViewSpec
+
+    return ViewSpec(
+        path=serving_view,
+        group_by=(
+            "to_date(to_timestamp(from_unixtime(timestamp))) AS dt",
+            "user AS username",
+        ),
+        measures={"edits": ("count", "1")},
+        where="NOT coalesce(bot, false)",
     )
 
 
@@ -174,3 +194,17 @@ def run_daily_batch_txn(
     )
     agg = daily_editor_aggregate(silver, ds)
     upsert(spark, serving_table, agg, keys=["dt", "username"])
+
+
+def serve_daily_editors_incremental(
+    spark: SparkSession, bronze_table: str, serving_view: str
+) -> int | None:
+    """§3.3 as an INCREMENTAL materialized view: the same bot-excluded
+    (dt, username) → edits serving aggregate the reference rebuilds from
+    the full table every DAG run (upsert_athena_aggregates.py:39-50),
+    maintained here by folding only the bronze rows appended since the
+    last refresh (lakehouse/incremental.py).  At 100 TB this turns the
+    daily serving refresh from a full fact-table scan into a
+    delta-sized job — call it per micro-batch or per day, same result.
+    Returns the new view version (None = already current)."""
+    return wiki_serving_view_spec(serving_view).refresh(spark, bronze_table)

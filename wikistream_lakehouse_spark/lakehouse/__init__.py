@@ -32,12 +32,14 @@ from wikistream_lakehouse_spark.lakehouse.txn import (
     append,
     compact,
     convert_to_txn,
+    delete_where,
     history,
     read_table,
     replace_partitions,
     snapshot,
     table_changes,
     transactional_upsert,
+    update_where,
     vacuum,
 )
 
@@ -56,11 +58,13 @@ __all__ = [
     "append",
     "compact",
     "convert_to_txn",
+    "delete_where",
     "history",
     "read_table",
     "replace_partitions",
     "snapshot",
     "table_changes",
     "transactional_upsert",
+    "update_where",
     "vacuum",
 ]

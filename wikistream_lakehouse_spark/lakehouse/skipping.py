@@ -71,7 +71,10 @@ def _to_float(v) -> float | None:
 
 
 def collect_file_stats(
-    spark: SparkSession, table_path: str, cols: list[str]
+    spark: SparkSession,
+    table_path: str,
+    cols: list[str],
+    files: list[str] | None = None,
 ) -> DataFrame:
     """Build the stats manifest: one row per file with
     ``n_rows`` and ``<col>_min`` / ``<col>_max`` for each stat column.
@@ -79,8 +82,13 @@ def collect_file_stats(
     Footer-only: executors open parquet METADATA (pyarrow), never data
     pages. The file list is parallelized, so manifest build time is
     O(files / executors) regardless of table size.
+
+    ``files`` restricts the manifest to an explicit list (absolute
+    paths) — the txn integration passes the ACTIVE snapshot's files so
+    retired time-travel files never pollute the scan.
     """
-    files = _list_parquet_files(table_path)
+    if files is None:
+        files = _list_parquet_files(table_path)
     if not files:
         raise ValueError(f"no parquet files under {table_path}")
 
@@ -235,3 +243,36 @@ def skipping_scan(
             col = F.col(c)
         df = df.filter((col >= F.lit(lo)) & (col <= F.lit(hi)))
     return df, len(kept), total
+
+
+def txn_skipping_scan(
+    spark: SparkSession,
+    table_path: str,
+    ranges: dict[str, tuple[float, float]],
+    cast: dict[str, str] | None = None,
+    version: int | None = None,
+    store=None,
+) -> tuple[DataFrame, int, int]:
+    """Data skipping over a TRANSACTIONAL table snapshot: the log names
+    the active files (retired time-travel files and in-flight writers'
+    files never pollute the scan), the footer manifest prunes them, and
+    only surviving files are read — the full Delta OPTIMIZE ZORDER +
+    stats-pruning loop: ``txn.append`` → ``txn.compact(zorder_by=[...])``
+    → ``txn_skipping_scan`` with multi-column ranges.
+
+    ``version`` time-travels the scan: pruning runs against THAT
+    snapshot's file set. Returns (DataFrame, files_read, files_total)
+    where files_total is the snapshot's active-file count.
+    """
+    from wikistream_lakehouse_spark.lakehouse import txn
+
+    v = txn.current_version(table_path, store) if version is None else version
+    rels = txn._replay(table_path, v, store)
+    if not rels:
+        raise ValueError(f"no committed data at version {v} in {table_path}")
+    files = [os.path.join(table_path, f) for f in rels]
+    stats = collect_file_stats(spark, table_path, list(ranges), files=files)
+    df, n_read, n_total = skipping_scan(
+        spark, stats, ranges, cast=cast, base_path=table_path
+    )
+    return df.drop(txn._COMMIT_COL), n_read, n_total

@@ -71,6 +71,7 @@ import uuid
 from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 LOG_DIR = "_txnlog"
 _PAD = 20  # zero-padded version filenames sort lexicographically
@@ -411,23 +412,67 @@ def _current_partitioning(
     return []
 
 
+def _is_evolved(table_path: str, store: LogStore | None = None) -> bool:
+    """True if a commit widened the schema (``schemaEvolved`` flag)
+    since the newest FULL rewrite — a full rewrite (compact / merge /
+    mv_refresh) rematerializes every active file with the union schema,
+    so evolution flags before it no longer matter and uniform tables
+    keep the cheap single-footer read path."""
+    full_rewrites = ("rewrite", "compact", "merge", "mv_refresh")
+    for v in reversed(_committed_versions(table_path, store)):
+        e = _load_entry(table_path, v, store) or {}
+        if e.get("schemaEvolved"):
+            return True
+        if e.get("op") in full_rewrites:
+            return False
+    return False
+
+
 def _table_schema(
     spark: SparkSession, table_path: str, store: LogStore | None = None
 ):
     """Schema of the current snapshot (partition columns included), or
-    None for an empty table."""
+    None for an empty table. Evolved tables merge footers across the
+    active set (files may carry different column subsets)."""
     v = current_version(table_path, store)
     if v < 0:
         return None
     files = _replay(table_path, v, store)
     if not files:
         return None
-    return (
-        spark.read.option("basePath", table_path)
-        .parquet(os.path.join(table_path, files[0]))
-        .drop(_COMMIT_COL)
-        .schema
+    reader = spark.read.option("basePath", table_path)
+    if _is_evolved(table_path, store):
+        reader = reader.option("mergeSchema", "true")
+        paths = [os.path.join(table_path, f) for f in files]
+    else:
+        paths = [os.path.join(table_path, files[0])]
+    return reader.parquet(*paths).drop(_COMMIT_COL).schema
+
+
+def _check_schema_widening(
+    df: DataFrame, table_path: str, store: LogStore | None = None
+) -> bool:
+    """Schema check for ``merge_schema`` appends: shared columns must
+    keep their types; NEW columns are allowed (they widen the table) and
+    MISSING columns are allowed (null-filled at read via footer merge).
+    Returns True when the write's column set differs from the table's —
+    i.e. the commit must carry the ``schemaEvolved`` flag."""
+    existing = _table_schema(df.sparkSession, table_path, store)
+    if existing is None:
+        return False
+    want = {f.name: f.dataType.simpleString() for f in existing.fields}
+    got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    conflicts = sorted(
+        n for n in want.keys() & got.keys() if want[n] != got[n]
     )
+    if conflicts:
+        raise ValueError(
+            f"schema evolution for {table_path} may only ADD columns; "
+            f"type changes on {conflicts} are not widening "
+            f"(table {[(n, want[n]) for n in conflicts]}, "
+            f"append {[(n, got[n]) for n in conflicts]})"
+        )
+    return set(want) != set(got)
 
 
 def _check_schema(
@@ -490,11 +535,14 @@ def snapshot(
     files = _replay(table_path, v, store)
     if not files:
         raise ValueError(f"no committed data at version {v} in {table_path}")
-    return (
-        spark.read.option("basePath", table_path)
-        .parquet(*(os.path.join(table_path, f) for f in files))
-        .drop(_COMMIT_COL)
-    )
+    reader = spark.read.option("basePath", table_path)
+    if _is_evolved(table_path, store):
+        # widened tables: files carry different column subsets; union the
+        # footers so missing columns surface as nulls (mergeSchema)
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(
+        *(os.path.join(table_path, f) for f in files)
+    ).drop(_COMMIT_COL)
 
 
 def version_as_of(
@@ -561,6 +609,7 @@ def append(
     max_retries: int = 20,
     meta: dict | None = None,
     partition_by: list[str] | None = None,
+    merge_schema: bool = False,
     store: LogStore | None = None,
 ) -> int:
     """Blind-append ``df`` as a new commit; returns the version written.
@@ -578,21 +627,28 @@ def append(
     Schema is enforced on write, like every transactional format — and
     RE-enforced after every lost commit race, so the loser of a v0
     creation race is validated against the winner's schema, not the
-    empty table it first saw. (Schema evolution would be a log-carried
-    schema + widening rules — deliberately out of scope; the strict
-    contract is the safe default.)
+    empty table it first saw. The strict contract is the default;
+    ``merge_schema=True`` is the Delta ``mergeSchema`` analogue —
+    WIDENING evolution only (new columns allowed, missing columns
+    null-filled at read, type changes always refused). A widening
+    commit carries a ``schemaEvolved`` flag that switches reads of this
+    table to footer-merge mode (files may carry different column
+    subsets; a later compact normalizes them).
     """
     pb = _resolve_partition_by(table_path, partition_by, store)
-    _check_schema(df, table_path, store)
+    check = _check_schema_widening if merge_schema else _check_schema
+    evolved = bool(check(df, table_path, store))
     adds, sub = _write_data_files(df, table_path, pb)
     try:
         for _ in range(max_retries):
             entry = _entry("append", adds, [], pb, meta)
+            if evolved:
+                entry["schemaEvolved"] = True
             v = _next_claim(table_path, store)
             if _try_commit(table_path, v, entry, store):
                 return v
             # lost the race: someone committed — re-validate against them
-            _check_schema(df, table_path, store)
+            evolved = bool(check(df, table_path, store)) or evolved
             pb_now = _current_partitioning(table_path, store)
             if pb_now and pb_now != pb:
                 raise ValueError(
@@ -990,11 +1046,154 @@ def table_changes(
         if sch is None:
             raise ValueError(f"no committed data in {table_path}")
         return spark.createDataFrame([], sch)
-    return (
-        spark.read.option("basePath", table_path)
-        .parquet(*(os.path.join(table_path, f) for f in files))
-        .drop(_COMMIT_COL)
+    return _read_files(spark, table_path, files, store)
+
+
+def _read_files(
+    spark: SparkSession,
+    table_path: str,
+    files: list[str],
+    store: LogStore | None = None,
+) -> DataFrame:
+    reader = spark.read.option("basePath", table_path)
+    if _is_evolved(table_path, store):
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(
+        *(os.path.join(table_path, f) for f in files)
+    ).drop(_COMMIT_COL)
+
+
+def _affected_files(
+    spark: SparkSession,
+    table_path: str,
+    files: list[str],
+    predicate: str,
+    store: LogStore | None = None,
+) -> list[str]:
+    """The subset of ``files`` containing at least one row matching
+    ``predicate`` — ONE distributed scan, driver traffic bounded by the
+    file count (metadata scale). This is DML's file-level pruning: at
+    100 TB a selective predicate over a z-ordered/partitioned table
+    touches a handful of files; every other file survives untouched,
+    byte-identical."""
+    from urllib.parse import unquote, urlparse
+
+    hits = (
+        _read_files(spark, table_path, files, store)
+        .filter(F.coalesce(F.expr(predicate), F.lit(False)))
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
     )
+    by_abs = {os.path.abspath(os.path.join(table_path, f)): f for f in files}
+    rel = []
+    for r in hits:
+        p = r["f"]
+        if p.startswith("file:"):
+            p = unquote(urlparse(p).path)
+        rel.append(by_abs[os.path.abspath(p)])
+    return sorted(rel)
+
+
+def delete_where(
+    spark: SparkSession,
+    table_path: str,
+    predicate: str,
+    max_retries: int = 5,
+    store: LogStore | None = None,
+) -> int | None:
+    """Row-level DELETE, merge-on-write: rewrite ONLY the files that
+    contain matching rows (everything else is untouched — no IO, no new
+    copy), committed as one optimistic version. Returns the committed
+    version, or None when nothing matched (no commit).
+
+    SQL semantics: rows where ``predicate`` is TRUE are deleted; FALSE
+    and NULL rows are kept. Earlier snapshots still show the deleted
+    rows (time travel) until ``vacuum`` reclaims the retired files.
+    A concurrent commit conflicts; the delete re-derives its affected
+    set against the new snapshot and retries — matching rows appended
+    AFTER the delete's snapshot are naturally not covered (serializable
+    commit order decides).
+    """
+    for _ in range(max_retries):
+        base = current_version(table_path, store)
+        if base < 0:
+            raise ValueError(f"no committed data in {table_path}")
+        files = _replay(table_path, base, store)
+        affected = _affected_files(spark, table_path, files, predicate, store)
+        if not affected:
+            return None
+        pb = _current_partitioning(table_path, store)
+        kept = _read_files(spark, table_path, affected, store).filter(
+            ~F.coalesce(F.expr(predicate), F.lit(False))
+        )
+        adds, sub = _write_data_files(kept, table_path, pb)
+        entry = _entry("delete", adds, affected, pb, {"predicate": predicate})
+        if current_version(table_path, store) == base and _try_commit(
+            table_path, base + 1, entry, store
+        ):
+            return base + 1
+        _drop_data_dir(table_path, sub)
+    raise CommitConflict(f"delete conflicted {max_retries} times")
+
+
+def update_where(
+    spark: SparkSession,
+    table_path: str,
+    set_exprs: dict[str, str],
+    predicate: str,
+    max_retries: int = 5,
+    store: LogStore | None = None,
+) -> int | None:
+    """Row-level UPDATE, merge-on-write with the same file-level pruning
+    as ``delete_where``: only files containing matching rows rewrite.
+    ``set_exprs`` maps column -> row-local SQL expression (may reference
+    any column's OLD value, like SQL UPDATE); assignments are cast back
+    to the column's existing type, and the commit is schema-checked, so
+    an update can never morph the table. Updating a partition column is
+    allowed — rewritten rows land in their new hive partitions while
+    the log retires the old files. Returns the committed version, or
+    None when nothing matched."""
+    for _ in range(max_retries):
+        base = current_version(table_path, store)
+        if base < 0:
+            raise ValueError(f"no committed data in {table_path}")
+        files = _replay(table_path, base, store)
+        affected = _affected_files(spark, table_path, files, predicate, store)
+        if not affected:
+            return None
+        pb = _current_partitioning(table_path, store)
+        src = _read_files(spark, table_path, affected, store)
+        unknown = set(set_exprs) - set(src.columns)
+        if unknown:
+            raise ValueError(f"SET targets unknown columns: {sorted(unknown)}")
+        cond = F.coalesce(F.expr(predicate), F.lit(False))
+        types = {f.name: f.dataType for f in src.schema.fields}
+        updated = src.select(
+            *(
+                F.when(cond, F.expr(set_exprs[c]).cast(types[c]))
+                .otherwise(F.col(c))
+                .alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in src.columns
+            )
+        )
+        _check_schema(updated, table_path, store)
+        adds, sub = _write_data_files(updated, table_path, pb)
+        entry = _entry(
+            "update",
+            adds,
+            affected,
+            pb,
+            {"predicate": predicate, "set": dict(set_exprs)},
+        )
+        if current_version(table_path, store) == base and _try_commit(
+            table_path, base + 1, entry, store
+        ):
+            return base + 1
+        _drop_data_dir(table_path, sub)
+    raise CommitConflict(f"update conflicted {max_retries} times")
 
 
 def transactional_upsert(

@@ -328,6 +328,48 @@ def test_approx_distinct_sketches_fold_losslessly(spark, tmp_path):
     assert raw_type == "binary"
 
 
+def test_incremental_medallion_bronze_silver_gold(spark, tmp_path):
+    """The full delta-driven chain: bronze appends → sync_append silver
+    (row-local curation: filter + derived column) → refresh_aggregate
+    gold view on silver. After every pulse each leg is delta-sized, and
+    the gold view equals the full recompute from bronze."""
+    from wikistream_lakehouse_spark.lakehouse.incremental import sync_append
+
+    bronze = str(tmp_path / "bronze")
+    silver = str(tmp_path / "silver")
+    gold = str(tmp_path / "gold")
+    curate = lambda df: df.filter("qty >= 0").withColumn(  # noqa: E731
+        "qty2", F.col("qty") * 2
+    )
+    measures = {"total2": ("sum", "qty2"), "n": ("count", "1")}
+
+    batches = [
+        [("d1", "a", 5), ("d1", "b", -1), ("d2", "a", 7)],  # -1 filtered
+        [("d1", "c", 1), ("d3", "a", 9)],
+        [("d2", "b", -2), ("d2", "c", 11)],
+    ]
+    for batch in batches:
+        txn.append(_src_df(spark, batch), bronze)
+        assert sync_append(spark, bronze, silver, transform=curate) is not None
+        refresh_aggregate(spark, silver, gold, ["day"], measures)
+        expected = (
+            curate(txn.read_table(spark, bronze))
+            .groupBy("day")
+            .agg(F.sum("qty2").alias("total2"), F.count("*").alias("n"))
+        )
+        assert _rows(txn.read_table(spark, gold)) == _rows(expected)
+
+    # idempotent re-run: both legs no-op
+    assert sync_append(spark, bronze, silver, transform=curate) is None
+    assert refresh_aggregate(spark, silver, gold, ["day"], measures) is None
+
+    # an all-filtered delta still advances the silver offset
+    txn.append(_src_df(spark, [("d1", "x", -5)]), bronze)
+    v = sync_append(spark, bronze, silver, transform=curate)
+    assert v is not None
+    assert sync_append(spark, bronze, silver, transform=curate) is None
+
+
 def test_count_skips_nulls_like_sql(spark, tmp_path):
     """count(expr) semantics: a CASE-null expression makes the measure a
     filtered count, and the fold preserves it."""

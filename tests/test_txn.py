@@ -256,7 +256,9 @@ def test_uncommitted_files_invisible(spark, tmp_path):
 
 _ops = st.lists(
     st.tuples(
-        st.sampled_from(["append", "upsert", "compact", "checkpoint"]),
+        st.sampled_from(
+            ["append", "upsert", "compact", "checkpoint", "delete", "update"]
+        ),
         st.lists(
             st.tuples(
                 st.integers(min_value=0, max_value=6),
@@ -279,15 +281,19 @@ _ops = st.lists(
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 def test_log_replay_matches_kv_model(spark, tmp_path_factory, log_store, ops):
-    """Model-based check: any sequence of append/upsert/compact/
-    checkpoint must leave the snapshot equal to a plain dict model
-    (append = putIfAbsent rows become visible duplicates? no — append is
-    multiset add; upsert = put). We model the table as a multiset of
-    (k, v) for appends and assert exact bag equality; compact and
-    checkpoint must be invisible to the model."""
+    """Model-based check: any sequence of append/upsert/delete/update/
+    compact/checkpoint must leave the snapshot equal to a plain dict
+    model (append = multiset add; upsert = put; delete/update =
+    predicate-driven bag edits). Compact and checkpoint must be
+    invisible to the model."""
     from collections import Counter
 
-    from wikistream_lakehouse_spark.lakehouse.txn import checkpoint, compact
+    from wikistream_lakehouse_spark.lakehouse.txn import (
+        checkpoint,
+        compact,
+        delete_where,
+        update_where,
+    )
 
     t = str(tmp_path_factory.mktemp("txnprop") / "t")
     model: Counter = Counter()
@@ -304,6 +310,21 @@ def test_log_replay_matches_kv_model(spark, tmp_path_factory, log_store, ops):
                     {(mk, mv): c for (mk, mv), c in model.items() if mk != k}
                 )
                 model[(k, v)] += 1
+        elif op == "delete":
+            if current_version(t, store=log_store) >= 0:
+                kk = kvs[0][0]
+                delete_where(spark, t, f"k >= {kk}", store=log_store)
+                model = Counter(
+                    {(mk, mv): c for (mk, mv), c in model.items() if mk < kk}
+                )
+        elif op == "update":
+            if current_version(t, store=log_store) >= 0:
+                kk = kvs[0][0]
+                update_where(spark, t, {"v": "'z'"}, f"k <= {kk}", store=log_store)
+                newm: Counter = Counter()
+                for (mk, mv), c in model.items():
+                    newm[(mk, "z" if mk <= kk else mv)] += c
+                model = newm
         elif op == "compact":
             if current_version(t, store=log_store) >= 0:
                 compact(spark, t, target_file_bytes=1 << 40, store=log_store)

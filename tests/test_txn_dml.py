@@ -157,6 +157,22 @@ def test_delete_races_concurrent_append(spark, table):
     assert ks == [3, 4, 5, 6, 7, 8]
 
 
+def test_delete_all_leaves_readable_empty_table(spark, tmp_path):
+    """A delete that matches every row must not brick the table: the
+    commit logs the schema, reads return an empty frame in the table's
+    shape, and the schema contract still binds later appends."""
+    t = str(tmp_path / "t")
+    append(_df(spark, [(1, "a", 1.0), (2, "b", 2.0)]), t)
+    delete_where(spark, t, "k >= 0")
+    df = read_table(spark, t)
+    assert df.count() == 0
+    assert set(df.columns) == {"k", "grp", "v"}
+    with pytest.raises(ValueError, match="schema mismatch"):
+        append(spark.createDataFrame([(1,)], "other long"), t)
+    append(_df(spark, [(9, "z", 9.0)]), t)
+    assert [r.k for r in read_table(spark, t).collect()] == [9]
+
+
 def test_dml_is_change_feed_mutating(spark, table, tmp_path):
     """DML commits are content-changing: an incremental consumer reading
     across one must get a loud error, not a silent mis-fold."""

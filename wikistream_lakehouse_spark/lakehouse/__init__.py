@@ -17,6 +17,7 @@ from wikistream_lakehouse_spark.lakehouse.incremental import (
     incremental_avg_view,
     read_view,
     refresh_aggregate,
+    sync_append,
     view_lag,
 )
 from wikistream_lakehouse_spark.lakehouse.gold import (
@@ -48,6 +49,7 @@ __all__ = [
     "refresh_aggregate",
     "incremental_avg_view",
     "read_view",
+    "sync_append",
     "view_lag",
     "curate_to_silver",
     "curate_to_silver_txn",

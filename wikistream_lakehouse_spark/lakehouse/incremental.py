@@ -341,6 +341,59 @@ def read_view(
     return df.select(*cols)
 
 
+def sync_append(
+    spark: SparkSession,
+    source_path: str,
+    dest_path: str,
+    transform=None,
+    partition_by: list[str] | None = None,
+    store=None,
+) -> int | None:
+    """Incremental append-only sync: apply a ROW-LOCAL ``transform``
+    (filter / project / derive — no aggregates, joins, or windows) to
+    the source rows appended since the last sync and append the result
+    to ``dest_path``.  The bronze→silver leg of an incremental
+    medallion: silver stays an append-style txn table, so a
+    ``refresh_aggregate`` view (the gold leg) chains directly on top —
+    bronze commit → delta-sized silver append → delta-sized gold fold,
+    with no full rescan anywhere.
+
+    Exactly-once via the offset stamped in each dest commit's meta
+    (``sync_source_version``); a re-run with nothing new is a no-op
+    (returns None).  When the delta transforms to zero rows (e.g. all
+    filtered), an empty commit still advances the offset so the delta
+    is never re-read.
+
+    Contract: ONE syncer per destination (the streaming-checkpoint
+    analogue) — appends cannot detect a racing twin the way the view
+    refresh's optimistic rewrite can, so two concurrent syncers of the
+    same source would double-append.  Racing OTHER writers (compaction,
+    appends to dest) is safe.
+    """
+    src_ver = txn.current_version(source_path, store)
+    if src_ver < 0:
+        raise ValueError(f"source table {source_path} has no commits")
+    last = -1
+    for m in txn.committed_meta(dest_path, store):
+        if m.get("sync_source") == source_path:
+            last = max(last, int(m["sync_source_version"]))
+    if src_ver <= last and last >= 0:
+        return None
+    if last < 0:
+        delta = txn.snapshot(spark, source_path, src_ver, store)
+    else:
+        delta = txn.table_changes(spark, source_path, last, src_ver, store)
+    if transform is not None:
+        delta = transform(delta)
+    return txn.append(
+        delta,
+        dest_path,
+        meta={"sync_source": source_path, "sync_source_version": src_ver},
+        partition_by=partition_by,
+        store=store,
+    )
+
+
 def view_lag(source_path: str, view_path: str, store=None) -> int:
     """Monitoring hook: how many source versions the view is behind
     (0 = current).  Cheap: two log-metadata reads, no data IO."""

@@ -428,6 +428,19 @@ def _is_evolved(table_path: str, store: LogStore | None = None) -> bool:
     return False
 
 
+def _logged_schema(table_path: str, store: LogStore | None = None):
+    """Schema recorded in the newest commit that carries one (an
+    empty-result DML stamps ``schemaJson`` so a table emptied by a
+    DELETE keeps its shape), or None."""
+    from pyspark.sql.types import StructType
+
+    for v in reversed(_committed_versions(table_path, store)):
+        s = (_load_entry(table_path, v, store) or {}).get("schemaJson")
+        if s:
+            return StructType.fromJson(json.loads(s))
+    return None
+
+
 def _table_schema(
     spark: SparkSession, table_path: str, store: LogStore | None = None
 ):
@@ -439,7 +452,7 @@ def _table_schema(
         return None
     files = _replay(table_path, v, store)
     if not files:
-        return None
+        return _logged_schema(table_path, store)
     reader = spark.read.option("basePath", table_path)
     if _is_evolved(table_path, store):
         reader = reader.option("mergeSchema", "true")
@@ -534,6 +547,10 @@ def snapshot(
     v = current_version(table_path, store) if version is None else version
     files = _replay(table_path, v, store)
     if not files:
+        # a table emptied by DML stays readable with its logged schema
+        sch = _logged_schema(table_path, store)
+        if sch is not None:
+            return spark.createDataFrame([], sch)
         raise ValueError(f"no committed data at version {v} in {table_path}")
     reader = spark.read.option("basePath", table_path)
     if _is_evolved(table_path, store):
@@ -1129,6 +1146,10 @@ def delete_where(
         )
         adds, sub = _write_data_files(kept, table_path, pb)
         entry = _entry("delete", adds, affected, pb, {"predicate": predicate})
+        if not adds and len(affected) == len(files):
+            # delete emptied the table: log the schema so it stays
+            # readable (and appendable under the same contract)
+            entry["schemaJson"] = kept.schema.json()
         if current_version(table_path, store) == base and _try_commit(
             table_path, base + 1, entry, store
         ):

@@ -1,0 +1,115 @@
+"""Streaming a txn table's change feed through the Python Data Source
+API (streaming/txn_source.py): versions are offsets, so a stream
+delivers each appended row exactly once — across restarts from the same
+checkpoint — skips compactions, and fails loudly on mutating commits."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikistream_lakehouse_spark.lakehouse.txn import (
+    append,
+    compact,
+    delete_where,
+)
+from wikistream_lakehouse_spark.streaming.txn_source import (
+    TxnTableStreamReader,
+    register_txn_source,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def _drain(spark, table, ckpt, out_dir):
+    """One availableNow pulse into a fault-tolerant parquet sink;
+    returns the sink's CUMULATIVE rows as a list (duplicates visible)."""
+    register_txn_source(spark)
+    q = (
+        spark.readStream.format("txn_table")
+        .load(table)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return sorted((r.k, r.v) for r in spark.read.parquet(out_dir).collect())
+
+
+def test_stream_delivers_appends_exactly_once_across_restarts(spark, tmp_path):
+    t = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    append(_df(spark, [(1, "a"), (2, "b")]), t)
+    append(_df(spark, [(3, "c")]), t)
+    assert _drain(spark, t, ckpt, out) == [(1, "a"), (2, "b"), (3, "c")]
+
+    # new appends + a compaction in between; restart from the SAME
+    # checkpoint → exactly the new rows arrive, no replay of the
+    # compacted (already-delivered) data and no duplicates
+    append(_df(spark, [(4, "d")]), t)
+    compact(spark, t, target_file_bytes=1 << 40)
+    append(_df(spark, [(5, "e")]), t)
+    got = _drain(spark, t, ckpt, out)
+    assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")]
+
+
+def test_stream_fails_loudly_on_mutating_commit(spark, tmp_path):
+    t = str(tmp_path / "t")
+    append(_df(spark, [(1, "a"), (2, "b")]), t)
+    _drain(spark, t, str(tmp_path / "ck"), str(tmp_path / "out"))
+    delete_where(spark, t, "k = 1")
+    append(_df(spark, [(9, "z")]), t)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    register_txn_source(spark)
+    q = (
+        spark.readStream.format("txn_table")
+        .load(t)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="content-changing"):
+        q.awaitTermination(300)
+
+
+def test_partitioned_table_refused(spark, tmp_path):
+    t = str(tmp_path / "pt")
+    append(
+        spark.createDataFrame([(1, "d1")], "k long, ds string"),
+        t,
+        partition_by=["ds"],
+    )
+    with pytest.raises(ValueError, match="unpartitioned"):
+        TxnTableStreamReader(t)
+
+
+def test_stream_feeds_windowed_aggregation(spark, tmp_path):
+    """The source composes with ordinary streaming ops: a grouped count
+    over the change feed in update mode."""
+    t = str(tmp_path / "t")
+    append(_df(spark, [(1, "x"), (2, "x"), (3, "y")]), t)
+    append(_df(spark, [(4, "x")]), t)
+    register_txn_source(spark)
+    q = (
+        spark.readStream.format("txn_table")
+        .load(t)
+        .groupBy("v")
+        .agg(F.count("*").alias("n"))
+        .writeStream.format("memory")
+        .queryName("txs_agg")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {r.v: r.n for r in spark.sql("SELECT * FROM txs_agg").collect()}
+    assert got == {"x": 3, "y": 1}

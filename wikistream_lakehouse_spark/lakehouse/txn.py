@@ -79,6 +79,12 @@ _VERSION_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.json$")
 
 
+class ConstraintViolation(Exception):
+    """A write (or ``set_constraint`` itself) found rows failing a CHECK
+    constraint. Nothing was committed; conflicted data files are cleaned
+    up before raising."""
+
+
 class CommitConflict(Exception):
     """A concurrent commit landed after the snapshot this write was
     validated against; re-read and retry the operation."""
@@ -343,6 +349,138 @@ def history(table_path: str, store: LogStore | None = None) -> list[dict]:
 
 
 # --------------------------------------------------------------------------
+# CHECK constraints (Delta `ALTER TABLE ... ADD CONSTRAINT` analogue)
+# --------------------------------------------------------------------------
+
+
+def constraints(table_path: str, store: LogStore | None = None) -> dict[str, str]:
+    """Active CHECK constraints, name -> SQL expression, by replaying
+    ``set_constraint``/``drop_constraint`` metadata commits in version
+    order — the same O(commits) driver-side cost class as ``_replay``."""
+    out: dict[str, str] = {}
+    for v in _committed_versions(table_path, store):
+        e = _load_entry(table_path, v, store) or {}
+        m = e.get("meta") or {}
+        if e.get("op") == "set_constraint":
+            out[m["name"]] = m["expr"]
+        elif e.get("op") == "drop_constraint":
+            out.pop(m["name"], None)
+    return out
+
+
+def set_constraint(
+    spark: SparkSession,
+    table_path: str,
+    name: str,
+    expr: str,
+    max_retries: int = 5,
+    store: LogStore | None = None,
+) -> int:
+    """Add (or replace) a named CHECK constraint: every current AND
+    future row must satisfy ``expr`` under SQL CHECK semantics — a row
+    violates only when the expression evaluates to FALSE; NULL passes
+    (so ``value > 0`` admits null values; spell ``value IS NOT NULL AND
+    value > 0`` for both). NOT NULL is just the CHECK ``col IS NOT
+    NULL`` — one mechanism, like Delta's invariants.
+
+    Existing data is validated first (one column-pruned snapshot scan);
+    the constraint itself is a metadata-only commit, validated
+    optimistically so a racing append of violating rows can't slip
+    under it. Enforcement happens on the write path: append /
+    replace_partitions / rewrite-family (merge, compact, update)
+    validate their WRITTEN files — new-data IO only, never a table
+    rescan — and raise ``ConstraintViolation`` before committing.
+    ``restore`` is exempt (it re-references previously committed
+    state, which may predate the constraint, as in Delta).
+    """
+    for _ in range(max_retries):
+        base = current_version(table_path, store)
+        files = _replay(table_path, base, store) if base >= 0 else []
+        if files:
+            bad = (
+                _read_files(spark, table_path, files, store)
+                .filter(~F.coalesce(F.expr(expr), F.lit(True)))
+                .count()
+            )
+            if bad:
+                raise ConstraintViolation(
+                    f"cannot add constraint {name!r} CHECK ({expr}): "
+                    f"{bad} existing row(s) violate it"
+                )
+        else:
+            F.expr(expr)  # at least require the expression to parse
+        pb = _current_partitioning(table_path, store)
+        entry = _entry(
+            "set_constraint", [], [], pb, {"name": name, "expr": expr}
+        )
+        if current_version(table_path, store) == base and _try_commit(
+            table_path, base + 1, entry, store
+        ):
+            return base + 1
+    raise CommitConflict(f"set_constraint conflicted {max_retries} times")
+
+
+def drop_constraint(
+    table_path: str,
+    name: str,
+    max_retries: int = 5,
+    store: LogStore | None = None,
+) -> int:
+    """Remove a named constraint via a metadata-only commit."""
+    if name not in constraints(table_path, store):
+        raise ValueError(f"no constraint {name!r} on {table_path}")
+    for _ in range(max_retries):
+        base = current_version(table_path, store)
+        pb = _current_partitioning(table_path, store)
+        entry = _entry("drop_constraint", [], [], pb, {"name": name})
+        if current_version(table_path, store) == base and _try_commit(
+            table_path, base + 1, entry, store
+        ):
+            return base + 1
+    raise CommitConflict(f"drop_constraint conflicted {max_retries} times")
+
+
+_METADATA_OPS = ("set_constraint", "drop_constraint")  # no content change
+
+
+def _validate_constraints(
+    spark: SparkSession,
+    table_path: str,
+    adds: list[str],
+    store: LogStore | None = None,
+) -> None:
+    """Enforce every active constraint against just-written (not yet
+    committed) data files: ONE aggregate job over only the new files,
+    column-pruned to the constrained columns — the write-side invariant
+    check stays O(written data) however large the table. Raises
+    ``ConstraintViolation``; callers drop the conflicted data dir."""
+    cons = constraints(table_path, store)
+    if not cons or not adds:
+        return
+    names = sorted(cons)
+    row = (
+        _read_files(spark, table_path, adds, store)
+        .agg(
+            *(
+                F.count(
+                    F.when(~F.coalesce(F.expr(cons[n]), F.lit(True)), 1)
+                ).alias(f"c{i}")
+                for i, n in enumerate(names)
+            )
+        )
+        .first()
+    )
+    bad = {n: int(row[f"c{i}"]) for i, n in enumerate(names) if row[f"c{i}"]}
+    if bad:
+        raise ConstraintViolation(
+            "write violates CHECK constraint(s): "
+            + "; ".join(
+                f"{n!r} CHECK ({cons[n]}): {c} row(s)" for n, c in bad.items()
+            )
+        )
+
+
+# --------------------------------------------------------------------------
 # Data files (always parquet on the table's filesystem)
 # --------------------------------------------------------------------------
 
@@ -412,14 +550,23 @@ def _current_partitioning(
     return []
 
 
-def _is_evolved(table_path: str, store: LogStore | None = None) -> bool:
+def _is_evolved(
+    table_path: str,
+    store: LogStore | None = None,
+    upto: int | None = None,
+) -> bool:
     """True if a commit widened the schema (``schemaEvolved`` flag)
-    since the newest FULL rewrite — a full rewrite (compact / merge /
-    mv_refresh) rematerializes every active file with the union schema,
-    so evolution flags before it no longer matter and uniform tables
-    keep the cheap single-footer read path."""
-    full_rewrites = ("rewrite", "compact", "merge", "mv_refresh")
+    since the newest FULL-state commit — a full rewrite (compact /
+    merge / mv_refresh) rematerializes every active file with the union
+    schema, so evolution flags before it no longer matter and uniform
+    tables keep the cheap single-footer read path. A ``restore`` is
+    also full-state: it carries its own flag when the restored-to
+    snapshot was evolved. ``upto`` evaluates the question at a
+    historical version (time travel / restore planning)."""
+    full_rewrites = ("rewrite", "compact", "merge", "mv_refresh", "restore")
     for v in reversed(_committed_versions(table_path, store)):
+        if upto is not None and v > upto:
+            continue
         e = _load_entry(table_path, v, store) or {}
         if e.get("schemaEvolved"):
             return True
@@ -553,7 +700,7 @@ def snapshot(
             return spark.createDataFrame([], sch)
         raise ValueError(f"no committed data at version {v} in {table_path}")
     reader = spark.read.option("basePath", table_path)
-    if _is_evolved(table_path, store):
+    if _is_evolved(table_path, store, upto=v):
         # widened tables: files carry different column subsets; union the
         # footers so missing columns surface as nulls (mergeSchema)
         reader = reader.option("mergeSchema", "true")
@@ -600,6 +747,70 @@ def read_table(
     if as_of is not None:
         version = version_as_of(table_path, as_of, store)
     return snapshot(spark, table_path, version, store)
+
+
+def restore(
+    table_path: str,
+    version: int | None = None,
+    as_of: "float | str | datetime | None" = None,
+    max_retries: int = 5,
+    store: LogStore | None = None,
+) -> int:
+    """Delta ``RESTORE TABLE ... TO VERSION AS OF`` analogue: roll the
+    table back to a historical snapshot as a NEW commit — history is
+    never rewritten, so the rolled-back-over versions stay
+    time-travelable and an audit sees both the mistake and the recovery.
+
+    Metadata-only and O(changed files) in log size: the commit's add
+    list re-references the target snapshot's files and its remove list
+    retires the files that appeared since — NO data is read, copied, or
+    rewritten, which is what makes "undo the bad backfill" on a 100 TB
+    table a sub-second operation. Requires the target snapshot's files
+    to still exist (``vacuum`` retention covers the undo horizon);
+    raises with the vacuum message otherwise.
+
+    Optimistic like every commit: a racing write moves the version and
+    restore recomputes its file diff against the new state — the racer
+    is then undone too, exactly as if the restore had serialized after
+    it (last writer wins, each atomically)."""
+    if (version is None) == (as_of is None):
+        raise ValueError("pass exactly one of version= or as_of=")
+    if as_of is not None:
+        version = version_as_of(table_path, as_of, store)
+    assert version is not None
+    target = _replay(table_path, version, store)
+    missing = [
+        f for f in target if not os.path.exists(os.path.join(table_path, f))
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot restore {table_path} to v{version}: its files were "
+            f"vacuumed ({missing[:3]}...) — restore horizon is bounded by "
+            "vacuum's retain_versions"
+        )
+    evolved = _is_evolved(table_path, store, upto=version)
+    pb = _current_partitioning(table_path, store)
+    for _ in range(max_retries):
+        base = current_version(table_path, store)
+        if version > base:
+            raise ValueError(f"cannot restore to future version {version}")
+        if version == base:
+            return base  # already there — nothing to commit
+        cur = set(_replay(table_path, base, store))
+        entry = _entry(
+            "restore",
+            sorted(set(target) - cur),
+            sorted(cur - set(target)),
+            pb,
+            {"restoredVersion": version},
+        )
+        if evolved:
+            entry["schemaEvolved"] = True
+        if current_version(table_path, store) == base and _try_commit(
+            table_path, base + 1, entry, store
+        ):
+            return base + 1
+    raise CommitConflict(f"restore conflicted {max_retries} times")
 
 
 # --------------------------------------------------------------------------
@@ -657,6 +868,7 @@ def append(
     evolved = bool(check(df, table_path, store))
     adds, sub = _write_data_files(df, table_path, pb)
     try:
+        _validate_constraints(df.sparkSession, table_path, adds, store)
         for _ in range(max_retries):
             entry = _entry("append", adds, [], pb, meta)
             if evolved:
@@ -712,6 +924,11 @@ def rewrite(
     if enforce_schema:
         _check_schema(df, table_path, store)
     adds, sub = _write_data_files(df, table_path, pb)
+    try:
+        _validate_constraints(df.sparkSession, table_path, adds, store)
+    except BaseException:
+        _drop_data_dir(table_path, sub)
+        raise
     removes = _replay(table_path, base_version, store)
     entry = _entry(op, adds, removes, pb, meta)
     v = base_version + 1
@@ -753,6 +970,7 @@ def replace_partitions(
     adds, sub = _write_data_files(source, table_path, pb)
     new_parts = {_partition_values(p) for p in adds}
     try:
+        _validate_constraints(spark, table_path, adds, store)
         for _ in range(max_retries):
             base = current_version(table_path, store)
             removes = [
@@ -1042,8 +1260,8 @@ def table_changes(
         op = e.get("op")
         if op in ("append", "convert"):
             files.extend(e.get("add", []))
-        elif op == "compact":
-            continue  # rewrite of already-delivered rows
+        elif op == "compact" or op in _METADATA_OPS:
+            continue  # rewrite of already-delivered rows / no content
         else:
             mutating.append((v, op))
     if mutating:
@@ -1202,6 +1420,11 @@ def update_where(
         )
         _check_schema(updated, table_path, store)
         adds, sub = _write_data_files(updated, table_path, pb)
+        try:
+            _validate_constraints(spark, table_path, adds, store)
+        except BaseException:
+            _drop_data_dir(table_path, sub)
+            raise
         entry = _entry(
             "update",
             adds,

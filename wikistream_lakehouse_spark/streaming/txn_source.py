@@ -103,8 +103,8 @@ class TxnTableStreamReader(DataSourceStreamReader):
             op = e.get("op")
             if op in ("append", "convert"):
                 files.extend(e.get("add", []))
-            elif op == "compact":
-                continue
+            elif op == "compact" or op in ("set_constraint", "drop_constraint"):
+                continue  # layout rewrite / metadata-only: no new content
             else:
                 raise ValueError(
                     f"version {v} is a content-changing {op!r} commit: the "

@@ -47,6 +47,15 @@ but never committed). Data files never move or rewrite on commit; a
 merge writes NEW files and retires old ones in the log, which is
 exactly merge-on-write Delta.
 
+Row-level DELETE offers both physical strategies: copy-on-write
+(rewrite only the affected files) and merge-on-read **deletion
+vectors** (``delete_where(..., mode="mor")`` — a parquet sidecar of
+(file, row-index) positions under ``_dv/``, referenced by ``dvAdd`` in
+the commit and anti-joined out by every reader; ``compact`` applies
+them physically and retires them via ``dvRetire``). Checkpoints carry
+the active DV set; ``restore`` rolls it back; ``vacuum`` reclaims
+retired vectors under the same retention contract as data files.
+
 Crash/corruption posture: the atomic publish means this writer can
 never leave a torn commit file. Should one appear anyway (a pre-crash
 from an older writer, external tampering), a torn claim is treated as
@@ -74,6 +83,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 LOG_DIR = "_txnlog"
+_DV_DIR = "_dv"  # deletion-vector sidecar files (merge-on-read deletes)
 _PAD = 20  # zero-padded version filenames sort lexicographically
 _VERSION_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.json$")
@@ -285,17 +295,20 @@ def _next_claim(table_path: str, store: LogStore | None = None) -> int:
     return (claimed[-1] + 1) if claimed else 0
 
 
-def _replay(
+def _replay_state(
     table_path: str, upto: int, store: LogStore | None = None
-) -> list[str]:
-    """Active data files (relative paths) at version ``upto``: start from
-    the newest checkpoint ≤ upto (O(1) read of the precomputed state),
-    then apply only the commits after it."""
+) -> tuple[list[str], list[str]]:
+    """(active data files, active deletion-vector files) at version
+    ``upto``, both table-relative: start from the newest checkpoint
+    ≤ upto (O(1) read of the precomputed state), then apply only the
+    commits after it. DV files accumulate via ``dvAdd`` and drop via
+    ``dvRetire`` (a rewrite-family commit physically applied them)."""
     active: set[str] = set()
+    dvs: set[str] = set()
     start = 0
     cp = _latest_checkpoint(table_path, store)
     if cp is not None and cp[0] <= upto:
-        start, active = cp[0] + 1, set(cp[1])
+        start, active, dvs = cp[0] + 1, set(cp[1]), set(cp[2])
     for v in _committed_versions(table_path, store):
         if v < start:
             continue
@@ -304,7 +317,17 @@ def _replay(
         entry = _load_entry(table_path, v, store) or {}
         active -= set(entry.get("remove", []))
         active |= set(entry.get("add", []))
-    return sorted(active)
+        dvs -= set(entry.get("dvRetire", []))
+        dvs |= set(entry.get("dvAdd", []))
+    return sorted(active), sorted(dvs)
+
+
+def _replay(
+    table_path: str, upto: int, store: LogStore | None = None
+) -> list[str]:
+    """Active data files (relative paths) at version ``upto`` — the
+    file-set view; DV-aware readers use ``_replay_state``."""
+    return _replay_state(table_path, upto, store)[0]
 
 
 def _try_commit(
@@ -395,10 +418,12 @@ def set_constraint(
     """
     for _ in range(max_retries):
         base = current_version(table_path, store)
-        files = _replay(table_path, base, store) if base >= 0 else []
+        files, dvs = (
+            _replay_state(table_path, base, store) if base >= 0 else ([], [])
+        )
         if files:
             bad = (
-                _read_files(spark, table_path, files, store)
+                _read_files(spark, table_path, files, store, dvs=dvs)
                 .filter(~F.coalesce(F.expr(expr), F.lit(True)))
                 .count()
             )
@@ -692,7 +717,7 @@ def snapshot(
     while their files survive ``vacuum`` — i.e. for the newest
     ``retain_versions`` snapshots of the last vacuum (its contract)."""
     v = current_version(table_path, store) if version is None else version
-    files = _replay(table_path, v, store)
+    files, dvs = _replay_state(table_path, v, store)
     if not files:
         # a table emptied by DML stays readable with its logged schema
         sch = _logged_schema(table_path, store)
@@ -704,9 +729,18 @@ def snapshot(
         # widened tables: files carry different column subsets; union the
         # footers so missing columns surface as nulls (mergeSchema)
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(
-        *(os.path.join(table_path, f) for f in files)
-    ).drop(_COMMIT_COL)
+    df = reader.parquet(*(os.path.join(table_path, f) for f in files))
+    if dvs:
+        # merge-on-read: subtract DV-marked positions (anti-join on the
+        # row's physical identity; AQE broadcasts the small DV side)
+        df = _with_rowpos(df, table_path)
+        dv = _dv_frame(spark, table_path, dvs)
+        df = df.join(
+            dv,
+            (F.col(_DV_FILE) == dv.f) & (F.col(_DV_POS) == dv.ri),
+            "left_anti",
+        ).drop(_DV_FILE, _DV_POS)
+    return df.drop(_COMMIT_COL)
 
 
 def version_as_of(
@@ -778,9 +812,11 @@ def restore(
     if as_of is not None:
         version = version_as_of(table_path, as_of, store)
     assert version is not None
-    target = _replay(table_path, version, store)
+    target, target_dvs = _replay_state(table_path, version, store)
     missing = [
-        f for f in target if not os.path.exists(os.path.join(table_path, f))
+        f
+        for f in target + target_dvs
+        if not os.path.exists(os.path.join(table_path, f))
     ]
     if missing:
         raise ValueError(
@@ -796,7 +832,8 @@ def restore(
             raise ValueError(f"cannot restore to future version {version}")
         if version == base:
             return base  # already there — nothing to commit
-        cur = set(_replay(table_path, base, store))
+        cur_files, cur_dvs = _replay_state(table_path, base, store)
+        cur = set(cur_files)
         entry = _entry(
             "restore",
             sorted(set(target) - cur),
@@ -804,6 +841,14 @@ def restore(
             pb,
             {"restoredVersion": version},
         )
+        # DV state must roll back too: re-activate the target version's
+        # vectors, retire the ones that appeared since
+        dv_add = sorted(set(target_dvs) - set(cur_dvs))
+        dv_retire = sorted(set(cur_dvs) - set(target_dvs))
+        if dv_add:
+            entry["dvAdd"] = dv_add
+        if dv_retire:
+            entry["dvRetire"] = dv_retire
         if evolved:
             entry["schemaEvolved"] = True
         if current_version(table_path, store) == base and _try_commit(
@@ -929,8 +974,12 @@ def rewrite(
     except BaseException:
         _drop_data_dir(table_path, sub)
         raise
-    removes = _replay(table_path, base_version, store)
+    removes, old_dvs = _replay_state(table_path, base_version, store)
     entry = _entry(op, adds, removes, pb, meta)
+    if old_dvs:
+        # the new state was derived from a DV-aware snapshot, so the
+        # deletions are now physical — retire the vectors from replay
+        entry["dvRetire"] = old_dvs
     v = base_version + 1
     if current_version(table_path, store) != base_version or not _try_commit(
         table_path, v, entry, store
@@ -1008,18 +1057,19 @@ def checkpoint(table_path: str, store: LogStore | None = None) -> int:
     v = current_version(table_path, store)
     if v < 0:
         raise ValueError(f"nothing committed under {table_path}")
-    files = _replay(table_path, v, store)
+    files, dvs = _replay_state(table_path, v, store)
     path = os.path.join(_log_path(table_path), f"{v:0{_PAD}d}.checkpoint.json")
-    payload = json.dumps({"version": v, "active": files}).encode()
+    payload = json.dumps({"version": v, "active": files, "dvs": dvs}).encode()
     st.put_if_absent(path, payload)  # False ⇒ same version already done
     return v
 
 
 def _latest_checkpoint(
     table_path: str, store: LogStore | None = None
-) -> tuple[int, list[str]] | None:
+) -> tuple[int, list[str], list[str]] | None:
     """Newest PARSEABLE checkpoint (a torn/corrupt one — impossible from
-    this writer — degrades to the previous checkpoint, never a crash)."""
+    this writer — degrades to the previous checkpoint, never a crash).
+    Returns (version, active data files, active DV files)."""
     st = _store(store)
     log = _log_path(table_path)
     cps = sorted(
@@ -1028,7 +1078,7 @@ def _latest_checkpoint(
     for name in cps:
         try:
             d = json.loads(st.read(os.path.join(log, name)))
-            return int(d["version"]), list(d["active"])
+            return int(d["version"]), list(d["active"]), list(d.get("dvs", []))
         except (ValueError, KeyError, OSError):
             continue
     return None
@@ -1061,17 +1111,23 @@ def vacuum(
     horizon = max(0, latest - retain_versions + 1)
     keep: set[str] = set()
     for v in range(horizon, latest + 1):
-        keep |= set(_replay(table_path, v, store))
-    # every file any commit ever added
+        fs, ds = _replay_state(table_path, v, store)
+        keep |= set(fs) | set(ds)
+    # every file (data or deletion vector) any commit ever added
     referenced: set[str] = set()
     for v in _committed_versions(table_path, store):
-        referenced |= set((_load_entry(table_path, v, store) or {}).get("add", []))
+        e = _load_entry(table_path, v, store) or {}
+        referenced |= set(e.get("add", [])) | set(e.get("dvAdd", []))
     doomed = sorted(referenced - keep)
-    # orphan sweep: on-disk parquet under commit dirs no commit references
+    # orphan sweep: on-disk parquet under commit dirs (and DV sidecar
+    # dirs) that no commit references — residue of crashed writers
     cutoff = time.time() - orphan_grace_secs
-    for sub in sorted(os.listdir(table_path)) if os.path.isdir(table_path) else []:
-        if not sub.startswith(f"{_COMMIT_COL}="):
-            continue
+    sweep_roots = [
+        sub
+        for sub in (sorted(os.listdir(table_path)) if os.path.isdir(table_path) else [])
+        if sub.startswith(f"{_COMMIT_COL}=") or sub == _DV_DIR
+    ]
+    for sub in sweep_roots:
         subdir = os.path.join(table_path, sub)
         if not os.path.isdir(subdir):
             continue
@@ -1093,7 +1149,7 @@ def vacuum(
             os.remove(p)
     # drop now-empty data directories (cosmetic, keeps listings sane)
     for sub in sorted(os.listdir(table_path)) if os.path.isdir(table_path) else []:
-        if sub.startswith(f"{_COMMIT_COL}="):
+        if sub.startswith(f"{_COMMIT_COL}=") or sub == _DV_DIR:
             subdir = os.path.join(table_path, sub)
             if os.path.isdir(subdir) and not any(
                 files for _r, _d, files in os.walk(subdir)
@@ -1131,14 +1187,16 @@ def compact(
         base = current_version(table_path, store)
         if base < 0:
             return None
-        files = _replay(table_path, base, store)
+        files, dvs = _replay_state(table_path, base, store)
         total = sum(
             os.path.getsize(os.path.join(table_path, f))
             for f in files
             if os.path.exists(os.path.join(table_path, f))
         )
         n_out = max(1, -(-total // target_file_bytes))  # ceil
-        if len(files) <= n_out and not zorder_by:
+        if len(files) <= n_out and not zorder_by and not dvs:
+            # active deletion vectors force a pass: compaction is also
+            # the PURGE that applies DVs physically and retires them
             return None
         df = snapshot(spark, table_path, base, store)
         if zorder_by:
@@ -1284,18 +1342,60 @@ def table_changes(
     return _read_files(spark, table_path, files, store)
 
 
+_DV_FILE = "__dv_file"  # internal: table-relative path of a row's file
+_DV_POS = "__dv_pos"  # internal: the row's parquet row index in it
+
+
+def _with_rowpos(df: DataFrame, table_path: str) -> DataFrame:
+    """Attach each row's physical identity — (table-relative data file,
+    parquet row index) — the coordinates deletion vectors address. Pure
+    Catalyst over the ``_metadata`` hidden column: no shuffle, no UDF,
+    evaluated inside the scan stage at any scale."""
+    prefix = os.path.abspath(table_path)
+    norm = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+    return df.withColumn(
+        _DV_FILE, F.substring(norm, len(prefix) + 2, 2147483647)
+    ).withColumn(_DV_POS, F.col("_metadata.row_index"))
+
+
+def _dv_frame(spark: SparkSession, table_path: str, dvs: list[str]) -> DataFrame:
+    """The union of active deletion vectors: rows of (f = table-relative
+    data file, ri = row index) marking deleted positions."""
+    return spark.read.parquet(
+        *(os.path.join(table_path, d) for d in dvs)
+    ).select("f", "ri")
+
+
 def _read_files(
     spark: SparkSession,
     table_path: str,
     files: list[str],
     store: LogStore | None = None,
+    dvs: list[str] | None = None,
+    keep_rowpos: bool = False,
 ) -> DataFrame:
+    """Read ``files`` as one relation, subtracting any rows the active
+    deletion vectors ``dvs`` mark — an anti-join on (file, row index)
+    that AQE broadcasts when the DV side is small (the merge-on-read
+    fast path: deleted positions, not deleted data, flow through the
+    join build side). ``keep_rowpos`` retains the physical-identity
+    columns for callers that need them (DV writers, file pruning)."""
     reader = spark.read.option("basePath", table_path)
     if _is_evolved(table_path, store):
         reader = reader.option("mergeSchema", "true")
-    return reader.parquet(
-        *(os.path.join(table_path, f) for f in files)
-    ).drop(_COMMIT_COL)
+    df = reader.parquet(*(os.path.join(table_path, f) for f in files))
+    if dvs or keep_rowpos:
+        df = _with_rowpos(df, table_path)
+        if dvs:
+            dv = _dv_frame(spark, table_path, dvs)
+            df = df.join(
+                dv,
+                (F.col(_DV_FILE) == dv.f) & (F.col(_DV_POS) == dv.ri),
+                "left_anti",
+            )
+        if not keep_rowpos:
+            df = df.drop(_DV_FILE, _DV_POS)
+    return df.drop(_COMMIT_COL)
 
 
 def _affected_files(
@@ -1304,30 +1404,23 @@ def _affected_files(
     files: list[str],
     predicate: str,
     store: LogStore | None = None,
+    dvs: list[str] | None = None,
 ) -> list[str]:
-    """The subset of ``files`` containing at least one row matching
-    ``predicate`` — ONE distributed scan, driver traffic bounded by the
-    file count (metadata scale). This is DML's file-level pruning: at
-    100 TB a selective predicate over a z-ordered/partitioned table
-    touches a handful of files; every other file survives untouched,
-    byte-identical."""
-    from urllib.parse import unquote, urlparse
-
+    """The subset of ``files`` containing at least one LIVE row matching
+    ``predicate`` (DV-deleted rows don't count — a file whose only
+    matches are already deleted needs no rewrite) — ONE distributed
+    scan, driver traffic bounded by the file count (metadata scale).
+    This is DML's file-level pruning: at 100 TB a selective predicate
+    over a z-ordered/partitioned table touches a handful of files; every
+    other file survives untouched, byte-identical."""
     hits = (
-        _read_files(spark, table_path, files, store)
+        _read_files(spark, table_path, files, store, dvs=dvs, keep_rowpos=True)
         .filter(F.coalesce(F.expr(predicate), F.lit(False)))
-        .select(F.input_file_name().alias("f"))
+        .select(F.col(_DV_FILE).alias("f"))
         .distinct()
         .collect()
     )
-    by_abs = {os.path.abspath(os.path.join(table_path, f)): f for f in files}
-    rel = []
-    for r in hits:
-        p = r["f"]
-        if p.startswith("file:"):
-            p = unquote(urlparse(p).path)
-        rel.append(by_abs[os.path.abspath(p)])
-    return sorted(rel)
+    return sorted(r["f"] for r in hits)
 
 
 def delete_where(
@@ -1336,32 +1429,50 @@ def delete_where(
     predicate: str,
     max_retries: int = 5,
     store: LogStore | None = None,
+    mode: str = "cow",
 ) -> int | None:
-    """Row-level DELETE, merge-on-write: rewrite ONLY the files that
-    contain matching rows (everything else is untouched — no IO, no new
-    copy), committed as one optimistic version. Returns the committed
-    version, or None when nothing matched (no commit).
+    """Row-level DELETE, two physical strategies behind one SQL
+    semantic (rows where ``predicate`` is TRUE are deleted; FALSE and
+    NULL rows are kept; earlier snapshots still show the deleted rows
+    until ``vacuum``):
 
-    SQL semantics: rows where ``predicate`` is TRUE are deleted; FALSE
-    and NULL rows are kept. Earlier snapshots still show the deleted
-    rows (time travel) until ``vacuum`` reclaims the retired files.
-    A concurrent commit conflicts; the delete re-derives its affected
-    set against the new snapshot and retries — matching rows appended
-    AFTER the delete's snapshot are naturally not covered (serializable
-    commit order decides).
+    * ``mode="cow"`` (copy-on-write, default): rewrite ONLY the files
+      that contain live matching rows (everything else is untouched —
+      no IO, no new copy). Best when the delete touches a large
+      fraction of the rows it scans, or ahead of read-heavy workloads.
+    * ``mode="mor"`` (merge-on-read, Delta/Iceberg deletion vectors):
+      write NO data files at all — a sidecar parquet of (file, row
+      index) positions under ``_dv/`` marks the rows dead, and every
+      reader anti-joins it out. Deleting 100 rows from a 100 TB table
+      costs 100 positions of IO instead of rewriting every touched
+      file; ``compact`` later applies and retires the vectors
+      physically. Best for trickle deletes (GDPR erasure, backfix of a
+      few keys) where copy-on-write would rewrite terabytes.
+
+    Returns the committed version, or None when nothing matched (no
+    commit). A concurrent commit conflicts; the delete re-derives its
+    affected set against the new snapshot and retries — matching rows
+    appended AFTER the delete's snapshot are naturally not covered
+    (serializable commit order decides).
     """
+    if mode not in ("cow", "mor"):
+        raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+    if mode == "mor":
+        return _delete_where_mor(spark, table_path, predicate, max_retries, store)
     for _ in range(max_retries):
         base = current_version(table_path, store)
         if base < 0:
             raise ValueError(f"no committed data in {table_path}")
-        files = _replay(table_path, base, store)
-        affected = _affected_files(spark, table_path, files, predicate, store)
+        files, dvs = _replay_state(table_path, base, store)
+        affected = _affected_files(
+            spark, table_path, files, predicate, store, dvs=dvs
+        )
         if not affected:
             return None
         pb = _current_partitioning(table_path, store)
-        kept = _read_files(spark, table_path, affected, store).filter(
-            ~F.coalesce(F.expr(predicate), F.lit(False))
-        )
+        kept = _read_files(
+            spark, table_path, affected, store, dvs=dvs
+        ).filter(~F.coalesce(F.expr(predicate), F.lit(False)))
         adds, sub = _write_data_files(kept, table_path, pb)
         entry = _entry("delete", adds, affected, pb, {"predicate": predicate})
         if not adds and len(affected) == len(files):
@@ -1373,6 +1484,67 @@ def delete_where(
         ):
             return base + 1
         _drop_data_dir(table_path, sub)
+    raise CommitConflict(f"delete conflicted {max_retries} times")
+
+
+def _delete_where_mor(
+    spark: SparkSession,
+    table_path: str,
+    predicate: str,
+    max_retries: int = 5,
+    store: LogStore | None = None,
+) -> int | None:
+    """Deletion-vector DELETE: materialize the matching rows' physical
+    positions (table-relative file, parquet row index) as a parquet
+    sidecar and commit a data-file-free version referencing it via
+    ``dvAdd``. Row count comes from the written sidecar's own footers
+    (driver-side pyarrow metadata read — no second scan). Stacked MoR
+    deletes accumulate sidecars; readers union them."""
+    import pyarrow.parquet as _pq
+
+    for _ in range(max_retries):
+        base = current_version(table_path, store)
+        if base < 0:
+            raise ValueError(f"no committed data in {table_path}")
+        files, dvs = _replay_state(table_path, base, store)
+        hits = (
+            _read_files(
+                spark, table_path, files, store, dvs=dvs, keep_rowpos=True
+            )
+            .filter(F.coalesce(F.expr(predicate), F.lit(False)))
+            .select(
+                F.col(_DV_FILE).alias("f"),
+                F.col(_DV_POS).alias("ri"),
+            )
+        )
+        sub = f"{_DV_DIR}/g{uuid.uuid4().hex[:12]}"
+        out = os.path.join(table_path, sub)
+        # positions are ~16 bytes/row — one sidecar file per delete (the
+        # scan stays parallel; only the tiny position set shuffles to 1)
+        hits.repartition(1).write.mode("error").parquet(out)
+        dv_rels, n = [], 0
+        for root, _dirs, names in os.walk(out):
+            for fn in names:
+                if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                    full = os.path.join(root, fn)
+                    n += _pq.ParquetFile(full).metadata.num_rows
+                    dv_rels.append(
+                        os.path.relpath(full, table_path).replace(os.sep, "/")
+                    )
+        if n == 0:
+            shutil.rmtree(out, ignore_errors=True)
+            return None
+        pb = _current_partitioning(table_path, store)
+        entry = _entry(
+            "delete", [], [], pb,
+            {"predicate": predicate, "mode": "mor", "dvRows": n},
+        )
+        entry["dvAdd"] = sorted(dv_rels)
+        if current_version(table_path, store) == base and _try_commit(
+            table_path, base + 1, entry, store
+        ):
+            return base + 1
+        shutil.rmtree(out, ignore_errors=True)
     raise CommitConflict(f"delete conflicted {max_retries} times")
 
 
@@ -1397,12 +1569,14 @@ def update_where(
         base = current_version(table_path, store)
         if base < 0:
             raise ValueError(f"no committed data in {table_path}")
-        files = _replay(table_path, base, store)
-        affected = _affected_files(spark, table_path, files, predicate, store)
+        files, dvs = _replay_state(table_path, base, store)
+        affected = _affected_files(
+            spark, table_path, files, predicate, store, dvs=dvs
+        )
         if not affected:
             return None
         pb = _current_partitioning(table_path, store)
-        src = _read_files(spark, table_path, affected, store)
+        src = _read_files(spark, table_path, affected, store, dvs=dvs)
         unknown = set(set_exprs) - set(src.columns)
         if unknown:
             raise ValueError(f"SET targets unknown columns: {sorted(unknown)}")

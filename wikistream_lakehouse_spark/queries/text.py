@@ -377,3 +377,77 @@ def term_frequency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "term")
         .limit(25)
     )
+
+
+@register(
+    "doc_char_chunks",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(
+                       0, CAST(floor((length(text)-1)/192) AS BIGINT)
+                   )) AS i
+            FROM documents
+            WHERE doc_id < 200 AND length(text) > 0
+        )
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+               substring(text, CAST(i*192 AS INT)+1, 256) AS chunk,
+               CAST(length(substring(text, CAST(i*192 AS INT)+1, 256))
+                    AS BIGINT) AS chunk_chars
+        FROM w
+        ORDER BY doc_id, chunk_id
+    """,
+    tags=("X4", "chunking", "extra"),
+)
+def doc_char_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking, character granularity: 256-char windows
+    with 64 overlap (stride 192). sequence → posexplode → substring is
+    a map-side row multiplier — no shuffle, no UDF — so chunking a
+    100 TB corpus inherits the scan's partitioning unchanged
+    (operators/chunking.chunk_by_chars)."""
+    from wikistream_lakehouse_spark.operators.chunking import chunk_by_chars
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return chunk_by_chars(
+        d.select("doc_id", "text"), chunk_size=256, overlap=64
+    ).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "doc_token_chunks",
+    oracle=r"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\s+'),
+                               x -> x != '') AS toks
+            FROM documents WHERE doc_id < 200
+        ), w AS (
+            SELECT doc_id, toks,
+                   unnest(generate_series(
+                       0, CAST(floor((len(toks)-1)/48) AS BIGINT)
+                   )) AS i
+            FROM t WHERE len(toks) > 0
+        )
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+               array_to_string(
+                   toks[CAST(i*48 AS BIGINT)+1 : CAST(i*48+64 AS BIGINT)],
+                   ' ') AS chunk,
+               CAST(len(toks[CAST(i*48 AS BIGINT)+1
+                             : CAST(i*48+64 AS BIGINT)]) AS BIGINT)
+                   AS n_tokens
+        FROM w
+        ORDER BY doc_id, chunk_id
+    """,
+    tags=("X4", "chunking", "extra"),
+)
+def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking, token granularity: 64-token windows
+    with 16 overlap (stride 48), whitespace tokens re-joined with single
+    spaces — the tokenizer-budget approximation X4's token ops use
+    (operators/chunking.chunk_by_tokens)."""
+    from wikistream_lakehouse_spark.operators.chunking import chunk_by_tokens
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return chunk_by_tokens(
+        d.select("doc_id", "text"), chunk_tokens=64, overlap=16
+    ).orderBy("doc_id", "chunk_id")

@@ -305,3 +305,37 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.round(cos, 6).alias("cos"))
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "ann_pq_topk",
+    oracle=None,  # approximate — recall vs brute force asserted in unit tests
+    tags=("X3", "similarity", "pq", "ann"),
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via product quantization + exact re-rank
+    (operators/pq.py): per-subspace codebooks compress each vector to m
+    small codes; search ranks candidates with asymmetric-distance table
+    lookups over the CODE table (the raw vectors are never scanned) and
+    re-ranks only the shortlist exactly.
+
+    The third ANN scale path beside LSH (row duplication for recall)
+    and IVF (partition pruning for scan fraction): PQ shrinks the
+    BYTES/ROW ~32× (64 fp32 → 8 codes), the lever that matters when
+    embeddings dominate storage — at 100 TB of vectors the ADC scan
+    touches ~3 TB. Recall certified in tests/test_pq.py (shortlist
+    containment + re-rank ≥0.95 on clustered data)."""
+    from wikistream_lakehouse_spark.operators.pq import (
+        pq_topk_rerank,
+        train_pq_codebooks,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = train_pq_codebooks(e, "vec_id", "embedding", m=8, k=16)
+    return pq_topk_rerank(
+        e, q, "vec_id", "embedding", "query_id", books,
+        top_k=TOP_K, n_candidates=50,
+    )

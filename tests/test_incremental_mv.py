@@ -126,10 +126,12 @@ def test_holistic_measures_refused(spark, tmp_path):
         )
 
 
-def test_mutating_source_commit_detected(spark, tmp_path):
+def test_mutating_source_commit_rebuilds_by_default(spark, tmp_path):
     """An upsert on the source is not an append — its row-level delta is
-    unrecoverable from a file-granular log, and the refresh must refuse
-    rather than silently mis-fold."""
+    unrecoverable from a file-granular log. The refresh must never
+    mis-fold: the default falls back to a FULL re-aggregate (correct,
+    just not incremental for that step); ``on_mutation='error'`` keeps
+    the old refusal for callers that must never pay a full scan."""
     src, view = str(tmp_path / "src"), str(tmp_path / "view")
     txn.append(_src_df(spark, [("d1", "a", 1)]), src)
     refresh_aggregate(spark, src, view, ["day"], MEASURES)
@@ -137,7 +139,32 @@ def test_mutating_source_commit_detected(spark, tmp_path):
         spark, src, _src_df(spark, [("d1", "a", 99)]), keys=["day", "user"]
     )
     with pytest.raises(ValueError, match="content-changing"):
-        refresh_aggregate(spark, src, view, ["day"], MEASURES)
+        refresh_aggregate(
+            spark, src, view, ["day"], MEASURES, on_mutation="error"
+        )
+    refresh_aggregate(spark, src, view, ["day"], MEASURES)
+    assert _rows(txn.read_table(spark, view)) == _rows(_full_recompute(spark, src))
+    # and refreshes are incremental again after the rebuild step
+    txn.append(_src_df(spark, [("d2", "c", 4)]), src)
+    refresh_aggregate(spark, src, view, ["day"], MEASURES)
+    assert _rows(txn.read_table(spark, view)) == _rows(_full_recompute(spark, src))
+
+
+def test_dv_delete_on_source_rebuilds_correctly(spark, tmp_path):
+    """A deletion-vector DELETE is content-changing without touching any
+    data file — the rebuild fallback must still see the post-delete rows
+    (i.e. read through the DV-aware snapshot)."""
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    txn.append(
+        _src_df(spark, [("d1", "a", 1), ("d1", "b", 10), ("d2", "c", 7)]), src
+    )
+    refresh_aggregate(spark, src, view, ["day"], MEASURES)
+    txn.delete_where(spark, src, "qty >= 7", mode="mor")
+    refresh_aggregate(spark, src, view, ["day"], MEASURES)
+    got = _rows(txn.read_table(spark, view))
+    assert got == _rows(_full_recompute(spark, src))
+    # d2 vanished entirely; d1 lost its qty-10 row from every measure
+    assert got == [("d1", 1, 1, 1, 1)]
 
 
 def test_racing_refreshers_apply_each_delta_exactly_once(spark, tmp_path):

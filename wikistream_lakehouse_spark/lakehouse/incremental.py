@@ -186,6 +186,7 @@ def refresh_aggregate(
     where: str | None = None,
     max_retries: int = 5,
     store=None,
+    on_mutation: str = "rebuild",
 ) -> int | None:
     """Bring the materialized aggregate at ``view_path`` up to date with
     the append-style txn table at ``source_path``, reading only the
@@ -208,7 +209,19 @@ def refresh_aggregate(
     measures, or filter) is detected by fingerprint and refused: drop or
     rebuild the view explicitly rather than silently mixing
     incompatible states.
+
+    ``on_mutation`` controls what happens when the pending source range
+    contains content-CHANGING commits (delete/update/merge/restore —
+    including deletion-vector deletes), whose row deltas a file-granular
+    change feed cannot express: ``"rebuild"`` (default) falls back to a
+    FULL re-aggregate of the current snapshot — the refresh stays
+    correct, just not incremental for that one step (the Delta MV
+    posture); ``"error"`` re-raises for callers that must never pay a
+    full scan. The same fallback covers a consumer that lagged past
+    vacuum retention.
     """
+    if on_mutation not in ("rebuild", "error"):
+        raise ValueError(f"on_mutation must be 'rebuild' or 'error', got {on_mutation!r}")
     _validate(measures, group_by)
     fp = _spec_fingerprint(group_by, measures, where)
     for _ in range(max_retries):
@@ -253,10 +266,28 @@ def refresh_aggregate(
             )
         if src_ver <= last_src:
             return None  # already current — idempotent no-op
-        delta = txn.table_changes(spark, source_path, last_src, src_ver, store)
-        partial = _partial_agg(delta, group_by, measures, where)
-        view = txn.snapshot(spark, view_path, view_ver, store)
-        folded = _combine(view, partial, group_by, measures)
+        try:
+            delta = txn.table_changes(
+                spark, source_path, last_src, src_ver, store
+            )
+            folded = _combine(
+                txn.snapshot(spark, view_path, view_ver, store),
+                _partial_agg(delta, group_by, measures, where),
+                group_by,
+                measures,
+            )
+        except ValueError as e:
+            recoverable = "content-changing" in str(e) or "vacuumed" in str(e)
+            if not recoverable or on_mutation == "error":
+                raise
+            # mutations in the range: fold is impossible, recompute is
+            # always valid — full aggregate of the snapshot at src_ver
+            folded = _partial_agg(
+                txn.snapshot(spark, source_path, src_ver, store),
+                group_by,
+                measures,
+                where,
+            )
         try:
             return txn.rewrite(
                 folded, view_path, base_version=view_ver, op="mv_refresh",

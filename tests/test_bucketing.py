@@ -1,4 +1,5 @@
-"""Bucketed co-located joins: the persisted-shuffle layout. The scale
+"""Bucketed co-located joins (operators/scale.write_bucketed),
+the persisted-shuffle layout. The scale
 claim under test is structural — two tables bucketed on the join key
 with equal bucket counts join with ZERO Exchange operators (the shuffle
 was paid once at write), while the same join over plain parquet
@@ -9,7 +10,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from wikistream_lakehouse_spark.lakehouse.bucketing import (
+from wikistream_lakehouse_spark.operators.scale import (
     bucket_spec,
     exchange_count,
     write_bucketed,
@@ -28,11 +29,11 @@ def bucketed(spark, sf_dir, tmp_path_factory):
         "c_custkey", "c_name", "c_mktsegment"
     )
     write_bucketed(
-        o, "orders_b", 8, ["o_custkey"], sort_by=["o_custkey"],
+        o, "orders_b", ["o_custkey"], n_buckets=8, sort_by=["o_custkey"],
         path=str(root / "orders_b"),
     )
     write_bucketed(
-        c, "customer_b", 8, ["c_custkey"], sort_by=["c_custkey"],
+        c, "customer_b", ["c_custkey"], n_buckets=8, sort_by=["c_custkey"],
         path=str(root / "customer_b"),
     )
     yield
@@ -100,4 +101,4 @@ def test_groupby_bucket_key_elides_exchange(spark, bucketed, no_broadcast):
 def test_rejects_missing_key(spark, sf_dir):
     df = table(spark, sf_dir, "region")
     with pytest.raises(ValueError, match="not in DataFrame"):
-        write_bucketed(df, "nope_b", 4, ["no_such_col"])
+        write_bucketed(df, "nope_b", ["no_such_col"], n_buckets=4)

@@ -65,7 +65,7 @@ def test_token_chunks_cover_everything(spark, docs):
 
 
 def test_chunking_has_no_shuffle(spark, docs):
-    from wikistream_lakehouse_spark.lakehouse.bucketing import exchange_count
+    from wikistream_lakehouse_spark.operators.scale import exchange_count
 
     assert exchange_count(chunk_by_chars(docs)) == 0
     assert exchange_count(chunk_by_tokens(docs)) == 0

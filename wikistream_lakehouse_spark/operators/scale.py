@@ -54,25 +54,70 @@ def salted_join(
 def write_bucketed(
     df: DataFrame,
     table_name: str,
-    bucket_key: str,
+    bucket_key: "str | list[str]",
     n_buckets: int = 16,
-    sort_by: str | None = None,
+    sort_by: "str | list[str] | None" = None,
+    path: str | None = None,
+    mode: str = "overwrite",
 ) -> None:
-    """Persist as a bucketed (and optionally sorted) managed table —
-    pre-paying the shuffle so joins/aggregations on `bucket_key` between
-    co-bucketed tables plan with zero Exchange."""
+    """Persist as a bucketed (and optionally sorted) table — pre-paying
+    the shuffle so joins/aggregations on ``bucket_key`` between
+    co-bucketed tables plan with zero Exchange. ``sort_by`` additionally
+    sorts WITHIN each bucket file, letting a later sort-merge join skip
+    its sort too. ``path`` makes it an external table (data outlives the
+    catalog). Bucket count is a LAYOUT decision: size it so one bucket
+    of the largest co-located table fits an executor's shuffle memory."""
+    keys = [bucket_key] if isinstance(bucket_key, str) else list(bucket_key)
+    if not keys:
+        raise ValueError("bucketing requires at least one key column")
+    missing = set(keys) - set(df.columns)
+    if missing:
+        raise ValueError(f"bucket keys not in DataFrame: {sorted(missing)}")
     spark = df.sparkSession
     spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    # a dangling location from a previous session blocks managed-table
-    # creation even after DROP — clear it explicitly
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    stale = os.path.join(warehouse, table_name.lower())
-    if os.path.exists(stale):
-        shutil.rmtree(stale)
-    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_key)
+    if path is None:
+        # a dangling location from a previous session blocks managed-table
+        # creation even after DROP — clear it explicitly
+        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        stale = os.path.join(warehouse, table_name.lower())
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *keys)
     if sort_by:
-        w = w.sortBy(sort_by)
+        w = w.sortBy(*([sort_by] if isinstance(sort_by, str) else sort_by))
+    if path:
+        w = w.option("path", path)
     w.saveAsTable(table_name)
+
+
+def bucket_spec(spark: SparkSession, table_name: str) -> dict:
+    """The table's bucket layout as the catalog records it:
+    ``{"buckets": n, "keys": [...], "sort_by": [...]}`` — what a planner
+    (or a human) checks before relying on shuffle elision."""
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table_name}").collect()
+    info = {r.col_name: r.data_type for r in rows}
+    if "Num Buckets" not in info:
+        raise ValueError(f"{table_name} is not bucketed")
+
+    def _cols(s: str) -> list[str]:
+        return [c.strip().strip("`") for c in s.strip("[]").split(",") if c.strip()]
+
+    return {
+        "buckets": int(info["Num Buckets"]),
+        "keys": _cols(info.get("Bucket Columns", "")),
+        "sort_by": _cols(info.get("Sort Columns", "")),
+    }
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of Exchange (shuffle) operators in the executed plan —
+    the thing bucketing exists to drive to zero."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return sum(
+        1
+        for line in plan.splitlines()
+        if line.lstrip("+-*: ").startswith("Exchange")
+    )
 
 
 def read_table(spark: SparkSession, table_name: str) -> DataFrame:

@@ -411,3 +411,119 @@ def test_count_skips_nulls_like_sql(spark, tmp_path):
     refresh_aggregate(spark, src, view, ["day"], measures)
     row = txn.read_table(spark, view).collect()[0]
     assert (row["big_qty_events"], row["total_qty"]) == (2, 18)
+
+
+# --- retractable views: O(delta) across deletion-vector deletes ----------
+
+RETRACT_MEASURES = {
+    "n_events": ("count", "user"),
+    "total_qty": ("sum", "qty"),
+}
+
+
+def _retract_recompute(spark, src):
+    return (
+        txn.read_table(spark, src)
+        .groupBy("day")
+        .agg(
+            F.count("user").alias("n_events"),
+            F.sum("qty").alias("total_qty"),
+        )
+    )
+
+
+def test_retract_folds_dv_deletes_without_rebuild(spark, tmp_path):
+    """A deletion-vector delete refreshes by SUBTRACTING its exact row
+    images (txn.table_changes_cdf) — result equals the full recompute,
+    a fully-emptied group vanishes, and later appends keep folding."""
+    from wikistream_lakehouse_spark.lakehouse.incremental import read_view
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    txn.append(
+        _src_df(spark, [("d1", "a", 5), ("d1", "b", 3), ("d2", "c", 7)]), src
+    )
+    refresh_aggregate(
+        spark, src, view, ["day"], RETRACT_MEASURES, on_mutation="retract"
+    )
+    txn.delete_where(spark, src, "qty >= 5", mode="mor")  # kills a and c
+    refresh_aggregate(
+        spark, src, view, ["day"], RETRACT_MEASURES, on_mutation="retract"
+    )
+    got = _rows(read_view(spark, view))
+    assert got == _rows(_retract_recompute(spark, src))
+    assert got == [("d1", 1, 3)]  # d2's only row died → group gone
+    # and the view keeps folding appends afterwards
+    txn.append(_src_df(spark, [("d2", "z", 1)]), src)
+    refresh_aggregate(
+        spark, src, view, ["day"], RETRACT_MEASURES, on_mutation="retract"
+    )
+    assert _rows(read_view(spark, view)) == _rows(_retract_recompute(spark, src))
+
+
+def test_retract_hides_internal_counter(spark, tmp_path):
+    from wikistream_lakehouse_spark.lakehouse.incremental import read_view
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    txn.append(_src_df(spark, [("d1", "a", 5)]), src)
+    refresh_aggregate(
+        spark, src, view, ["day"], RETRACT_MEASURES, on_mutation="retract"
+    )
+    assert "_mv_nrows" in txn.read_table(spark, view).columns  # state has it
+    assert "_mv_nrows" not in read_view(spark, view).columns  # users don't
+
+
+def test_retract_refuses_non_invertible_measures(spark, tmp_path):
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    txn.append(_src_df(spark, [("d1", "a", 5)]), src)
+    with pytest.raises(ValueError, match="INVERTIBLE"):
+        refresh_aggregate(
+            spark, src, view, ["day"], MEASURES, on_mutation="retract"
+        )
+
+
+def test_retract_falls_back_to_rebuild_on_cow_mutation(spark, tmp_path):
+    from wikistream_lakehouse_spark.lakehouse.incremental import read_view
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    txn.append(_src_df(spark, [("d1", "a", 5), ("d2", "b", 3)]), src)
+    refresh_aggregate(
+        spark, src, view, ["day"], RETRACT_MEASURES, on_mutation="retract"
+    )
+    txn.update_where(spark, src, {"qty": "qty * 10"}, "day = 'd2'")
+    refresh_aggregate(
+        spark, src, view, ["day"], RETRACT_MEASURES, on_mutation="retract"
+    )
+    assert _rows(read_view(spark, view)) == _rows(_retract_recompute(spark, src))
+
+
+def test_retract_flag_is_spec_drift_on_existing_view(spark, tmp_path):
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    txn.append(_src_df(spark, [("d1", "a", 5)]), src)
+    refresh_aggregate(spark, src, view, ["day"], RETRACT_MEASURES)
+    txn.append(_src_df(spark, [("d1", "b", 1)]), src)
+    with pytest.raises(ValueError, match="different spec"):
+        refresh_aggregate(
+            spark, src, view, ["day"], RETRACT_MEASURES, on_mutation="retract"
+        )
+
+
+def test_retract_respects_where_filter(spark, tmp_path):
+    """Delete images pass through the same row-local filter as inserts —
+    deleting a row the filter never counted must not subtract."""
+    from wikistream_lakehouse_spark.lakehouse.incremental import read_view
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    txn.append(
+        _src_df(spark, [("d1", "a", 5), ("d1", "b", -1), ("d1", "c", 2)]), src
+    )
+    refresh_aggregate(
+        spark, src, view, ["day"], RETRACT_MEASURES,
+        where="qty > 0", on_mutation="retract",
+    )
+    txn.delete_where(spark, src, "qty < 0", mode="mor")  # uncounted row
+    txn.delete_where(spark, src, "qty = 5", mode="mor")  # counted row
+    refresh_aggregate(
+        spark, src, view, ["day"], RETRACT_MEASURES,
+        where="qty > 0", on_mutation="retract",
+    )
+    assert _rows(read_view(spark, view)) == [("d1", 1, 2)]

@@ -65,15 +65,26 @@ _META_VERSION = "mv_source_version"
 _META_SOURCE = "mv_source"
 _META_SPEC = "mv_spec_fingerprint"
 
+# retractable views carry an implicit physical row counter per group: the
+# device that lets a delete-fold KNOW when a group's last row died (and
+# must vanish, as a full recompute would drop it)
+_NROWS = "_mv_nrows"
+
 
 def _spec_fingerprint(
     group_by: list[str],
     measures: dict[str, tuple[str, str]],
     where: str | None,
+    retract: bool = False,
 ) -> str:
-    blob = json.dumps(
-        [group_by, sorted(measures.items()), where], sort_keys=True
-    )
+    # the retract flag is part of the state's shape (the implicit row
+    # counter column), so flipping it on an existing view must be
+    # refused as spec drift — but non-retract fingerprints stay
+    # byte-identical to their pre-retract values
+    payload = [group_by, sorted(measures.items()), where]
+    if retract:
+        payload.append("retract")
+    blob = json.dumps(payload, sort_keys=True)
     return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 
@@ -87,11 +98,26 @@ def _group_names(group_by: list[str]) -> list[str]:
     return names
 
 
-def _validate(measures: dict[str, tuple[str, str]], group_by: list[str]) -> None:
+def _validate(
+    measures: dict[str, tuple[str, str]],
+    group_by: list[str],
+    retract: bool = False,
+) -> None:
     if not group_by:
         raise ValueError("group_by must name at least one column")
     if not measures:
         raise ValueError("measures must define at least one aggregate")
+    if retract:
+        bad = {o: k for o, (k, _e) in measures.items() if k not in ("count", "sum")}
+        if bad:
+            raise ValueError(
+                f"on_mutation='retract' requires INVERTIBLE measures "
+                f"(count/sum — a delete subtracts); these are not: {bad}. "
+                "min/max/approx_distinct cannot un-see a deleted row; use "
+                "the rebuild fallback for them"
+            )
+        if _NROWS in measures or _NROWS in _group_names(group_by):
+            raise ValueError(f"{_NROWS!r} is reserved for retractable views")
     for out, (kind, _expr) in measures.items():
         if kind not in _KINDS:
             raise ValueError(
@@ -158,6 +184,44 @@ def _combine(
     return joined.select(*cols)
 
 
+def _retraction_fold(
+    spark: SparkSession,
+    source_path: str,
+    view_path: str,
+    last_src: int,
+    src_ver: int,
+    view_ver: int,
+    group_by: list[str],
+    m_eff: dict[str, tuple[str, str]],
+    where: str | None,
+    store=None,
+) -> "DataFrame | None":
+    """O(delta) fold across deletion-vector deletes: partial-aggregate
+    the CDF's insert images positively and its delete images NEGATIVELY
+    (every measure is count/sum — validated — so negation inverts), then
+    combine both into the view. Returns None when the range contains a
+    mutation the CDF can't express (caller falls back to rebuild)."""
+    try:
+        cdf = txn.table_changes_cdf(spark, source_path, last_src, src_ver, store)
+    except ValueError:
+        return None
+    ins = cdf.filter(F.col("_change_type") == "insert").drop(
+        "_change_type", "_commit_version"
+    )
+    dels = cdf.filter(F.col("_change_type") == "delete").drop(
+        "_change_type", "_commit_version"
+    )
+    keys = _group_names(group_by)
+    p_del = _partial_agg(dels, group_by, m_eff, where)
+    p_del_neg = p_del.select(
+        *[F.col(k) for k in keys],
+        *[(-F.col(out)).alias(out) for out in m_eff],
+    )
+    folded = txn.snapshot(spark, view_path, view_ver, store)
+    folded = _combine(folded, _partial_agg(ins, group_by, m_eff, where), group_by, m_eff)
+    return _combine(folded, p_del_neg, group_by, m_eff)
+
+
 def _view_state(view_path: str, store=None) -> tuple[int, int, dict]:
     """(view_version, last_source_version, last_meta). (-1, -1, {}) for a
     view that doesn't exist yet."""
@@ -212,18 +276,31 @@ def refresh_aggregate(
 
     ``on_mutation`` controls what happens when the pending source range
     contains content-CHANGING commits (delete/update/merge/restore —
-    including deletion-vector deletes), whose row deltas a file-granular
+    including deletion-vector deletes), whose row deltas the plain
     change feed cannot express: ``"rebuild"`` (default) falls back to a
     FULL re-aggregate of the current snapshot — the refresh stays
     correct, just not incremental for that one step (the Delta MV
     posture); ``"error"`` re-raises for callers that must never pay a
-    full scan. The same fallback covers a consumer that lagged past
-    vacuum retention.
+    full scan; ``"retract"`` keeps the refresh O(delta) even across
+    **deletion-vector deletes**: the row-level CDF
+    (``txn.table_changes_cdf``) recovers exact delete images, which are
+    SUBTRACTED from the view — requires invertible measures
+    (count/sum), and the view carries an implicit per-group row counter
+    so a group whose last row died vanishes exactly as a full recompute
+    would drop it. Non-DV mutations (CoW update, merge, restore) still
+    trigger the rebuild fallback under ``"retract"``. The rebuild
+    fallback also covers a consumer that lagged past vacuum retention.
     """
-    if on_mutation not in ("rebuild", "error"):
-        raise ValueError(f"on_mutation must be 'rebuild' or 'error', got {on_mutation!r}")
-    _validate(measures, group_by)
-    fp = _spec_fingerprint(group_by, measures, where)
+    if on_mutation not in ("rebuild", "error", "retract"):
+        raise ValueError(
+            f"on_mutation must be 'rebuild', 'error', or 'retract', got {on_mutation!r}"
+        )
+    retract = on_mutation == "retract"
+    _validate(measures, group_by, retract=retract)
+    m_eff = dict(measures)
+    if retract:
+        m_eff[_NROWS] = ("count", "1")
+    fp = _spec_fingerprint(group_by, measures, where, retract=retract)
     for _ in range(max_retries):
         src_ver = txn.current_version(source_path, store)
         if src_ver < 0:
@@ -245,7 +322,7 @@ def refresh_aggregate(
         if view_ver < 0:
             # first build: full aggregate of the source snapshot at src_ver
             base = txn.snapshot(spark, source_path, src_ver, store)
-            state = _partial_agg(base, group_by, measures, where)
+            state = _partial_agg(base, group_by, m_eff, where)
             try:
                 return txn.rewrite(
                     state, view_path, base_version=-1, op="mv_refresh",
@@ -272,22 +349,33 @@ def refresh_aggregate(
             )
             folded = _combine(
                 txn.snapshot(spark, view_path, view_ver, store),
-                _partial_agg(delta, group_by, measures, where),
+                _partial_agg(delta, group_by, m_eff, where),
                 group_by,
-                measures,
+                m_eff,
             )
         except ValueError as e:
             recoverable = "content-changing" in str(e) or "vacuumed" in str(e)
             if not recoverable or on_mutation == "error":
                 raise
-            # mutations in the range: fold is impossible, recompute is
-            # always valid — full aggregate of the snapshot at src_ver
-            folded = _partial_agg(
-                txn.snapshot(spark, source_path, src_ver, store),
-                group_by,
-                measures,
-                where,
-            )
+            folded = None
+            if retract:
+                folded = _retraction_fold(
+                    spark, source_path, view_path, last_src, src_ver,
+                    view_ver, group_by, m_eff, where, store,
+                )
+            if folded is None:
+                # fold is impossible: recompute is always valid — full
+                # aggregate of the snapshot at src_ver
+                folded = _partial_agg(
+                    txn.snapshot(spark, source_path, src_ver, store),
+                    group_by,
+                    m_eff,
+                    where,
+                )
+        if retract:
+            # a group whose physical rows all died must vanish, exactly
+            # as a full recompute would drop it
+            folded = folded.filter(F.col(_NROWS) > 0)
         try:
             return txn.rewrite(
                 folded, view_path, base_version=view_ver, op="mv_refresh",
@@ -360,6 +448,8 @@ def read_view(
     spec = meta.get("mv_spec", {})
     measures = spec.get("measures", {})
     df = txn.read_table(spark, view_path, store=store)
+    if _NROWS in df.columns:
+        df = df.drop(_NROWS)  # retractable views' internal row counter
     cols = []
     for name in df.columns:
         kind = measures.get(name, [None])[0]

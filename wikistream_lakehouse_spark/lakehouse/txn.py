@@ -1342,6 +1342,110 @@ def table_changes(
     return _read_files(spark, table_path, files, store)
 
 
+def table_changes_cdf(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+    store: LogStore | None = None,
+) -> DataFrame:
+    """Row-level change data feed for ``(from_version, to_version]``:
+    the table's columns plus ``_change_type`` ('insert' | 'delete') and
+    ``_commit_version``. The Delta CDF analogue, recovered from the log
+    without any per-commit change files:
+
+    * appends/converts emit their added files' rows as inserts;
+    * **deletion-vector deletes emit exact row-level delete images** —
+      each MoR commit's sidecar lists only the positions IT killed, and
+      those rows still exist in the (immutable, untouched) data files,
+      so the pre-image is one inner join of file-rows against the
+      commit's vector. This is what makes `delete_where(mode="mor")`
+      the CDC-friendly delete: copy-on-write destroys the row-level
+      delta (a rewritten file mixes survivors and victims), MoR
+      preserves it for free.
+    * compactions and metadata commits are invisible (no content
+      change); every other op (CoW delete/update, merge, rewrite,
+      replace_partitions, restore) raises — their row deltas are not
+      recoverable from a file-granular log, and a consumer must diff
+      snapshots instead.
+
+    Raises if a needed data or vector file was vacuumed (retention must
+    cover the consumer's lag).
+    """
+    upto = current_version(table_path, store) if to_version is None else to_version
+    inserts: list[tuple[int, list[str]]] = []
+    dv_deletes: list[tuple[int, list[str]]] = []
+    for v in _committed_versions(table_path, store):
+        if v <= from_version or v > upto:
+            continue
+        e = _load_entry(table_path, v, store) or {}
+        op = e.get("op")
+        if op in ("append", "convert"):
+            inserts.append((v, e.get("add", [])))
+        elif op == "compact" or op in _METADATA_OPS:
+            continue
+        elif op == "delete" and e.get("dvAdd") and not e.get("add") and not e.get("remove"):
+            dv_deletes.append((v, e["dvAdd"]))
+        else:
+            raise ValueError(
+                f"version {v} is a {op!r} commit whose row-level delta is "
+                "not recoverable from a file-granular log (only appends "
+                "and deletion-vector deletes are); diff snapshots instead"
+            )
+    needed = [f for _v, fs in inserts for f in fs] + [
+        d for _v, ds in dv_deletes for d in ds
+    ]
+    missing = [f for f in needed if not os.path.exists(os.path.join(table_path, f))]
+    if missing:
+        raise ValueError(
+            f"change files already vacuumed: {missing[:3]}... — raise "
+            "vacuum retention above the consumer's version lag"
+        )
+    frames: list[DataFrame] = []
+    for v, fs in inserts:
+        if fs:
+            frames.append(
+                _read_files(spark, table_path, fs, store)
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_version", F.lit(v).cast("long"))
+            )
+    for v, ds in dv_deletes:
+        dv = _dv_frame(spark, table_path, ds)
+        targets = sorted({r.f for r in dv.select("f").distinct().collect()})
+        gone = [f for f in targets if not os.path.exists(os.path.join(table_path, f))]
+        if gone:
+            raise ValueError(
+                f"delete pre-image files already vacuumed: {gone[:3]}... — "
+                "raise vacuum retention above the consumer's version lag"
+            )
+        base = _read_files(
+            spark, table_path, targets, store, keep_rowpos=True
+        )
+        deleted = (
+            base.join(
+                dv,
+                (F.col(_DV_FILE) == dv.f) & (F.col(_DV_POS) == dv.ri),
+                "inner",
+            )
+            .drop("f", "ri", _DV_FILE, _DV_POS)
+            .withColumn("_change_type", F.lit("delete"))
+            .withColumn("_commit_version", F.lit(v).cast("long"))
+        )
+        frames.append(deleted)
+    if not frames:
+        sch = _table_schema(spark, table_path, store)
+        if sch is None:
+            raise ValueError(f"no committed data in {table_path}")
+        empty = spark.createDataFrame([], sch)
+        return empty.withColumn(
+            "_change_type", F.lit("").cast("string")
+        ).withColumn("_commit_version", F.lit(0).cast("long"))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 _DV_FILE = "__dv_file"  # internal: table-relative path of a row's file
 _DV_POS = "__dv_pos"  # internal: the row's parquet row index in it
 

@@ -113,3 +113,92 @@ def test_stream_feeds_windowed_aggregation(spark, tmp_path):
     q.awaitTermination(300)
     got = {r.v: r.n for r in spark.sql("SELECT * FROM txs_agg").collect()}
     assert got == {"x": 3, "y": 1}
+
+
+# --- CDF mode: streams row-level change images -----------------------------
+
+
+def _drain_cdf(spark, table, ckpt, out_dir):
+    """One availableNow pulse of the CDF stream into a parquet sink;
+    returns cumulative (k, v, _change_type, _commit_version) rows."""
+    register_txn_source(spark)
+    q = (
+        spark.readStream.format("txn_table")
+        .option("cdf", "true")
+        .load(table)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return sorted(
+        (r.k, r.v, r._change_type, r._commit_version)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+
+
+def test_cdf_stream_delivers_delete_images(spark, tmp_path):
+    """Deletion-vector deletes STREAM (instead of failing the query):
+    each killed row arrives as a delete image stamped with its commit
+    version, reconstructed executor-side from the untouched data file."""
+    t = str(tmp_path / "t")
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    append(_df(spark, [(1, "a"), (2, "b")]), t)  # v0
+    assert _drain_cdf(spark, t, ckpt, out) == [
+        (1, "a", "insert", 0),
+        (2, "b", "insert", 0),
+    ]
+    delete_where(spark, t, "k = 2", mode="mor")  # v1
+    append(_df(spark, [(3, "c")]), t)  # v2
+    got = _drain_cdf(spark, t, ckpt, out)
+    assert got == [
+        (1, "a", "insert", 0),
+        (2, "b", "delete", 1),
+        (2, "b", "insert", 0),
+        (3, "c", "insert", 2),
+    ]
+    # restart with nothing new: exactly-once, no replay
+    assert _drain_cdf(spark, t, ckpt, out) == got
+
+
+def test_cdf_stream_still_refuses_cow_mutations(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    t = str(tmp_path / "t")
+    append(_df(spark, [(1, "a")]), t)
+    delete_where(spark, t, "k = 1")  # copy-on-write: delta unrecoverable
+    register_txn_source(spark)
+    q = (
+        spark.readStream.format("txn_table")
+        .option("cdf", "true")
+        .load(t)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="content-changing"):
+        q.awaitTermination(300)
+
+
+def test_plain_stream_error_hints_at_cdf_for_dv_deletes(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    t = str(tmp_path / "t")
+    append(_df(spark, [(1, "a"), (2, "b")]), t)
+    delete_where(spark, t, "k = 1", mode="mor")
+    register_txn_source(spark)
+    q = (
+        spark.readStream.format("txn_table")
+        .load(t)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="cdf"):
+        q.awaitTermination(300)

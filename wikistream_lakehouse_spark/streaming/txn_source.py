@@ -19,6 +19,17 @@ inherits its contract:
   * vacuumed-away deltas fail loudly too (retention must cover consumer
     lag).
 
+**CDF mode** — ``.option("cdf", "true")`` — streams the row-level
+change feed instead (the Delta ``readChangeFeed`` analogue): every row
+carries ``_change_type`` ('insert' | 'delete') and ``_commit_version``,
+and **deletion-vector deletes stream their exact delete images** (the
+positions a MoR commit killed are read back from the untouched data
+files — `txn.table_changes_cdf` semantics, executor-side). Downstream
+consumers can maintain deletable state from a stream; CoW mutations
+still fail loudly (their row deltas aren't recoverable). Planning
+reads the (small) vector sidecars driver-side to assign per-file
+position lists; data IO stays executor-side.
+
 Scale shape: offset/partition planning is driver-side METADATA (JSON
 log reads, no data IO); each changed file becomes one input partition
 read executor-side as Arrow record batches (pyarrow footer+pages of
@@ -52,8 +63,17 @@ from pyspark.sql.types import StructType
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str) -> None:
+    def __init__(
+        self,
+        path: str,
+        positions: "list[int] | None" = None,
+        change_type: "str | None" = None,
+        version: int = -1,
+    ) -> None:
         self.path = path
+        self.positions = positions  # CDF delete: row indices to emit
+        self.change_type = change_type  # None = plain (no CDF columns)
+        self.version = version
 
 
 def _log_entries(table_path: str) -> list[tuple[int, dict]]:
@@ -72,7 +92,8 @@ def _log_entries(table_path: str) -> list[tuple[int, dict]]:
 
 
 class TxnTableStreamReader(DataSourceStreamReader):
-    def __init__(self, table_path: str) -> None:
+    def __init__(self, table_path: str, cdf: bool = False) -> None:
+        self.cdf = cdf
         if not os.path.isdir(os.path.join(table_path, "_txnlog")):
             raise ValueError(f"{table_path} is not a transactional table")
         for _v, e in _log_entries(table_path):
@@ -96,39 +117,102 @@ class TxnTableStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["version"], end["version"]
-        files: list[str] = []
+        parts: list[_FilePartition] = []
+        missing: list[str] = []
+
+        def _abs(rel: str) -> str:
+            p = os.path.join(self.table_path, rel)
+            if not os.path.exists(p):
+                missing.append(rel)
+            return p
+
         for v, e in _log_entries(self.table_path):
             if v <= lo or v > hi:
                 continue
             op = e.get("op")
             if op in ("append", "convert"):
-                files.extend(e.get("add", []))
+                parts.extend(
+                    _FilePartition(_abs(f), None, "insert", v)
+                    for f in e.get("add", [])
+                )
             elif op == "compact" or op in ("set_constraint", "drop_constraint"):
                 continue  # layout rewrite / metadata-only: no new content
+            elif (
+                self.cdf
+                and op == "delete"
+                and e.get("dvAdd")
+                and not e.get("add")
+                and not e.get("remove")
+            ):
+                # MoR delete: the vector names exactly the rows this
+                # commit killed; group positions per target file (the
+                # sidecar is positions-only — metadata-scale planning)
+                import pyarrow.parquet as pq
+
+                by_file: dict[str, list[int]] = {}
+                for d in e["dvAdd"]:
+                    tbl = pq.read_table(_abs(d), columns=["f", "ri"])
+                    for f_rel, ri in zip(
+                        tbl.column("f").to_pylist(), tbl.column("ri").to_pylist()
+                    ):
+                        by_file.setdefault(f_rel, []).append(int(ri))
+                parts.extend(
+                    _FilePartition(_abs(f_rel), sorted(pos), "delete", v)
+                    for f_rel, pos in sorted(by_file.items())
+                )
             else:
+                hint = (
+                    "" if self.cdf else " (deletion-vector deletes CAN "
+                    "stream with .option('cdf', 'true'))"
+                )
                 raise ValueError(
                     f"version {v} is a content-changing {op!r} commit: the "
-                    "txn_table stream can only replay appends — restart "
-                    "from a fresh checkpoint after snapshot-reprocessing, "
-                    "or keep the streamed table append-only"
+                    "txn_table stream can only replay appends"
+                    + hint
+                    + " — restart from a fresh checkpoint after "
+                    "snapshot-reprocessing, or keep the streamed table "
+                    "append-only"
                 )
-        missing = [
-            f for f in files
-            if not os.path.exists(os.path.join(self.table_path, f))
-        ]
         if missing:
             raise ValueError(
                 f"streamed delta files already vacuumed: {missing[:3]}... — "
                 "raise vacuum retention above the stream's version lag"
             )
-        return [
-            _FilePartition(os.path.join(self.table_path, f)) for f in files
-        ]
+        return parts
 
     def read(self, partition: _FilePartition):
+        import pyarrow as pa
         import pyarrow.parquet as pq
 
-        yield from pq.ParquetFile(partition.path).iter_batches()
+        batches = pq.ParquetFile(partition.path).iter_batches()
+        if not self.cdf:
+            yield from batches
+            return
+        import numpy as np
+
+        offset = 0
+        wanted = (
+            None
+            if partition.positions is None
+            else np.asarray(partition.positions, dtype=np.int64)
+        )
+        for batch in batches:
+            n = batch.num_rows
+            if wanted is not None:
+                local = wanted[(wanted >= offset) & (wanted < offset + n)] - offset
+                offset += n
+                if not len(local):
+                    continue
+                batch = batch.take(pa.array(local))
+            out_n = batch.num_rows
+            batch = batch.append_column(
+                "_change_type",
+                pa.array([partition.change_type] * out_n, pa.string()),
+            ).append_column(
+                "_commit_version",
+                pa.array([partition.version] * out_n, pa.int64()),
+            )
+            yield batch
 
     def commit(self, end: dict) -> None:
         pass  # offsets are durable in the stream checkpoint
@@ -143,10 +227,14 @@ class TxnTableDataSource(DataSource):
     def name(cls) -> str:
         return "txn_table"
 
+    def _cdf(self) -> bool:
+        return str(self.options.get("cdf", "false")).lower() in ("true", "1")
+
     def schema(self) -> StructType:
         import pyarrow.parquet as pq
 
         from pyspark.sql.pandas.types import from_arrow_schema
+        from pyspark.sql.types import LongType, StringType, StructField
         from wikistream_lakehouse_spark.lakehouse.txn import _replay, current_version
 
         path = self.options.get("path")
@@ -155,12 +243,19 @@ class TxnTableDataSource(DataSource):
         files = _replay(path, current_version(path))
         if not files:
             raise ValueError(f"no committed data in {path}")
-        return from_arrow_schema(
-            pq.read_schema(os.path.join(path, files[0]))
-        )
+        sch = from_arrow_schema(pq.read_schema(os.path.join(path, files[0])))
+        if self._cdf():
+            sch = StructType(
+                list(sch.fields)
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", LongType()),
+                ]
+            )
+        return sch
 
     def streamReader(self, schema: StructType) -> TxnTableStreamReader:
-        return TxnTableStreamReader(self.options["path"])
+        return TxnTableStreamReader(self.options["path"], cdf=self._cdf())
 
 
 def register_txn_source(spark) -> None:

@@ -50,6 +50,10 @@ DEFAULT_QUERIES = [
     "revenue_by_nation",
     "cheapest_supplier_per_part",
     "daily_top_titles",           # flagship
+    # round-5 additions
+    "doc_char_chunks",            # posexplode row multiplier (watch)
+    "doc_token_chunks",
+    "ann_pq_topk",                # PQ encode + ADC + re-rank (watch)
 ]
 
 

@@ -1089,6 +1089,7 @@ def vacuum(
     retain_versions: int = 1,
     orphan_grace_secs: float = 24 * 3600,
     store: LogStore | None = None,
+    dry_run: bool = False,
 ) -> list[str]:
     """Reclaim space while keeping the last ``retain_versions`` snapshots
     time-travelable. Two sweeps:
@@ -1103,7 +1104,10 @@ def vacuum(
        The grace window keeps vacuum from eating a LIVE writer's
        files mid-write; in-flight writes are always younger than it.
 
-    Returns the deleted table-relative paths.
+    Returns the deleted table-relative paths. ``dry_run=True`` (the
+    ``VACUUM ... DRY RUN`` form) returns what WOULD be deleted without
+    touching anything — audit the blast radius before a destructive
+    retention pass.
     """
     latest = current_version(table_path, store)
     if latest < 0:
@@ -1143,6 +1147,8 @@ def vacuum(
                 ):
                     doomed.append(rel)
     doomed = sorted(set(doomed))
+    if dry_run:
+        return doomed
     for rel in doomed:
         p = os.path.join(table_path, rel)
         if os.path.exists(p):
@@ -1165,6 +1171,7 @@ def compact(
     max_retries: int = 8,
     zorder_by: list[str] | None = None,
     store: LogStore | None = None,
+    partitions: dict[str, str] | None = None,
 ) -> int | None:
     """OPTIMIZE on the transactional substrate: rewrite the current
     active file set into ~target-size files, committed as an ordinary
@@ -1180,25 +1187,50 @@ def compact(
     prune files for MULTI-column predicates. A z-order pass always
     rewrites (it exists to change layout, not just file count).
 
+    ``partitions`` = the ``OPTIMIZE ... WHERE`` form: compact ONLY the
+    files whose hive partition values match (e.g. ``{"ds":
+    "2024-01-15"}``) — at 100 TB you compact yesterday's partition, not
+    the table; every other partition's files keep their exact paths and
+    its deletion vectors stay active (a scoped rewrite can't retire
+    table-wide vectors, so they're retired only by a FULL pass).
+
     Returns the committed version, or None when already compact / empty.
     """
     pb = _current_partitioning(table_path, store)
+    if partitions:
+        unknown = set(partitions) - set(pb)
+        if unknown:
+            raise ValueError(
+                f"partitions filter names non-partition columns {sorted(unknown)} "
+                f"(table partitioned by {pb})"
+            )
     for _ in range(max_retries):
         base = current_version(table_path, store)
         if base < 0:
             return None
         files, dvs = _replay_state(table_path, base, store)
+        if partitions:
+            want = set(partitions.items())
+            scope = [
+                f
+                for f in files
+                if want <= {(k, v) for k, v in _partition_values(f)}
+            ]
+        else:
+            scope = files
+        if not scope:
+            return None
         total = sum(
             os.path.getsize(os.path.join(table_path, f))
-            for f in files
+            for f in scope
             if os.path.exists(os.path.join(table_path, f))
         )
         n_out = max(1, -(-total // target_file_bytes))  # ceil
-        if len(files) <= n_out and not zorder_by and not dvs:
+        if len(scope) <= n_out and not zorder_by and not dvs:
             # active deletion vectors force a pass: compaction is also
             # the PURGE that applies DVs physically and retires them
             return None
-        df = snapshot(spark, table_path, base, store)
+        df = _read_files(spark, table_path, scope, store, dvs=dvs)
         if zorder_by:
             from wikistream_lakehouse_spark.lakehouse.zorder import zvalue
 
@@ -1210,6 +1242,22 @@ def compact(
             )
         else:
             df = df.coalesce(int(n_out))
+        if partitions:
+            # scoped pass: replace exactly the scoped files; vectors on
+            # OTHER partitions must survive, so nothing retires
+            adds, sub = _write_data_files(df, table_path, pb)
+            try:
+                _validate_constraints(spark, table_path, adds, store)
+            except BaseException:
+                _drop_data_dir(table_path, sub)
+                raise
+            entry = _entry("compact", adds, scope, pb, {"partitions": partitions})
+            if current_version(table_path, store) == base and _try_commit(
+                table_path, base + 1, entry, store
+            ):
+                return base + 1
+            _drop_data_dir(table_path, sub)
+            continue  # a commit landed mid-compaction; re-scope and retry
         try:
             return rewrite(
                 df, table_path, base, op="compact", partition_by=pb, store=store
@@ -1217,6 +1265,36 @@ def compact(
         except CommitConflict:
             continue  # an append landed mid-compaction; fold it in
     raise CommitConflict(f"compact conflicted {max_retries} times")
+
+
+def table_detail(
+    table_path: str, store: LogStore | None = None
+) -> dict:
+    """DESCRIBE DETAIL analogue — the table's shape from METADATA alone
+    (log replay + file stats; no data IO): current version, live
+    file/byte counts, partition columns, active deletion-vector count,
+    constraints, schema-evolution flag, and checkpoint presence."""
+    v = current_version(table_path, store)
+    if v < 0:
+        raise ValueError(f"no committed data in {table_path}")
+    files, dvs = _replay_state(table_path, v, store)
+    sizes = [
+        os.path.getsize(os.path.join(table_path, f))
+        for f in files
+        if os.path.exists(os.path.join(table_path, f))
+    ]
+    cp = _latest_checkpoint(table_path, store)
+    return {
+        "version": v,
+        "num_files": len(files),
+        "size_bytes": sum(sizes),
+        "partition_by": _current_partitioning(table_path, store),
+        "num_deletion_vectors": len(dvs),
+        "constraints": constraints(table_path, store),
+        "schema_evolved": _is_evolved(table_path, store),
+        "checkpoint_version": cp[0] if cp else None,
+        "num_commits": len(_committed_versions(table_path, store)),
+    }
 
 
 def convert_to_txn(

@@ -1432,20 +1432,18 @@ def table_changes_cdf(
     ``_commit_version``. The Delta CDF analogue, recovered from the log
     without any per-commit change files:
 
-    * appends/converts emit their added files' rows as inserts;
-    * **deletion-vector deletes emit exact row-level delete images** —
-      each MoR commit's sidecar lists only the positions IT killed, and
-      those rows still exist in the (immutable, untouched) data files,
-      so the pre-image is one inner join of file-rows against the
-      commit's vector. This is what makes `delete_where(mode="mor")`
-      the CDC-friendly delete: copy-on-write destroys the row-level
-      delta (a rewritten file mixes survivors and victims), MoR
-      preserves it for free.
-    * compactions and metadata commits are invisible (no content
-      change); every other op (CoW delete/update, merge, rewrite,
-      replace_partitions, restore) raises — their row deltas are not
-      recoverable from a file-granular log, and a consumer must diff
-      snapshots instead.
+    The recoverability rule is structural, not per-op: **any commit
+    that removes no data files is a pure (insert ⊎ delete-image)
+    delta** — its ``add`` files' rows are inserts, its ``dvAdd``
+    vector's positions are delete images still present in the
+    (immutable, untouched) data files, recovered by one inner join.
+    That covers appends/converts, ``delete_where(mode="mor")``, and
+    ``merge_on_read_upsert`` (an UPDATE appears as its natural
+    delete+insert pair). Compactions and metadata commits are invisible
+    (no content change). Every file-REMOVING op (CoW delete/update,
+    rewrite-merge, replace_partitions, restore) raises — a rewritten
+    file mixes survivors and victims, so the row delta is genuinely
+    gone and a consumer must diff snapshots instead.
 
     Raises if a needed data or vector file was vacuumed (retention must
     cover the consumer's lag).
@@ -1458,17 +1456,22 @@ def table_changes_cdf(
             continue
         e = _load_entry(table_path, v, store) or {}
         op = e.get("op")
-        if op in ("append", "convert"):
-            inserts.append((v, e.get("add", [])))
-        elif op == "compact" or op in _METADATA_OPS:
+        if op == "compact" or op in _METADATA_OPS:
             continue
-        elif op == "delete" and e.get("dvAdd") and not e.get("add") and not e.get("remove"):
-            dv_deletes.append((v, e["dvAdd"]))
+        elif not e.get("remove") and not e.get("dvRetire"):
+            # dvRetire outside a compact (e.g. a restore) UN-deletes
+            # rows, which no insert/delete image stream can express
+            if e.get("add"):
+                inserts.append((v, e["add"]))
+            if e.get("dvAdd"):
+                dv_deletes.append((v, e["dvAdd"]))
         else:
             raise ValueError(
                 f"version {v} is a {op!r} commit whose row-level delta is "
-                "not recoverable from a file-granular log (only appends "
-                "and deletion-vector deletes are); diff snapshots instead"
+                "not recoverable from a file-granular log (it removes data "
+                "files or retires vectors; only non-removing commits — "
+                "appends, DV deletes, MoR merges — are); diff snapshots "
+                "instead"
             )
     needed = [f for _v, fs in inserts for f in fs] + [
         d for _v, ds in dv_deletes for d in ds
@@ -1794,6 +1797,106 @@ def update_where(
             return base + 1
         _drop_data_dir(table_path, sub)
     raise CommitConflict(f"update conflicted {max_retries} times")
+
+
+def merge_on_read_upsert(
+    spark: SparkSession,
+    table_path: str,
+    source: DataFrame,
+    keys: list[str],
+    deletes: DataFrame | None = None,
+    max_retries: int = 5,
+    meta: dict | None = None,
+    store: LogStore | None = None,
+) -> int:
+    """MERGE at O(delta) IO: ONE atomic commit that adds the source
+    rows as new data files AND kills the superseded/deleted rows with a
+    deletion vector — no existing data file is read-rewritten, ever.
+
+    Semantics per key: rows of ``source`` replace any current rows with
+    the same ``keys`` (upsert); ``deletes`` (a frame containing at
+    least the key columns) removes keys outright. Unlike
+    ``transactional_upsert`` — whose rewrite is O(table) because it
+    re-materializes every surviving row — this costs the new rows plus
+    O(matched positions) of vector IO: the shape that merges a 1 M-row
+    CDC batch into a 100 TB table without touching the other
+    99.999 TB. The trade is the standard MoR one: readers pay the
+    anti-join until ``compact`` purges.
+
+    Atomicity: data files and vector publish together in one
+    put-if-absent commit (the log entry carries both ``add`` and
+    ``dvAdd``), so readers see the old state or the merged state, never
+    a half-merge. Optimistic: a racing commit conflicts; the merge
+    recomputes its vector against the new snapshot and retries.
+
+    Because the commit is append + vector (``remove`` stays empty), the
+    row-level change feed stays RECOVERABLE across it: downstream CDF
+    consumers see the old rows as delete images and the new rows as
+    insert images — an UPDATE is its natural delete+insert pair — and
+    ``on_mutation='retract'`` materialized views keep folding at
+    O(delta) across merges.
+    """
+    import pyarrow.parquet as _pq
+
+    if not keys:
+        raise ValueError("merge requires at least one key column")
+    touched = source.select(*keys)
+    if deletes is not None:
+        touched = touched.unionByName(deletes.select(*keys))
+    touched = touched.distinct()
+    for _ in range(max_retries):
+        base = current_version(table_path, store)
+        if base < 0:
+            # creation: deletes are vacuous (SQL MERGE deletes of
+            # absent keys match nothing)
+            try:
+                return rewrite(
+                    source, table_path, base_version=-1, op="merge",
+                    meta=meta, store=store,
+                )
+            except CommitConflict:
+                continue  # another writer created the table; merge into it
+        _check_schema(source, table_path, store)
+        files, dvs = _replay_state(table_path, base, store)
+        pb = _current_partitioning(table_path, store)
+        live = _read_files(
+            spark, table_path, files, store, dvs=dvs, keep_rowpos=True
+        )
+        hits = live.join(F.broadcast(touched), keys, "left_semi").select(
+            F.col(_DV_FILE).alias("f"), F.col(_DV_POS).alias("ri")
+        )
+        dv_sub = f"{_DV_DIR}/g{uuid.uuid4().hex[:12]}"
+        dv_out = os.path.join(table_path, dv_sub)
+        hits.repartition(1).write.mode("error").parquet(dv_out)
+        dv_rels, n_dead = [], 0
+        for root, _dirs, names in os.walk(dv_out):
+            for fn in names:
+                if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                    full = os.path.join(root, fn)
+                    n_dead += _pq.ParquetFile(full).metadata.num_rows
+                    dv_rels.append(
+                        os.path.relpath(full, table_path).replace(os.sep, "/")
+                    )
+        if n_dead == 0:
+            shutil.rmtree(dv_out, ignore_errors=True)
+            dv_rels = []
+        adds, sub = _write_data_files(source, table_path, pb)
+        try:
+            _validate_constraints(spark, table_path, adds, store)
+        except BaseException:
+            _drop_data_dir(table_path, sub)
+            shutil.rmtree(dv_out, ignore_errors=True)
+            raise
+        entry = _entry("merge", adds, [], pb, meta)
+        if dv_rels:
+            entry["dvAdd"] = sorted(dv_rels)
+        if current_version(table_path, store) == base and _try_commit(
+            table_path, base + 1, entry, store
+        ):
+            return base + 1
+        _drop_data_dir(table_path, sub)
+        shutil.rmtree(dv_out, ignore_errors=True)
+    raise CommitConflict(f"merge conflicted {max_retries} times")
 
 
 def transactional_upsert(

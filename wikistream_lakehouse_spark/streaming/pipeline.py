@@ -334,3 +334,92 @@ def gold_merge_sink(
     else:
         writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
     return writer.start()
+
+
+def cdc_replicate_sink(
+    spark,
+    source_path: str,
+    dest_path: str,
+    keys: list[str],
+    checkpoint: str,
+    app_id: str = "cdc",
+    trigger_secs: int = 10,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Continuous table→table replication THROUGH deletes: stream the
+    source's row-level change feed (``txn_table`` CDF mode) and apply
+    each micro-batch to ``dest_path`` as one atomic merge-on-read
+    commit — inserts/updates upsert, delete images delete. The classic
+    CDC-apply pattern, engine-native end to end:
+
+        source txn table ──CDF stream──▶ merge_on_read_upsert ──▶ replica
+
+    Per batch: the LAST change per key wins (ordered by commit version;
+    within one version an upsert's insert image outranks the delete
+    image of the row it replaced), so a key inserted then deleted
+    inside the batch nets to a delete. Apply cost is O(batch) new rows
+    + O(matched positions) vector IO — replicating a trickle of changes
+    into a 100 TB replica never rewrites it.
+
+    Exactly-once: each apply commit stamps (app_id, batch_id); a
+    replayed batch whose identity already appears in the replica's log
+    is skipped (the same Delta txn-appId device as ``txn_append_sink``;
+    the same contract — new checkpoint location ⇒ new app_id).
+
+    Source commits must stay CDF-recoverable (appends, DV deletes, MoR
+    merges); a CoW mutation on the source fails the stream loudly
+    rather than silently diverging the replica.
+    """
+    from wikistream_lakehouse_spark.lakehouse.txn import (
+        committed_meta,
+        merge_on_read_upsert,
+    )
+    from wikistream_lakehouse_spark.streaming.txn_source import (
+        register_txn_source,
+    )
+
+    register_txn_source(spark)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        for m in committed_meta(dest_path):
+            if (m.get("app_id"), m.get("batch_id")) == (app_id, batch_id):
+                return  # replayed batch: already applied
+        # last change per key: newest commit wins; within a commit the
+        # insert image ('insert' > 'delete') is the post-state
+        w = Window.partitionBy(*keys).orderBy(
+            F.desc("_commit_version"), F.desc("_change_type")
+        )
+        last = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        ins = last.filter(F.col("_change_type") == "insert").drop(
+            "_change_type", "_commit_version"
+        )
+        dels = last.filter(F.col("_change_type") == "delete").select(*keys)
+        merge_on_read_upsert(
+            batch_df.sparkSession,
+            dest_path,
+            ins,
+            keys,
+            deletes=dels,
+            meta={"app_id": app_id, "batch_id": batch_id},
+        )
+
+    reader = (
+        spark.readStream.format("txn_table")
+        .option("cdf", "true")
+        .load(source_path)
+    )
+    writer = (
+        reader.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
+    return writer.start()

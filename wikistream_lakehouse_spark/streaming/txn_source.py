@@ -130,27 +130,33 @@ class TxnTableStreamReader(DataSourceStreamReader):
             if v <= lo or v > hi:
                 continue
             op = e.get("op")
-            if op in ("append", "convert"):
+            if op == "compact" or op in ("set_constraint", "drop_constraint"):
+                continue  # layout rewrite / metadata-only: no new content
+            elif op in ("append", "convert"):
                 parts.extend(
                     _FilePartition(_abs(f), None, "insert", v)
                     for f in e.get("add", [])
                 )
-            elif op == "compact" or op in ("set_constraint", "drop_constraint"):
-                continue  # layout rewrite / metadata-only: no new content
             elif (
                 self.cdf
-                and op == "delete"
-                and e.get("dvAdd")
-                and not e.get("add")
                 and not e.get("remove")
+                and not e.get("dvRetire")
+                and (e.get("dvAdd") or e.get("add"))
             ):
-                # MoR delete: the vector names exactly the rows this
-                # commit killed; group positions per target file (the
-                # sidecar is positions-only — metadata-scale planning)
+                # structural recoverability (txn.table_changes_cdf rule):
+                # a non-removing commit is a pure insert ⊎ delete-image
+                # delta — covers DV deletes AND merge_on_read_upsert
+                parts.extend(
+                    _FilePartition(_abs(f), None, "insert", v)
+                    for f in e.get("add", [])
+                )
+                # MoR delete/merge: the vector names exactly the rows
+                # this commit killed; group positions per target file
+                # (the sidecar is positions-only — metadata-scale planning)
                 import pyarrow.parquet as pq
 
                 by_file: dict[str, list[int]] = {}
-                for d in e["dvAdd"]:
+                for d in e.get("dvAdd", []):
                     tbl = pq.read_table(_abs(d), columns=["f", "ri"])
                     for f_rel, ri in zip(
                         tbl.column("f").to_pylist(), tbl.column("ri").to_pylist()

@@ -275,3 +275,32 @@ def test_skew_query_plans_with_salt_mitigation(spark, sf_dir):
     # two-phase aggregation: map-side partial collapses the re-grouped
     # hot key before the exchange
     assert "partial_count" in plan
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
+    """DPP: a filter on a DIMENSION must prune the partitioned FACT's
+    scan at runtime — the join key's qualifying values flow into the
+    fact's PartitionFilters as a dynamicpruning subquery. At 100 TB
+    this is the difference between scanning one nation's partitions and
+    scanning the table because the filter sits on the other join side."""
+    fact_path = str(tmp_path / "orders_by_cust_nation")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = table(spark, sf_dir, "orders")
+    (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .withColumn("nk", F.col("c_nationkey"))
+        .drop("c_nationkey", "c_custkey")
+        .write.partitionBy("nk")
+        .parquet(fact_path)
+    )
+    fact = spark.read.parquet(fact_path)
+    nation = table(spark, sf_dir, "nation").filter(F.col("n_name") == "FRANCE")
+    j = fact.join(nation, fact.nk == nation.n_nationkey).select(
+        "o_orderkey", "o_totalprice", "n_name"
+    )
+    plan = plan_of(j)
+    pf = plan.split("PartitionFilters")[1][:300] if "PartitionFilters" in plan else ""
+    assert "dynamicpruning" in pf, pf
+    # semantics: only FRANCE's partition rows flow
+    nk = [r.n_nationkey for r in nation.collect()]
+    assert j.count() == fact.filter(F.col("nk").isin(nk)).count()

@@ -1,0 +1,100 @@
+"""Stats-in-log data skipping: append(stats_cols=...) embeds per-file
+min/max/row-count in the commit entry (one footer pass over the NEW
+files at write time); txn_skipping_scan then prunes covered files from
+LOG METADATA with zero file IO, paying the footer pass only for
+uncovered files (pre-stats commits, compact rewrites). The Delta
+stats-in-add-action design on this log."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikistream_lakehouse_spark.lakehouse import skipping, txn
+
+
+def _df(spark, lo, hi):
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2.0).alias("v"),
+        )
+        .coalesce(1)
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    """Three single-file appends with disjoint k ranges, all with
+    embedded stats."""
+    t = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        txn.append(_df(spark, lo, lo + 100), t, stats_cols=["k", "v"])
+    return t
+
+
+def test_append_embeds_stats_in_the_commit(spark, table):
+    logged = txn.logged_file_stats(table)
+    assert len(logged) == 3
+    los = sorted(s["min"]["k"] for s in logged.values())
+    his = sorted(s["max"]["k"] for s in logged.values())
+    assert los == [0.0, 100.0, 200.0]
+    assert his == [99.0, 199.0, 299.0]
+    assert all(s["n"] == 100 for s in logged.values())
+
+
+def test_scan_prunes_from_log_with_zero_footer_io(spark, table, monkeypatch):
+    """Every active file carries logged stats for the queried columns →
+    the footer reader must never run."""
+
+    def boom(*a, **k):  # pragma: no cover
+        raise AssertionError("footer pass invoked despite full log coverage")
+
+    monkeypatch.setattr(skipping, "collect_file_stats", boom)
+    df, n_read, n_total = skipping.txn_skipping_scan(
+        spark, table, {"k": (120.0, 150.0)}
+    )
+    assert (n_read, n_total) == (1, 3)
+    got = sorted(r.k for r in df.collect())
+    assert got == list(range(120, 151))
+
+
+def test_mixed_coverage_falls_back_to_footers_only_for_uncovered(
+    spark, table, monkeypatch
+):
+    txn.append(_df(spark, 300, 400), table)  # NO stats_cols
+    seen = []
+    real = skipping.collect_file_stats
+
+    def spy(spark_, path, cols, files=None):
+        seen.extend(files or [])
+        return real(spark_, path, cols, files=files)
+
+    monkeypatch.setattr(skipping, "collect_file_stats", spy)
+    df, n_read, n_total = skipping.txn_skipping_scan(
+        spark, table, {"k": (310.0, 320.0)}
+    )
+    assert (n_read, n_total) == (1, 4)
+    assert len(seen) == 1  # only the stats-less file paid a footer read
+    assert sorted(r.k for r in df.collect()) == list(range(310, 321))
+
+
+def test_compact_rewrite_drops_stats_but_scan_stays_correct(spark, table):
+    txn.compact(spark, table, target_file_bytes=1 << 40)  # rewrite: new files, no stats
+    assert txn.logged_file_stats(table) == {}
+    df, n_read, n_total = skipping.txn_skipping_scan(
+        spark, table, {"k": (0.0, 50.0)}
+    )
+    assert sorted(r.k for r in df.collect()) == list(range(0, 51))
+
+
+def test_dv_delete_keeps_stats_conservative(spark, table):
+    """Deleted rows widen the logged range (stale-but-conservative):
+    pruning still never drops a live match."""
+    txn.delete_where(spark, table, "k >= 150 AND k < 200", mode="mor")
+    df, n_read, n_total = skipping.txn_skipping_scan(
+        spark, table, {"k": (140.0, 160.0)}
+    )
+    assert sorted(r.k for r in df.collect()) == list(range(140, 150))
+    assert n_read >= 1

@@ -422,6 +422,9 @@ class ViewSpec:
     group_by: tuple[str, ...]
     measures: dict[str, tuple[str, str]] = field(hash=False)
     where: str | None = None
+    #: mutation policy forwarded to refresh_aggregate — "retract" keeps a
+    #: continuously-maintained view O(delta) across DV deletes/MoR merges
+    on_mutation: str = "rebuild"
 
     def refresh(self, spark: SparkSession, source_path: str, store=None) -> int | None:
         return refresh_aggregate(
@@ -432,6 +435,7 @@ class ViewSpec:
             self.measures,
             where=self.where,
             store=store,
+            on_mutation=self.on_mutation,
         )
 
 

@@ -48,6 +48,7 @@ from typing import Iterator
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def _list_parquet_files(table_path: str) -> list[str]:
@@ -267,12 +268,56 @@ def txn_skipping_scan(
     from wikistream_lakehouse_spark.lakehouse import txn
 
     v = txn.current_version(table_path, store) if version is None else version
-    rels = txn._replay(table_path, v, store)
+    rels, dvs = txn._replay_state(table_path, v, store)
     if not rels:
         raise ValueError(f"no committed data at version {v} in {table_path}")
-    files = [os.path.join(table_path, f) for f in rels]
-    stats = collect_file_stats(spark, table_path, list(ranges), files=files)
+    cols = list(ranges)
+    # stats-in-log fast path: files whose commit embedded min/max for
+    # every needed column prune from LOG METADATA alone — zero file IO;
+    # only the uncovered remainder (pre-stats commits, compact rewrites)
+    # pays the footer pass
+    logged = txn.logged_file_stats(table_path, v, store)
+    from_log, need_footers = [], []
+    for rel in rels:
+        s = logged.get(rel)
+        if s and all(c in s["min"] for c in cols):
+            row = {
+                "file": os.path.join(table_path, rel),
+                "n_rows": s["n"],
+            }
+            for c in cols:
+                row[f"{c}_min"] = s["min"][c]
+                row[f"{c}_max"] = s["max"][c]
+            from_log.append(row)
+        else:
+            need_footers.append(os.path.join(table_path, rel))
+    fields = ", ".join(f"`{c}_min` double, `{c}_max` double" for c in cols)
+    schema = f"file string, n_rows long, {fields}"
+    parts = []
+    if from_log:
+        parts.append(spark.createDataFrame(from_log, schema))
+    if need_footers:
+        parts.append(
+            collect_file_stats(spark, table_path, cols, files=need_footers)
+        )
+    stats = parts[0]
+    for p in parts[1:]:
+        stats = stats.unionByName(p)
     df, n_read, n_total = skipping_scan(
         spark, stats, ranges, cast=cast, base_path=table_path
     )
+    if dvs and n_read:
+        # merge-on-read deletes apply to skipping scans too: subtract
+        # DV-marked positions exactly as snapshot() does (stale logged
+        # stats stay conservative; the anti-join restores exactness)
+        dv = txn._dv_frame(spark, table_path, dvs)
+        df = (
+            txn._with_rowpos(df, table_path)
+            .join(
+                dv,
+                (F.col(txn._DV_FILE) == dv.f) & (F.col(txn._DV_POS) == dv.ri),
+                "left_anti",
+            )
+            .drop(txn._DV_FILE, txn._DV_POS)
+        )
     return df.drop(txn._COMMIT_COL), n_read, n_total

@@ -876,6 +876,58 @@ def _entry(op: str, adds: list[str], removes: list[str], partition_by: list[str]
     return e
 
 
+def _collect_commit_stats(
+    spark: SparkSession, table_path: str, rels: list[str], cols: list[str]
+) -> dict:
+    """Per-file min/max/row-count for a commit's just-written files, in
+    the commit-entry embedding shape — ONE distributed footer-only pass
+    over the new files (O(files-in-commit), never O(table))."""
+    from wikistream_lakehouse_spark.lakehouse.skipping import collect_file_stats
+
+    abs_files = [os.path.join(table_path, f) for f in rels]
+    by_abs = {os.path.abspath(p): r for p, r in zip(abs_files, rels)}
+    rows = collect_file_stats(
+        spark, table_path, cols, files=abs_files
+    ).collect()
+    files: dict[str, dict] = {}
+    for r in rows:
+        rel = by_abs[os.path.abspath(r["file"])]
+        files[rel] = {
+            "n": int(r["n_rows"]),
+            "min": {c: r[f"{c}_min"] for c in cols},
+            "max": {c: r[f"{c}_max"] for c in cols},
+        }
+    return {"cols": list(cols), "files": files}
+
+
+def logged_file_stats(
+    table_path: str,
+    upto: int | None = None,
+    store: LogStore | None = None,
+) -> dict[str, dict]:
+    """Stats embedded in the log for the ACTIVE files at ``upto``
+    (default current): rel path → {"cols", "n", "min", "max"}. The
+    reader half of stats-in-log data skipping — planning prunes from
+    commit metadata with ZERO file IO (`skipping.txn_skipping_scan`
+    falls back to a footer pass only for files without logged stats).
+    DV deletes leave stats stale-but-conservative (dead rows widen the
+    range; pruning stays correct)."""
+    v = current_version(table_path, store) if upto is None else upto
+    active = set(_replay(table_path, v, store))
+    out: dict[str, dict] = {}
+    for cv in _committed_versions(table_path, store):
+        if cv > v:
+            break
+        e = _load_entry(table_path, cv, store) or {}
+        st = e.get("stats")
+        if not st:
+            continue
+        for rel, s in st["files"].items():
+            if rel in active:
+                out[rel] = {"cols": st["cols"], **s}
+    return out
+
+
 def append(
     df: DataFrame,
     table_path: str,
@@ -884,6 +936,7 @@ def append(
     partition_by: list[str] | None = None,
     merge_schema: bool = False,
     store: LogStore | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Blind-append ``df`` as a new commit; returns the version written.
 
@@ -907,6 +960,11 @@ def append(
     commit carries a ``schemaEvolved`` flag that switches reads of this
     table to footer-merge mode (files may carry different column
     subsets; a later compact normalizes them).
+
+    ``stats_cols`` embeds per-file min/max/row-count for those columns
+    in the commit entry (the Delta stats-in-log design): one footer-only
+    pass over the NEW files at write time buys every later
+    ``txn_skipping_scan`` zero-IO pruning from log metadata alone.
     """
     pb = _resolve_partition_by(table_path, partition_by, store)
     check = _check_schema_widening if merge_schema else _check_schema
@@ -914,10 +972,17 @@ def append(
     adds, sub = _write_data_files(df, table_path, pb)
     try:
         _validate_constraints(df.sparkSession, table_path, adds, store)
+        stats = (
+            _collect_commit_stats(df.sparkSession, table_path, adds, stats_cols)
+            if stats_cols
+            else None
+        )
         for _ in range(max_retries):
             entry = _entry("append", adds, [], pb, meta)
             if evolved:
                 entry["schemaEvolved"] = True
+            if stats:
+                entry["stats"] = stats
             v = _next_claim(table_path, store)
             if _try_commit(table_path, v, entry, store):
                 return v

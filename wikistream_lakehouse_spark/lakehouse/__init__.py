@@ -35,10 +35,15 @@ from wikistream_lakehouse_spark.lakehouse.txn import (
     convert_to_txn,
     delete_where,
     history,
+    logged_file_stats,
+    merge_on_read_upsert,
     read_table,
     replace_partitions,
+    restore,
     snapshot,
     table_changes,
+    table_changes_cdf,
+    table_detail,
     transactional_upsert,
     update_where,
     vacuum,
@@ -66,6 +71,11 @@ __all__ = [
     "replace_partitions",
     "snapshot",
     "table_changes",
+    "table_changes_cdf",
+    "table_detail",
+    "logged_file_stats",
+    "merge_on_read_upsert",
+    "restore",
     "transactional_upsert",
     "update_where",
     "vacuum",

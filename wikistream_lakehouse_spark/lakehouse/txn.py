@@ -465,7 +465,148 @@ def drop_constraint(
     raise CommitConflict(f"drop_constraint conflicted {max_retries} times")
 
 
-_METADATA_OPS = ("set_constraint", "drop_constraint")  # no content change
+def generated_columns(
+    table_path: str, store: LogStore | None = None
+) -> dict[str, str]:
+    """Active generated columns, name -> row-local SQL expression, by
+    replaying the metadata commits — same cost class as constraints."""
+    out: dict[str, str] = {}
+    for v in _committed_versions(table_path, store):
+        e = _load_entry(table_path, v, store) or {}
+        m = e.get("meta") or {}
+        if e.get("op") == "set_generated":
+            out[m["name"]] = m["expr"]
+        elif e.get("op") == "drop_generated":
+            out.pop(m["name"], None)
+    return out
+
+
+def set_generated_column(
+    spark: SparkSession,
+    table_path: str,
+    name: str,
+    expr: str,
+    max_retries: int = 5,
+    store: LogStore | None = None,
+) -> int:
+    """Declare ``name`` GENERATED ALWAYS AS (``expr``) — the Delta
+    generated-column contract: on every ingest write (append, merges,
+    replace_partitions) the column is COMPUTED when the writer omits it
+    and VALIDATED (null-safe equality) when the writer supplies it, so
+    the invariant `col <=> expr` holds for every committed row. The
+    classic use is a derived partition key (``ds`` generated from
+    ``ts``): writers never hand-compute it, and it can't drift.
+
+    ``expr`` must be ROW-LOCAL over the table's other columns. On a
+    non-empty table, existing rows are validated first (one snapshot
+    scan) and the column must already exist; on an empty table the
+    declaration is free and the column materializes at first write.
+    Rewrite-family maintenance (compact/restore) is pass-through — it
+    re-references rows the invariant already covered.
+    """
+    for _ in range(max_retries):
+        base = current_version(table_path, store)
+        files, dvs = (
+            _replay_state(table_path, base, store) if base >= 0 else ([], [])
+        )
+        if files:
+            live = _read_files(spark, table_path, files, store, dvs=dvs)
+            if name not in live.columns:
+                raise ValueError(
+                    f"cannot declare generated column {name!r}: it does not "
+                    f"exist in {table_path}'s schema — generated columns "
+                    "are declared over an existing column (or before the "
+                    "first write)"
+                )
+            bad = live.filter(
+                ~F.expr(f"`{name}` <=> ({expr})")
+            ).count()
+            if bad:
+                raise ConstraintViolation(
+                    f"cannot declare {name!r} GENERATED ALWAYS AS ({expr}): "
+                    f"{bad} existing row(s) violate it"
+                )
+        else:
+            F.expr(expr)  # at least require the expression to parse
+        pb = _current_partitioning(table_path, store)
+        entry = _entry(
+            "set_generated", [], [], pb, {"name": name, "expr": expr}
+        )
+        if current_version(table_path, store) == base and _try_commit(
+            table_path, base + 1, entry, store
+        ):
+            return base + 1
+    raise CommitConflict(f"set_generated conflicted {max_retries} times")
+
+
+def drop_generated_column(
+    table_path: str,
+    name: str,
+    max_retries: int = 5,
+    store: LogStore | None = None,
+) -> int:
+    """Stop generating/validating ``name`` via a metadata-only commit
+    (the column itself stays in the data)."""
+    if name not in generated_columns(table_path, store):
+        raise ValueError(f"no generated column {name!r} on {table_path}")
+    for _ in range(max_retries):
+        base = current_version(table_path, store)
+        pb = _current_partitioning(table_path, store)
+        entry = _entry("drop_generated", [], [], pb, {"name": name})
+        if current_version(table_path, store) == base and _try_commit(
+            table_path, base + 1, entry, store
+        ):
+            return base + 1
+    raise CommitConflict(f"drop_generated conflicted {max_retries} times")
+
+
+def _apply_generated(
+    df: DataFrame, table_path: str, store: LogStore | None = None
+) -> DataFrame:
+    """Ingest-side generated-column enforcement: compute omitted
+    columns, validate supplied ones (one aggregate over the WRITTEN
+    data — O(new rows), never a table rescan). Raises
+    ``ConstraintViolation`` on a mismatch."""
+    gens = generated_columns(table_path, store)
+    if not gens:
+        return df
+    checks = []
+    for name, expr in gens.items():
+        if name not in df.columns:
+            df = df.withColumn(name, F.expr(expr))
+        else:
+            checks.append((name, expr))
+    if checks:
+        row = df.agg(
+            *(
+                F.count(
+                    F.when(~F.expr(f"`{n}` <=> ({e})"), 1)
+                ).alias(f"c{i}")
+                for i, (n, e) in enumerate(checks)
+            )
+        ).first()
+        bad = {
+            n: int(row[f"c{i}"])
+            for i, (n, _e) in enumerate(checks)
+            if row[f"c{i}"]
+        }
+        if bad:
+            raise ConstraintViolation(
+                "write violates GENERATED ALWAYS AS column(s): "
+                + "; ".join(
+                    f"{n!r} = ({gens[n]}): {c} mismatched row(s)"
+                    for n, c in bad.items()
+                )
+            )
+    return df
+
+
+_METADATA_OPS = (
+    "set_constraint",
+    "drop_constraint",
+    "set_generated",
+    "drop_generated",
+)  # no content change
 
 
 def _validate_constraints(
@@ -966,6 +1107,7 @@ def append(
     pass over the NEW files at write time buys every later
     ``txn_skipping_scan`` zero-IO pruning from log metadata alone.
     """
+    df = _apply_generated(df, table_path, store)
     pb = _resolve_partition_by(table_path, partition_by, store)
     check = _check_schema_widening if merge_schema else _check_schema
     evolved = bool(check(df, table_path, store))
@@ -1080,6 +1222,7 @@ def replace_partitions(
     pb = _resolve_partition_by(table_path, partition_by, store)
     if not pb:
         raise ValueError("replace_partitions requires a partitioned table")
+    source = _apply_generated(source, table_path, store)
     _check_schema(source, table_path, store)
     adds, sub = _write_data_files(source, table_path, pb)
     new_parts = {_partition_values(p) for p in adds}
@@ -1905,6 +2048,7 @@ def merge_on_read_upsert(
 
     if not keys:
         raise ValueError("merge requires at least one key column")
+    source = _apply_generated(source, table_path, store)
     touched = source.select(*keys)
     if deletes is not None:
         touched = touched.unionByName(deletes.select(*keys))
@@ -1978,6 +2122,7 @@ def transactional_upsert(
     the new snapshot. Serializable outcome: every committed merge saw the
     state it replaced. Schema-checked on every attempt (a merge can't
     morph the table's columns)."""
+    source = _apply_generated(source, table_path, store)
     for _ in range(max_retries):
         base = current_version(table_path, store)
         if base < 0:

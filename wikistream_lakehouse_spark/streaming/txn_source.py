@@ -130,7 +130,10 @@ class TxnTableStreamReader(DataSourceStreamReader):
             if v <= lo or v > hi:
                 continue
             op = e.get("op")
-            if op == "compact" or op in ("set_constraint", "drop_constraint"):
+            if op == "compact" or op in (
+                "set_constraint", "drop_constraint",
+                "set_generated", "drop_generated",
+            ):
                 continue  # layout rewrite / metadata-only: no new content
             elif op in ("append", "convert"):
                 parts.extend(

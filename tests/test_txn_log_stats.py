@@ -98,3 +98,45 @@ def test_dv_delete_keeps_stats_conservative(spark, table):
     )
     assert sorted(r.k for r in df.collect()) == list(range(140, 150))
     assert n_read >= 1
+
+
+def test_optimize_with_stats_keeps_zero_io_pruning(spark, table, monkeypatch):
+    """The full loop: OPTIMIZE re-embeds stats for its rewritten files,
+    so pruning stays zero-file-IO across compaction — and a z-ordered
+    compact tightens the envelopes it logs."""
+    txn.compact(
+        spark, table, zorder_by=["k"], target_file_bytes=1500, stats_cols=["k", "v"]
+    )
+    logged = txn.logged_file_stats(table)
+    assert logged and all("k" in s["min"] for s in logged.values())
+
+    def boom(*a, **kw):  # pragma: no cover
+        raise AssertionError("footer pass invoked despite full log coverage")
+
+    monkeypatch.setattr(skipping, "collect_file_stats", boom)
+    df, n_read, n_total = skipping.txn_skipping_scan(
+        spark, table, {"k": (10.0, 20.0)}
+    )
+    assert n_read < n_total  # z-order + stats actually prune
+    assert sorted(r.k for r in df.collect()) == list(range(10, 21))
+
+
+def test_mor_merge_embeds_stats_for_its_new_files(spark, table, monkeypatch):
+    txn.merge_on_read_upsert(
+        spark,
+        table,
+        _df(spark, 400, 450),
+        keys=["k"],
+        stats_cols=["k", "v"],
+    )
+    logged = txn.logged_file_stats(table)
+    assert any(s["max"]["k"] == 449.0 for s in logged.values())
+
+    def boom(*a, **kw):  # pragma: no cover
+        raise AssertionError("footer pass invoked despite full log coverage")
+
+    monkeypatch.setattr(skipping, "collect_file_stats", boom)
+    df, n_read, n_total = skipping.txn_skipping_scan(
+        spark, table, {"k": (420.0, 430.0)}
+    )
+    assert sorted(r.k for r in df.collect()) == list(range(420, 431))

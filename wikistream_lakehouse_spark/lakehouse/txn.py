@@ -1161,6 +1161,7 @@ def rewrite(
     partition_by: list[str] | None = None,
     meta: dict | None = None,
     store: LogStore | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` as the FULL new table state, valid only if nothing
     landed after ``base_version`` (optimistic read-modify-write). Raises
@@ -1183,6 +1184,10 @@ def rewrite(
         raise
     removes, old_dvs = _replay_state(table_path, base_version, store)
     entry = _entry(op, adds, removes, pb, meta)
+    if stats_cols:
+        entry["stats"] = _collect_commit_stats(
+            df.sparkSession, table_path, adds, stats_cols
+        )
     if old_dvs:
         # the new state was derived from a DV-aware snapshot, so the
         # deletions are now physical — retire the vectors from replay
@@ -1380,6 +1385,7 @@ def compact(
     zorder_by: list[str] | None = None,
     store: LogStore | None = None,
     partitions: dict[str, str] | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int | None:
     """OPTIMIZE on the transactional substrate: rewrite the current
     active file set into ~target-size files, committed as an ordinary
@@ -1460,6 +1466,10 @@ def compact(
                 _drop_data_dir(table_path, sub)
                 raise
             entry = _entry("compact", adds, scope, pb, {"partitions": partitions})
+            if stats_cols:
+                entry["stats"] = _collect_commit_stats(
+                    spark, table_path, adds, stats_cols
+                )
             if current_version(table_path, store) == base and _try_commit(
                 table_path, base + 1, entry, store
             ):
@@ -1468,7 +1478,8 @@ def compact(
             continue  # a commit landed mid-compaction; re-scope and retry
         try:
             return rewrite(
-                df, table_path, base, op="compact", partition_by=pb, store=store
+                df, table_path, base, op="compact", partition_by=pb,
+                store=store, stats_cols=stats_cols,
             )
         except CommitConflict:
             continue  # an append landed mid-compaction; fold it in
@@ -2016,6 +2027,7 @@ def merge_on_read_upsert(
     max_retries: int = 5,
     meta: dict | None = None,
     store: LogStore | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """MERGE at O(delta) IO: ONE atomic commit that adds the source
     rows as new data files AND kills the superseded/deleted rows with a
@@ -2097,6 +2109,10 @@ def merge_on_read_upsert(
             shutil.rmtree(dv_out, ignore_errors=True)
             raise
         entry = _entry("merge", adds, [], pb, meta)
+        if stats_cols and adds:
+            entry["stats"] = _collect_commit_stats(
+                spark, table_path, adds, stats_cols
+            )
         if dv_rels:
             entry["dvAdd"] = sorted(dv_rels)
         if current_version(table_path, store) == base and _try_commit(

@@ -2083,7 +2083,10 @@ def merge_on_read_upsert(
         live = _read_files(
             spark, table_path, files, store, dvs=dvs, keep_rowpos=True
         )
-        hits = live.join(F.broadcast(touched), keys, "left_semi").select(
+        # no broadcast hint: a typical CDC batch broadcasts under AQE's
+        # threshold on its own, and a bulk backfill batch must be free
+        # to shuffle instead of OOMing the executors
+        hits = live.join(touched, keys, "left_semi").select(
             F.col(_DV_FILE).alias("f"), F.col(_DV_POS).alias("ri")
         )
         dv_sub = f"{_DV_DIR}/g{uuid.uuid4().hex[:12]}"

@@ -12,10 +12,11 @@ inherits its contract:
     in the stream's checkpoint; a restart resumes at the committed
     version, never replaying or skipping);
   * compact commits are invisible (rewrites of already-delivered rows);
-  * content-CHANGING commits (merge / delete / update /
+  * content-CHANGING commits (CoW delete/update, rewrite merges,
     replace_partitions) fail the stream loudly — a file-granular log
     cannot replay row-level mutations, and silently mis-streaming them
-    would corrupt every downstream consumer;
+    would corrupt every downstream consumer (DV deletes and MoR merges
+    CAN stream — under CDF mode below);
   * vacuumed-away deltas fail loudly too (retention must cover consumer
     lag).
 

@@ -451,3 +451,54 @@ def doc_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_by_tokens(
         d.select("doc_id", "text"), chunk_tokens=64, overlap=16
     ).orderBy("doc_id", "chunk_id")
+
+
+@register(
+    "chunk_dedup_stats",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(
+                       0, CAST(floor((length(text)-1)/192) AS BIGINT)
+                   )) AS i
+            FROM documents WHERE length(text) > 0
+        ), c AS (
+            SELECT doc_id,
+                   substring(text, CAST(i*192 AS INT)+1, 256) AS chunk
+            FROM w
+        ), per AS (
+            SELECT chunk, count(*) AS n FROM c GROUP BY chunk
+        )
+        SELECT CAST(sum(n) AS BIGINT) AS n_chunks,
+               CAST(count(*) AS BIGINT) AS n_unique,
+               ROUND(1.0 - count(*) / CAST(sum(n) AS DOUBLE), 6)
+                   AS dup_ratio,
+               CAST(max(n) AS BIGINT) AS max_copies
+        FROM per
+    """,
+    tags=("X1", "X4", "chunking", "extra"),
+)
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pipeline step: chunk the corpus (256-char windows,
+    stride 192 — operators/chunking.chunk_by_chars), then exact-dedup
+    at CHUNK granularity and profile the duplication — the pretraining
+    dedup decision usually happens on chunks, not whole documents
+    (boilerplate repeats at sub-document scale). One explode + one
+    hash-aggregate + one global fold: the chunk text never crosses a
+    shuffle more than once, and the per-chunk counts collapse map-side
+    before the final single-row aggregate."""
+    from wikistream_lakehouse_spark.operators.chunking import chunk_by_chars
+
+    d = table(spark, sf_dir, "documents")
+    chunks = chunk_by_chars(
+        d.select("doc_id", "text"), chunk_size=256, overlap=64
+    )
+    per = chunks.groupBy("chunk").agg(F.count(F.lit(1)).alias("n"))
+    return per.agg(
+        F.sum("n").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.round(
+            F.lit(1.0) - F.count(F.lit(1)) / F.sum("n").cast("double"), 6
+        ).alias("dup_ratio"),
+        F.max("n").cast("long").alias("max_copies"),
+    )

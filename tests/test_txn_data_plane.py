@@ -1,0 +1,349 @@
+"""Round-6 txn hardening: (1) the data-plane seam — every driver-side
+file operation on DATA files routes through ``txn.DataStore`` so the
+whole layer ports to an object store by implementing one class (VERDICT
+r5 next-round #2); (2) stats-pruned MoR merge probes — a CDC merge over
+a stats-logged clustered table never opens non-candidate files, making
+the merge O(delta) reads included (VERDICT r5 wrong #1); (3) sharded
+deletion-vector writes — a multi-file match set produces parallel
+sidecars, not one task's file (VERDICT r5 wrong #2); (4) URI-encodable
+table paths (spaces, '%', '+') — `_with_rowpos` decodes
+``_metadata.file_path`` before deriving table-relative identities
+(ADVICE r5 medium); (5) CDF across schema evolution unions with
+null-fill instead of throwing (ADVICE r5 medium)."""
+
+from __future__ import annotations
+
+import ast
+import collections
+import inspect
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikistream_lakehouse_spark.lakehouse import txn
+
+
+def _kv(spark, lo, hi):
+    return (
+        spark.range(lo, hi)
+        .select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+        .coalesce(1)
+    )
+
+
+# --------------------------------------------------------------------------
+# 1. Data-plane seam
+# --------------------------------------------------------------------------
+
+
+_FS_CALLS = {
+    ("os", "walk"),
+    ("os", "listdir"),
+    ("os", "remove"),
+    ("os", "rename"),
+    ("os", "rmdir"),
+    ("os", "makedirs"),
+    ("os", "unlink"),
+    ("os.path", "exists"),
+    ("os.path", "isdir"),
+    ("os.path", "isfile"),
+    ("os.path", "getsize"),
+    ("os.path", "getmtime"),
+    ("shutil", "rmtree"),
+    ("shutil", "copytree"),
+}
+
+
+def _attr_chain(node: ast.AST) -> str:
+    parts = []
+    while isinstance(node, ast.Attribute):
+        parts.append(node.attr)
+        node = node.value
+    if isinstance(node, ast.Name):
+        parts.append(node.id)
+    return ".".join(reversed(parts))
+
+
+def test_no_direct_fs_calls_outside_the_store_classes():
+    """Everything txn.py does to the filesystem goes through LogStore or
+    DataStore: the module body outside ``Posix{Log,Data}Store`` contains
+    no direct os/shutil filesystem call (path STRING functions like
+    os.path.join are fine — they are object-key math)."""
+    tree = ast.parse(inspect.getsource(txn))
+    allowed_classes = {"PosixLogStore", "PosixDataStore"}
+    offenders = []
+
+    class V(ast.NodeVisitor):
+        def __init__(self):
+            self.cls_stack = []
+
+        def visit_ClassDef(self, node):
+            self.cls_stack.append(node.name)
+            self.generic_visit(node)
+            self.cls_stack.pop()
+
+        def visit_Call(self, node):
+            chain = _attr_chain(node.func)
+            for mod, fn in _FS_CALLS:
+                if chain == f"{mod}.{fn}":
+                    if not (set(self.cls_stack) & allowed_classes):
+                        offenders.append((node.lineno, chain))
+            self.generic_visit(node)
+
+    V().visit(tree)
+    assert not offenders, f"direct FS calls outside the seam: {offenders}"
+
+
+class TrackingDataStore(txn.PosixDataStore):
+    """Posix behavior + a call counter: proves the txn flows actually
+    drive their file bookkeeping through the seam."""
+
+    def __init__(self):
+        self.calls = collections.Counter()
+
+    def _t(self, name):
+        self.calls[name] += 1
+
+    def exists(self, path):
+        self._t("exists")
+        return super().exists(path)
+
+    def walk_files(self, directory):
+        self._t("walk_files")
+        return super().walk_files(directory)
+
+    def list_root(self, directory):
+        self._t("list_root")
+        return super().list_root(directory)
+
+    def remove(self, path):
+        self._t("remove")
+        super().remove(path)
+
+    def remove_tree(self, directory):
+        self._t("remove_tree")
+        super().remove_tree(directory)
+
+    def size(self, path):
+        self._t("size")
+        return super().size(path)
+
+    def mtime(self, path):
+        self._t("mtime")
+        return super().mtime(path)
+
+    def open_input(self, path):
+        self._t("open_input")
+        return super().open_input(path)
+
+
+def test_txn_lifecycle_routes_data_ops_through_the_seam(
+    spark, tmp_path, monkeypatch
+):
+    """Append → MoR delete → MoR merge → CDF → compact → vacuum →
+    restore-check, with a tracking DataStore installed: results stay
+    correct AND every op class shows seam traffic."""
+    ds = TrackingDataStore()
+    monkeypatch.setattr(txn, "DEFAULT_DATA_STORE", ds)
+    t = str(tmp_path / "t")
+    txn.append(_kv(spark, 0, 100), t)
+    txn.append(_kv(spark, 100, 200), t)
+    txn.delete_where(spark, t, "k = 5", mode="mor")
+    # no-match MoR delete: its empty sidecar dir cleanup goes through
+    # the seam's remove_tree
+    assert txn.delete_where(spark, t, "k = -1", mode="mor") is None
+    txn.merge_on_read_upsert(
+        spark, t, _kv(spark, 150, 160).withColumn("v", F.lit(-1.0)), keys=["k"]
+    )
+    cdf = txn.table_changes_cdf(spark, t, 2)
+    assert cdf.filter("_change_type = 'delete'").count() == 10
+    txn.compact(spark, t, target_file_bytes=1)
+    vacuumed = txn.vacuum(t, retain_versions=1, orphan_grace_secs=0)
+    assert vacuumed  # pre-compact files + retired vectors reclaimed
+    got = sorted(
+        r.k for r in txn.read_table(spark, t).filter("v = -1.0").collect()
+    )
+    assert got == list(range(150, 160))
+    assert txn.read_table(spark, t).count() == 199
+    for op in ("walk_files", "exists", "remove", "remove_tree", "size",
+               "mtime", "list_root", "open_input"):
+        assert ds.calls[op] > 0, f"no seam traffic for {op}: {ds.calls}"
+
+
+# --------------------------------------------------------------------------
+# 2. Stats-pruned MoR merge probe
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def stats_table(spark, tmp_path):
+    """Three single-file appends with disjoint k ranges, stats logged."""
+    t = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        txn.append(_kv(spark, lo, lo + 100), t, stats_cols=["k", "v"])
+    return t
+
+
+def test_merge_probe_never_opens_non_candidate_files(
+    spark, stats_table, monkeypatch
+):
+    files = txn._replay(stats_table, txn.current_version(stats_table))
+    logged = txn.logged_file_stats(stats_table)
+    expected = [
+        f for f in files
+        if logged[f]["min"]["k"] <= 130 and logged[f]["max"]["k"] >= 120
+    ]
+    assert len(expected) == 1  # well-clustered: one candidate file
+
+    probes = []
+    real = txn._read_files
+
+    def spy(spark_, path, fs, store=None, dvs=None, keep_rowpos=False):
+        if keep_rowpos:
+            probes.append(sorted(fs))
+        return real(spark_, path, fs, store, dvs=dvs, keep_rowpos=keep_rowpos)
+
+    monkeypatch.setattr(txn, "_read_files", spy)
+    txn.merge_on_read_upsert(
+        spark,
+        stats_table,
+        _kv(spark, 120, 131).withColumn("v", F.lit(-1.0)),
+        keys=["k"],
+    )
+    assert probes == [expected]  # the other two files were never opened
+    got = txn.read_table(spark, stats_table).filter("v = -1.0").count()
+    assert got == 11
+
+
+def test_merge_probe_prunes_to_zero_files_for_disjoint_keys(
+    spark, stats_table, monkeypatch
+):
+    """Pure-insert batch (keys beyond every file's range): the probe
+    reads NOTHING; the merge is still correct and adds no vector."""
+    probes = []
+    real = txn._read_files
+
+    def spy(spark_, path, fs, store=None, dvs=None, keep_rowpos=False):
+        if keep_rowpos:
+            probes.append(sorted(fs))
+        return real(spark_, path, fs, store, dvs=dvs, keep_rowpos=keep_rowpos)
+
+    monkeypatch.setattr(txn, "_read_files", spy)
+    txn.merge_on_read_upsert(
+        spark, stats_table, _kv(spark, 500, 510), keys=["k"]
+    )
+    assert probes == []  # zero probe IO
+    assert txn._replay_state(
+        stats_table, txn.current_version(stats_table)
+    )[1] == []  # no vector
+    assert txn.read_table(spark, stats_table).count() == 310
+
+
+def test_merge_probe_keeps_statless_files_as_candidates(spark, tmp_path):
+    """A file whose commit logged no stats can never be pruned — the
+    merge stays correct on mixed-coverage tables."""
+    t = str(tmp_path / "t")
+    txn.append(_kv(spark, 0, 100), t, stats_cols=["k", "v"])
+    txn.append(_kv(spark, 100, 200), t)  # NO stats
+    txn.merge_on_read_upsert(
+        spark, t, _kv(spark, 150, 151).withColumn("v", F.lit(-1.0)), keys=["k"]
+    )
+    rows = {r.k: r.v for r in txn.read_table(spark, t).collect()}
+    assert rows[150] == -1.0 and len(rows) == 200
+
+
+def test_merge_probe_pruning_matches_unpruned_semantics(spark, stats_table):
+    """Differential: the same merge against a stats-less twin (no
+    pruning possible) commits the identical final state."""
+    import shutil as _sh
+
+    twin = stats_table + "_twin"
+    _sh.copytree(stats_table, twin)
+    src = (
+        _kv(spark, 90, 210)
+        .withColumn("v", F.lit(-1.0))
+    )
+    dels = spark.range(0, 10).select(F.col("id").alias("k"))
+    txn.merge_on_read_upsert(spark, stats_table, src, keys=["k"], deletes=dels)
+    # twin: wipe the logged stats by compacting first (rewrite drops them)
+    txn.compact(spark, twin, target_file_bytes=1 << 40)
+    assert txn.logged_file_stats(twin) == {}
+    txn.merge_on_read_upsert(spark, twin, src, keys=["k"], deletes=dels)
+    a = sorted((r.k, r.v) for r in txn.read_table(spark, stats_table).collect())
+    b = sorted((r.k, r.v) for r in txn.read_table(spark, twin).collect())
+    assert a == b
+
+
+# --------------------------------------------------------------------------
+# 3. Sharded deletion-vector writes
+# --------------------------------------------------------------------------
+
+
+def test_bulk_dv_delete_writes_parallel_sidecars(spark, tmp_path):
+    """A match set spanning many data files lands in multiple hash
+    buckets (>1 sidecar file); readers and compact treat the set
+    identically to a single-file vector."""
+    t = str(tmp_path / "t")
+    for lo in range(0, 200, 10):  # 20 single-file appends
+        txn.append(_kv(spark, lo, lo + 10), t)
+    v = txn.delete_where(spark, t, "k % 10 < 5", mode="mor")
+    assert v is not None
+    dvs = txn._replay_state(t, txn.current_version(t))[1]
+    assert 1 < len(dvs) <= txn._DV_WRITE_BUCKETS
+    got = sorted(r.k for r in txn.read_table(spark, t).collect())
+    assert got == [k for k in range(200) if k % 10 >= 5]
+    # compact applies + retires the whole sharded set
+    txn.compact(spark, t, target_file_bytes=1 << 40)
+    assert txn._replay_state(t, txn.current_version(t))[1] == []
+    assert sorted(r.k for r in txn.read_table(spark, t).collect()) == got
+
+
+# --------------------------------------------------------------------------
+# 4. URI-encodable table paths
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("dirname", ["my table", "pct%20dir", "a+b"])
+def test_dv_dml_and_cdf_on_uri_encodable_paths(spark, tmp_path, dirname):
+    """Spaces, literal percent-escapes, and '+' in the table path: the
+    row-identity derivation decodes the _metadata URI, so MoR deletes,
+    CoW deletes, and CDF delete images all address the right files."""
+    t = str(tmp_path / dirname / "t")
+    txn.append(_kv(spark, 0, 10), t)
+    base = txn.current_version(t)
+    assert txn.delete_where(spark, t, "k = 3", mode="mor") is not None
+    assert sorted(r.k for r in txn.read_table(spark, t).collect()) == [
+        0, 1, 2, 4, 5, 6, 7, 8, 9
+    ]
+    cdf = txn.table_changes_cdf(spark, t, base)
+    assert [(r.k, r._change_type) for r in cdf.collect()] == [(3, "delete")]
+    # copy-on-write path exercises _affected_files on the same identity
+    assert txn.delete_where(spark, t, "k = 4") is not None
+    assert sorted(r.k for r in txn.read_table(spark, t).collect()) == [
+        0, 1, 2, 5, 6, 7, 8, 9
+    ]
+
+
+# --------------------------------------------------------------------------
+# 5. CDF across schema evolution
+# --------------------------------------------------------------------------
+
+
+def test_cdf_spans_schema_evolution_with_null_fill(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txn.append(spark.createDataFrame([(1, "a")], "k long, s string"), t)
+    txn.append(
+        spark.createDataFrame([(2, "b", 9.0)], "k long, s string, extra double"),
+        t,
+        merge_schema=True,
+    )
+    txn.delete_where(spark, t, "k = 1", mode="mor")
+    got = sorted(
+        (r.k, r._change_type, r.extra)
+        for r in txn.table_changes_cdf(spark, t, -1).collect()
+    )
+    assert got == [
+        (1, "delete", None),
+        (1, "insert", None),
+        (2, "insert", 9.0),
+    ]

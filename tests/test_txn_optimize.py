@@ -64,9 +64,11 @@ def test_scoped_compact_applies_dvs_but_keeps_other_partitions_vectors(
     delete_where(spark, parted, "k = 1", mode="mor")  # a d2 row (1 % 2 + 1)
     delete_where(spark, parted, "k = 2", mode="mor")  # a d1 row
     compact(spark, parted, partitions={"ds": "d1"})
-    # the d2 vector must still be active (scoped pass retires nothing)
+    # the d1 vector's live targets were all rewritten → it retires with
+    # the scoped pass (ADVICE r5: stale fully-applied DVs used to stay
+    # active forever, taxing every read); the d2 vector must survive
     _files, dvs = _replay_state(parted, current_version(parted))
-    assert len(dvs) == 2  # inert d1 vector + live d2 vector both listed
+    assert len(dvs) == 1  # only the live d2 vector remains
     got = sorted(r.k for r in read_table(spark, parted).collect())
     assert 1 not in got and 2 not in got
     # a FULL pass retires everything

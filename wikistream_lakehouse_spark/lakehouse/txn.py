@@ -221,6 +221,133 @@ def _store(store: LogStore | None) -> LogStore:
 
 
 # --------------------------------------------------------------------------
+# The data plane, abstracted (VERDICT r5 next-round #2)
+# --------------------------------------------------------------------------
+
+
+class DataStore:
+    """Data-plane file operations: everything the txn layer does to DATA
+    files (parquet Spark wrote) and DV sidecars OUTSIDE the commit log —
+    existence probes, recursive listing, deletion, size/mtime for
+    vacuum, sidecar reads. Every method maps 1:1 to an object-store
+    primitive (HEAD / LIST-prefix / GET / DELETE) or a Hadoop
+    ``FileSystem`` call, so porting a table to S3/GCS means implementing
+    THIS class plus a conditional-put :class:`LogStore`; no POSIX call
+    leaks into the protocol itself. Spark reads/writes the data files
+    through its own Hadoop FS layer either way — this seam covers only
+    the driver-side bookkeeping around them.
+
+    All paths are absolute, '/'-separated strings (object keys)."""
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def walk_files(self, directory: str) -> list[str]:
+        """Every file path under ``directory``, recursive, sorted;
+        empty when the directory doesn't exist (LIST with prefix)."""
+        raise NotImplementedError
+
+    def list_root(self, directory: str) -> list[str]:
+        """Entry names (files or subdirs) directly under ``directory``;
+        empty when absent (LIST with delimiter)."""
+        raise NotImplementedError
+
+    def remove(self, path: str) -> None:
+        """Delete one file; missing is not an error (DELETE)."""
+        raise NotImplementedError
+
+    def remove_tree(self, directory: str) -> None:
+        """Delete every file under ``directory`` (batch DELETE);
+        missing is not an error."""
+        raise NotImplementedError
+
+    def size(self, path: str) -> int:
+        raise NotImplementedError
+
+    def mtime(self, path: str) -> float:
+        raise NotImplementedError
+
+    def open_input(self, path: str):
+        """Binary file-like for driver-side sidecar/footer reads
+        (pyarrow accepts it directly; GET / ranged GET)."""
+        raise NotImplementedError
+
+    def rename(self, src: str, dst: str) -> None:
+        """Move one file (``convert_to_txn`` migration only; an
+        object-store implementation is copy+delete)."""
+        raise NotImplementedError
+
+    def makedirs(self, path: str) -> None:
+        """Ensure a directory exists (no-op on object stores)."""
+        raise NotImplementedError
+
+    def prune_empty_dirs(self, directory: str) -> None:
+        """Cosmetic: drop empty directories left by deletions (no-op on
+        object stores, which have no directories)."""
+        raise NotImplementedError
+
+
+class PosixDataStore(DataStore):
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def walk_files(self, directory: str) -> list[str]:
+        out = []
+        for root, _dirs, files in os.walk(directory):
+            out.extend(os.path.join(root, n) for n in files)
+        return sorted(out)
+
+    def list_root(self, directory: str) -> list[str]:
+        if not os.path.isdir(directory):
+            return []
+        return sorted(os.listdir(directory))
+
+    def remove(self, path: str) -> None:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+
+    def remove_tree(self, directory: str) -> None:
+        shutil.rmtree(directory, ignore_errors=True)
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
+
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(path)
+
+    def open_input(self, path: str):
+        return open(path, "rb")
+
+    def rename(self, src: str, dst: str) -> None:
+        os.rename(src, dst)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def prune_empty_dirs(self, directory: str) -> None:
+        for root, dirs, files in os.walk(directory, topdown=False):
+            if root != directory and not dirs and not files:
+                try:
+                    os.rmdir(root)
+                except OSError:
+                    pass
+
+
+DEFAULT_DATA_STORE: DataStore = PosixDataStore()
+
+
+def _data() -> DataStore:
+    return DEFAULT_DATA_STORE
+
+
+def _open_data_file(table_path: str, rel: str):
+    """Binary handle on a table-relative file via the data-plane seam."""
+    return _data().open_input(os.path.join(table_path, rel))
+
+
+# --------------------------------------------------------------------------
 # Log layout + replay
 # --------------------------------------------------------------------------
 
@@ -678,13 +805,12 @@ def _write_data_files(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(out)
-    rels = []
-    for root, _dirs, files in os.walk(out):
-        for n in files:
-            if n.endswith(".parquet") and not n.startswith(("_", ".")):
-                rels.append(
-                    os.path.relpath(os.path.join(root, n), table_path)
-                )
+    rels = [
+        os.path.relpath(p, table_path)
+        for p in _data().walk_files(out)
+        if os.path.basename(p).endswith(".parquet")
+        and not os.path.basename(p).startswith(("_", "."))
+    ]
     return sorted(rels), sub
 
 
@@ -692,7 +818,7 @@ def _drop_data_dir(table_path: str, sub: str) -> None:
     """Remove a just-written, provably-unreferenced data subdirectory —
     the cleanup that keeps a lost CommitConflict race from leaking a
     full table copy per retry (ADVICE r4 medium)."""
-    shutil.rmtree(os.path.join(table_path, sub), ignore_errors=True)
+    _data().remove_tree(os.path.join(table_path, sub))
 
 
 def _partition_values(rel_path: str) -> tuple[tuple[str, str], ...]:
@@ -957,7 +1083,7 @@ def restore(
     missing = [
         f
         for f in target + target_dvs
-        if not os.path.exists(os.path.join(table_path, f))
+        if not _data().exists(os.path.join(table_path, f))
     ]
     if missing:
         raise ValueError(
@@ -1066,6 +1192,80 @@ def logged_file_stats(
         for rel, s in st["files"].items():
             if rel in active:
                 out[rel] = {"cols": st["cols"], **s}
+    return out
+
+
+def _stat_to_float(v) -> "float | None":
+    """Normalize a stat bound (number / datetime) to float64 for
+    interval comparison — the same domain ``skipping.collect_file_stats``
+    records; anything else (strings, dates) is un-normalizable and
+    disables pruning on that column (conservative)."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, datetime):
+        return v.timestamp()
+    return None
+
+
+def _candidate_merge_files(
+    table_path: str,
+    files: list[str],
+    touched: DataFrame,
+    keys: list[str],
+    upto: int,
+    store: LogStore | None = None,
+) -> list[str]:
+    """MERGE probe pruning (VERDICT r5 wrong #1): the subset of
+    ``files`` that can contain a row whose ``keys`` fall inside the
+    touched-key envelope, decided from **logged per-file min/max stats**
+    — the same ``_affected_files``-style file-level pruning DELETE and
+    UPDATE already do, applied to the MoR merge's position probe.
+
+    Cost: ONE aggregate over the (delta-sized) touched-key frame for
+    its min/max envelope, then a driver-side interval intersection
+    against log metadata — zero table IO. Files without logged stats
+    for a key column stay candidates (pruning must never drop a match);
+    a well-clustered stats-logged table prunes the probe to the files a
+    CDC batch actually touches, making the merge O(delta) end to end,
+    reads included, not just writes."""
+    logged = logged_file_stats(table_path, upto, store)
+    if not any(f in logged for f in files):
+        return list(files)
+    row = touched.agg(
+        *(
+            agg
+            for i, k in enumerate(keys)
+            for agg in (
+                F.min(F.col(k)).alias(f"__lo_{i}"),
+                F.max(F.col(k)).alias(f"__hi_{i}"),
+            )
+        )
+    ).first()
+    bounds: dict[str, tuple[float, float]] = {}
+    for i, k in enumerate(keys):
+        lo = _stat_to_float(row[f"__lo_{i}"])
+        hi = _stat_to_float(row[f"__hi_{i}"])
+        if lo is not None and hi is not None:
+            bounds[k] = (lo, hi)
+    if not bounds:
+        return list(files)
+    out = []
+    for f in files:
+        s = logged.get(f)
+        keep = True
+        if s:
+            for k, (lo, hi) in bounds.items():
+                fmin = _stat_to_float(s["min"].get(k))
+                fmax = _stat_to_float(s["max"].get(k))
+                if fmin is None or fmax is None:
+                    continue  # no usable stats for this column → keep
+                if fmax < lo or fmin > hi:
+                    keep = False  # provably disjoint on this key
+                    break
+        if keep:
+            out.append(f)
     return out
 
 
@@ -1336,44 +1536,41 @@ def vacuum(
         e = _load_entry(table_path, v, store) or {}
         referenced |= set(e.get("add", [])) | set(e.get("dvAdd", []))
     doomed = sorted(referenced - keep)
-    # orphan sweep: on-disk parquet under commit dirs (and DV sidecar
+    # orphan sweep: stored parquet under commit dirs (and DV sidecar
     # dirs) that no commit references — residue of crashed writers
+    ds = _data()
     cutoff = time.time() - orphan_grace_secs
     sweep_roots = [
         sub
-        for sub in (sorted(os.listdir(table_path)) if os.path.isdir(table_path) else [])
+        for sub in ds.list_root(table_path)
         if sub.startswith(f"{_COMMIT_COL}=") or sub == _DV_DIR
     ]
     for sub in sweep_roots:
         subdir = os.path.join(table_path, sub)
-        if not os.path.isdir(subdir):
-            continue
-        for root, _dirs, files in os.walk(subdir):
-            for n in files:
-                full = os.path.join(root, n)
-                rel = os.path.relpath(full, table_path)
-                if (
-                    n.endswith(".parquet")
-                    and not n.startswith(("_", "."))
-                    and rel not in referenced
-                    and os.path.getmtime(full) < cutoff
-                ):
-                    doomed.append(rel)
+        for full in ds.walk_files(subdir):
+            n = os.path.basename(full)
+            rel = os.path.relpath(full, table_path)
+            if (
+                n.endswith(".parquet")
+                and not n.startswith(("_", "."))
+                and rel not in referenced
+                and ds.mtime(full) < cutoff
+            ):
+                doomed.append(rel)
     doomed = sorted(set(doomed))
     if dry_run:
         return doomed
     for rel in doomed:
-        p = os.path.join(table_path, rel)
-        if os.path.exists(p):
-            os.remove(p)
-    # drop now-empty data directories (cosmetic, keeps listings sane)
-    for sub in sorted(os.listdir(table_path)) if os.path.isdir(table_path) else []:
+        ds.remove(os.path.join(table_path, rel))
+    # drop now-empty data directories (cosmetic, keeps listings sane;
+    # object-store implementations no-op — they have no directories)
+    for sub in ds.list_root(table_path):
         if sub.startswith(f"{_COMMIT_COL}=") or sub == _DV_DIR:
             subdir = os.path.join(table_path, sub)
-            if os.path.isdir(subdir) and not any(
-                files for _r, _d, files in os.walk(subdir)
-            ):
-                shutil.rmtree(subdir, ignore_errors=True)
+            if not ds.walk_files(subdir):
+                ds.remove_tree(subdir)
+            else:
+                ds.prune_empty_dirs(subdir)
     return doomed
 
 
@@ -1435,9 +1632,9 @@ def compact(
         if not scope:
             return None
         total = sum(
-            os.path.getsize(os.path.join(table_path, f))
+            _data().size(os.path.join(table_path, f))
             for f in scope
-            if os.path.exists(os.path.join(table_path, f))
+            if _data().exists(os.path.join(table_path, f))
         )
         n_out = max(1, -(-total // target_file_bytes))  # ceil
         if len(scope) <= n_out and not zorder_by and not dvs:
@@ -1457,15 +1654,27 @@ def compact(
         else:
             df = df.coalesce(int(n_out))
         if partitions:
-            # scoped pass: replace exactly the scoped files; vectors on
-            # OTHER partitions must survive, so nothing retires
+            # scoped pass: replace exactly the scoped files. Vectors
+            # whose LIVE targets all sit inside the scope were fully
+            # applied by this rewrite and retire with it; a vector still
+            # pointing at an unscoped live file must survive (ADVICE r5
+            # low — never retiring left permanently-active stale DVs
+            # taxing every read until a full-table pass).
             adds, sub = _write_data_files(df, table_path, pb)
             try:
                 _validate_constraints(spark, table_path, adds, store)
             except BaseException:
                 _drop_data_dir(table_path, sub)
                 raise
+            unscoped_live = set(files) - set(scope)
+            dv_retire = [
+                d
+                for d in dvs
+                if not (_dv_target_files(table_path, d) & unscoped_live)
+            ]
             entry = _entry("compact", adds, scope, pb, {"partitions": partitions})
+            if dv_retire:
+                entry["dvRetire"] = sorted(dv_retire)
             if stats_cols:
                 entry["stats"] = _collect_commit_stats(
                     spark, table_path, adds, stats_cols
@@ -1498,9 +1707,9 @@ def table_detail(
         raise ValueError(f"no committed data in {table_path}")
     files, dvs = _replay_state(table_path, v, store)
     sizes = [
-        os.path.getsize(os.path.join(table_path, f))
+        _data().size(os.path.join(table_path, f))
         for f in files
-        if os.path.exists(os.path.join(table_path, f))
+        if _data().exists(os.path.join(table_path, f))
     ]
     cp = _latest_checkpoint(table_path, store)
     return {
@@ -1535,19 +1744,24 @@ def convert_to_txn(
     """
     if _claimed_versions(path, store):
         raise ValueError(f"{path} already has a transaction log")
+    ds = _data()
     sub = f"{_COMMIT_COL}=gconvert{uuid.uuid4().hex[:6]}"
     moved: list[str] = []
     partition_cols: list[str] = []
     flat_files = False
-    for root, _dirs, files in os.walk(path):
-        rel_root = os.path.relpath(root, path)
-        if rel_root.startswith(_COMMIT_COL + "="):
+    for full in ds.walk_files(path):
+        rel = os.path.relpath(full, path)
+        if rel.startswith(_COMMIT_COL + "=") or rel.startswith(LOG_DIR):
             continue
-        segs = [] if rel_root == "." else rel_root.split(os.sep)
+        segs = rel.split(os.sep)[:-1]
+        n = os.path.basename(full)
+        if not n.endswith(".parquet") or n.startswith(("_", ".")):
+            continue
         if any("=" not in s for s in segs):
             raise ValueError(
-                f"non-hive subdirectory {rel_root!r} under {path}: "
-                "convert_to_txn supports flat or hive-partitioned layouts"
+                f"non-hive subdirectory {os.path.dirname(rel)!r} under "
+                f"{path}: convert_to_txn supports flat or hive-partitioned "
+                "layouts"
             )
         cols = [s.split("=", 1)[0] for s in segs]
         if cols:
@@ -1556,14 +1770,11 @@ def convert_to_txn(
                     f"inconsistent partition layout: {cols} vs {partition_cols}"
                 )
             partition_cols = cols
-        for n in files:
-            if not n.endswith(".parquet") or n.startswith(("_", ".")):
-                continue
-            flat_files = flat_files or not segs
-            new_rel = os.path.join(sub, rel_root, n) if segs else os.path.join(sub, n)
-            os.makedirs(os.path.dirname(os.path.join(path, new_rel)), exist_ok=True)
-            os.rename(os.path.join(root, n), os.path.join(path, new_rel))
-            moved.append(new_rel.replace(os.sep, "/"))
+        flat_files = flat_files or not segs
+        new_rel = os.path.join(sub, rel)
+        ds.makedirs(os.path.dirname(os.path.join(path, new_rel)))
+        ds.rename(full, os.path.join(path, new_rel))
+        moved.append(new_rel.replace(os.sep, "/"))
     if not moved:
         raise ValueError(f"no parquet files to convert under {path}")
     if flat_files and partition_cols:
@@ -1572,11 +1783,7 @@ def convert_to_txn(
             "directories — resolve the layout before converting"
         )
     # drop the now-empty original partition dirs (cosmetic)
-    for root, dirs, files in os.walk(path, topdown=False):
-        rel_root = os.path.relpath(root, path)
-        if rel_root != "." and not rel_root.startswith(_COMMIT_COL + "=") and \
-                not dirs and not files:
-            os.rmdir(root)
+    ds.prune_empty_dirs(path)
     entry = _entry("convert", sorted(moved), [], partition_cols, None)
     if not _try_commit(path, 0, entry, store):
         raise CommitConflict(f"lost the v0 race converting {path}")
@@ -1625,7 +1832,7 @@ def table_changes(
             f"commits {mutating}: file-granular change feed only covers "
             "append-style tables; diff snapshots for mutable ones"
         )
-    missing = [f for f in files if not os.path.exists(os.path.join(table_path, f))]
+    missing = [f for f in files if not _data().exists(os.path.join(table_path, f))]
     if missing:
         raise ValueError(
             f"change files already vacuumed: {missing[:3]}... — raise "
@@ -1695,7 +1902,7 @@ def table_changes_cdf(
     needed = [f for _v, fs in inserts for f in fs] + [
         d for _v, ds in dv_deletes for d in ds
     ]
-    missing = [f for f in needed if not os.path.exists(os.path.join(table_path, f))]
+    missing = [f for f in needed if not _data().exists(os.path.join(table_path, f))]
     if missing:
         raise ValueError(
             f"change files already vacuumed: {missing[:3]}... — raise "
@@ -1712,7 +1919,7 @@ def table_changes_cdf(
     for v, ds in dv_deletes:
         dv = _dv_frame(spark, table_path, ds)
         targets = sorted({r.f for r in dv.select("f").distinct().collect()})
-        gone = [f for f in targets if not os.path.exists(os.path.join(table_path, f))]
+        gone = [f for f in targets if not _data().exists(os.path.join(table_path, f))]
         if gone:
             raise ValueError(
                 f"delete pre-image files already vacuumed: {gone[:3]}... — "
@@ -1740,9 +1947,14 @@ def table_changes_cdf(
         return empty.withColumn(
             "_change_type", F.lit("").cast("string")
         ).withColumn("_commit_version", F.lit(0).cast("long"))
+    # a range spanning schema evolution (merge_schema appends) yields
+    # frames with different column subsets; allowMissingColumns
+    # null-fills exactly as a snapshot read of the widened table would
+    # (ADVICE r5 medium — a strict union threw AnalysisException, which
+    # also dodged the retract-MV ValueError fallback)
     out = frames[0]
     for f in frames[1:]:
-        out = out.unionByName(f)
+        out = out.unionByName(f, allowMissingColumns=True)
     return out
 
 
@@ -1754,12 +1966,33 @@ def _with_rowpos(df: DataFrame, table_path: str) -> DataFrame:
     """Attach each row's physical identity — (table-relative data file,
     parquet row index) — the coordinates deletion vectors address. Pure
     Catalyst over the ``_metadata`` hidden column: no shuffle, no UDF,
-    evaluated inside the scan stage at any scale."""
+    evaluated inside the scan stage at any scale.
+
+    ``_metadata.file_path`` is a URI: percent-encoded (a space is
+    ``%20``), so it must be DECODED before stripping the (raw, decoded)
+    abspath prefix — otherwise any table path or partition value with a
+    URI-encodable character yields wrong relative paths and every
+    DV/DML path built on them misfires (ADVICE r5 medium). ``url_decode``
+    follows form-encoding and would also turn a literal ``+`` into a
+    space, so ``+`` is pre-escaped to ``%2B`` to survive the decode."""
     prefix = os.path.abspath(table_path)
     norm = F.regexp_replace(F.col("_metadata.file_path"), "^file:/+", "/")
+    decoded = F.url_decode(F.regexp_replace(norm, r"\+", "%2B"))
     return df.withColumn(
-        _DV_FILE, F.substring(norm, len(prefix) + 2, 2147483647)
+        _DV_FILE, F.substring(decoded, len(prefix) + 2, 2147483647)
     ).withColumn(_DV_POS, F.col("_metadata.row_index"))
+
+
+def _dv_target_files(table_path: str, dv_rel: str) -> set[str]:
+    """Distinct data files one deletion-vector sidecar addresses —
+    driver-side pyarrow read of the (positions-only, tiny) sidecar; the
+    per-scoped-compact cost is O(active vectors × their position
+    counts), metadata scale."""
+    import pyarrow.parquet as _pq
+
+    with _open_data_file(table_path, dv_rel) as fh:
+        tbl = _pq.read_table(fh, columns=["f"])
+    return set(tbl.column("f").to_pylist())
 
 
 def _dv_frame(spark: SparkSession, table_path: str, dvs: list[str]) -> DataFrame:
@@ -1891,6 +2124,45 @@ def delete_where(
     raise CommitConflict(f"delete conflicted {max_retries} times")
 
 
+_DV_WRITE_BUCKETS = 16  # hash-bucketed sidecar output (by target file)
+
+
+def _write_dv_sidecar(
+    hits: DataFrame, table_path: str
+) -> tuple[list[str], int, str]:
+    """Materialize a (f, ri) position frame as deletion-vector sidecar
+    parquet under ``_dv/`` and return (table-relative sidecar files,
+    total positions, sidecar subdir for cleanup).
+
+    The write is hash-bucketed by target file across
+    ``_DV_WRITE_BUCKETS`` tasks (VERDICT r5 wrong #2: a single
+    ``repartition(1)`` task serialized bulk backfills matching 10⁹
+    rows): a trickle delete still lands in one or two non-empty
+    buckets (Spark writes no file for an empty partition), while a
+    backfill-scale vector writes in parallel. Position count comes from
+    the written sidecars' own footers (driver-side metadata read via
+    the data-plane seam — no second scan)."""
+    import pyarrow.parquet as _pq
+
+    ds = _data()
+    sub = f"{_DV_DIR}/g{uuid.uuid4().hex[:12]}"
+    out = os.path.join(table_path, sub)
+    hits.repartition(_DV_WRITE_BUCKETS, "f").write.mode("error").parquet(out)
+    dv_rels, n = [], 0
+    for full in ds.walk_files(out):
+        fn = os.path.basename(full)
+        if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+            with ds.open_input(full) as fh:
+                rows = _pq.ParquetFile(fh).metadata.num_rows
+            if rows == 0:
+                continue  # empty-frame placeholder file, not a vector
+            n += rows
+            dv_rels.append(
+                os.path.relpath(full, table_path).replace(os.sep, "/")
+            )
+    return sorted(dv_rels), n, sub
+
+
 def _delete_where_mor(
     spark: SparkSession,
     table_path: str,
@@ -1901,11 +2173,8 @@ def _delete_where_mor(
     """Deletion-vector DELETE: materialize the matching rows' physical
     positions (table-relative file, parquet row index) as a parquet
     sidecar and commit a data-file-free version referencing it via
-    ``dvAdd``. Row count comes from the written sidecar's own footers
-    (driver-side pyarrow metadata read — no second scan). Stacked MoR
-    deletes accumulate sidecars; readers union them."""
-    import pyarrow.parquet as _pq
-
+    ``dvAdd``. Stacked MoR deletes accumulate sidecars; readers union
+    them."""
     for _ in range(max_retries):
         base = current_version(table_path, store)
         if base < 0:
@@ -1921,34 +2190,22 @@ def _delete_where_mor(
                 F.col(_DV_POS).alias("ri"),
             )
         )
-        sub = f"{_DV_DIR}/g{uuid.uuid4().hex[:12]}"
+        dv_rels, n, sub = _write_dv_sidecar(hits, table_path)
         out = os.path.join(table_path, sub)
-        # positions are ~16 bytes/row — one sidecar file per delete (the
-        # scan stays parallel; only the tiny position set shuffles to 1)
-        hits.repartition(1).write.mode("error").parquet(out)
-        dv_rels, n = [], 0
-        for root, _dirs, names in os.walk(out):
-            for fn in names:
-                if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
-                    full = os.path.join(root, fn)
-                    n += _pq.ParquetFile(full).metadata.num_rows
-                    dv_rels.append(
-                        os.path.relpath(full, table_path).replace(os.sep, "/")
-                    )
         if n == 0:
-            shutil.rmtree(out, ignore_errors=True)
+            _data().remove_tree(out)
             return None
         pb = _current_partitioning(table_path, store)
         entry = _entry(
             "delete", [], [], pb,
             {"predicate": predicate, "mode": "mor", "dvRows": n},
         )
-        entry["dvAdd"] = sorted(dv_rels)
+        entry["dvAdd"] = dv_rels
         if current_version(table_path, store) == base and _try_commit(
             table_path, base + 1, entry, store
         ):
             return base + 1
-        shutil.rmtree(out, ignore_errors=True)
+        _data().remove_tree(out)
     raise CommitConflict(f"delete conflicted {max_retries} times")
 
 
@@ -2043,6 +2300,15 @@ def merge_on_read_upsert(
     99.999 TB. The trade is the standard MoR one: readers pay the
     anti-join until ``compact`` purges.
 
+    The position probe is **stats-pruned**: on a table whose commits
+    logged key-column stats (``stats_cols``), only files whose logged
+    min/max can intersect the touched-key envelope are read
+    (``_candidate_merge_files``), so read IO is O(candidate files) too
+    — end-to-end O(delta) on a clustered table, not just O(delta)
+    writes. The deletion vector itself is written hash-bucketed by
+    target file (``_write_dv_sidecar``), so a backfill-sized match set
+    doesn't serialize through one task.
+
     Atomicity: data files and vector publish together in one
     put-if-absent commit (the log entry carries both ``add`` and
     ``dvAdd``), so readers see the old state or the merged state, never
@@ -2056,8 +2322,6 @@ def merge_on_read_upsert(
     ``on_mutation='retract'`` materialized views keep folding at
     O(delta) across merges.
     """
-    import pyarrow.parquet as _pq
-
     if not keys:
         raise ValueError("merge requires at least one key column")
     source = _apply_generated(source, table_path, store)
@@ -2080,36 +2344,37 @@ def merge_on_read_upsert(
         _check_schema(source, table_path, store)
         files, dvs = _replay_state(table_path, base, store)
         pb = _current_partitioning(table_path, store)
-        live = _read_files(
-            spark, table_path, files, store, dvs=dvs, keep_rowpos=True
+        # probe pruning: only files whose logged key min/max can
+        # intersect the touched-key envelope are read at all — the
+        # merge's read IO is O(candidate files), not O(table)
+        probe = _candidate_merge_files(
+            table_path, files, touched, keys, base, store
         )
+        live = _read_files(
+            spark, table_path, probe, store, dvs=dvs, keep_rowpos=True
+        ) if probe else None
         # no broadcast hint: a typical CDC batch broadcasts under AQE's
         # threshold on its own, and a bulk backfill batch must be free
         # to shuffle instead of OOMing the executors
-        hits = live.join(touched, keys, "left_semi").select(
-            F.col(_DV_FILE).alias("f"), F.col(_DV_POS).alias("ri")
-        )
-        dv_sub = f"{_DV_DIR}/g{uuid.uuid4().hex[:12]}"
-        dv_out = os.path.join(table_path, dv_sub)
-        hits.repartition(1).write.mode("error").parquet(dv_out)
-        dv_rels, n_dead = [], 0
-        for root, _dirs, names in os.walk(dv_out):
-            for fn in names:
-                if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
-                    full = os.path.join(root, fn)
-                    n_dead += _pq.ParquetFile(full).metadata.num_rows
-                    dv_rels.append(
-                        os.path.relpath(full, table_path).replace(os.sep, "/")
-                    )
+        if live is not None:
+            hits = live.join(touched, keys, "left_semi").select(
+                F.col(_DV_FILE).alias("f"), F.col(_DV_POS).alias("ri")
+            )
+            dv_rels, n_dead, dv_sub = _write_dv_sidecar(hits, table_path)
+            dv_out = os.path.join(table_path, dv_sub)
+        else:
+            dv_rels, n_dead, dv_out = [], 0, None
         if n_dead == 0:
-            shutil.rmtree(dv_out, ignore_errors=True)
+            if dv_out is not None:
+                _data().remove_tree(dv_out)
             dv_rels = []
         adds, sub = _write_data_files(source, table_path, pb)
         try:
             _validate_constraints(spark, table_path, adds, store)
         except BaseException:
             _drop_data_dir(table_path, sub)
-            shutil.rmtree(dv_out, ignore_errors=True)
+            if dv_out is not None:
+                _data().remove_tree(dv_out)
             raise
         entry = _entry("merge", adds, [], pb, meta)
         if stats_cols and adds:
@@ -2117,13 +2382,14 @@ def merge_on_read_upsert(
                 spark, table_path, adds, stats_cols
             )
         if dv_rels:
-            entry["dvAdd"] = sorted(dv_rels)
+            entry["dvAdd"] = dv_rels
         if current_version(table_path, store) == base and _try_commit(
             table_path, base + 1, entry, store
         ):
             return base + 1
         _drop_data_dir(table_path, sub)
-        shutil.rmtree(dv_out, ignore_errors=True)
+        if dv_out is not None:
+            _data().remove_tree(dv_out)
     raise CommitConflict(f"merge conflicted {max_retries} times")
 
 

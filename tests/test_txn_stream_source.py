@@ -14,6 +14,7 @@ from wikistream_lakehouse_spark.lakehouse.txn import (
     delete_where,
 )
 from wikistream_lakehouse_spark.streaming.txn_source import (
+    TxnTableDataSource,
     TxnTableStreamReader,
     register_txn_source,
 )
@@ -202,3 +203,68 @@ def test_plain_stream_error_hints_at_cdf_for_dv_deletes(spark, tmp_path):
     )
     with pytest.raises(StreamingQueryException, match="cdf"):
         q.awaitTermination(300)
+
+
+def test_cdf_stream_skips_noop_merge_commit(spark, tmp_path):
+    """A non-removing commit with neither add nor dvAdd (the empty-batch
+    'merge' cdc_replicate_sink can produce) is a no-op the CDF stream
+    skips — not a content-changing error that wedges it forever
+    (ADVICE r5)."""
+    from wikistream_lakehouse_spark.lakehouse import txn
+
+    t = str(tmp_path / "t")
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    append(_df(spark, [(1, "a")]), t)  # v0
+    e = txn._entry("merge", [], [], [], {"note": "empty CDC batch"})
+    assert txn._try_commit(t, 1, e)  # v1: the no-op shape, verbatim
+    append(_df(spark, [(2, "b")]), t)  # v2
+    assert _drain_cdf(spark, t, ckpt, out) == [
+        (1, "a", "insert", 0),
+        (2, "b", "insert", 2),
+    ]
+
+
+def test_cdf_planner_reports_vacuumed_sidecar_not_pyarrow_crash(
+    spark, tmp_path
+):
+    """A vacuumed DV sidecar inside the streamed range surfaces as the
+    friendly retention ValueError, not a raw pyarrow FileNotFoundError
+    (ADVICE r5)."""
+    from wikistream_lakehouse_spark.lakehouse.txn import compact as _compact
+    from wikistream_lakehouse_spark.lakehouse.txn import vacuum
+
+    t = str(tmp_path / "t")
+    append(_df(spark, [(1, "a"), (2, "b")]), t)  # v0
+    delete_where(spark, t, "k = 2", mode="mor")  # v1: dvAdd
+    _compact(spark, t, target_file_bytes=1 << 40)  # v2: retires the DV
+    vacuum(t, retain_versions=1, orphan_grace_secs=0)  # sidecar reclaimed
+    reader = TxnTableStreamReader(t, cdf=True)
+    with pytest.raises(ValueError, match="vacuumed"):
+        reader.partitions({"version": 0}, {"version": 1})
+
+
+def test_max_commits_per_batch_bounds_catchup(spark, tmp_path):
+    """maxCommitsPerBatch (the maxFilesPerTrigger analogue at commit
+    grain): a fresh consumer of a many-commit table advances at most N
+    commits per planned batch instead of one giant catch-up batch —
+    every row still arrives, across several bounded batches."""
+    t = str(tmp_path / "t")
+    for i in range(5):  # v0..v4
+        append(_df(spark, [(i, f"v{i}")]), t)
+    reader = TxnTableStreamReader(t, max_commits_per_batch=2)
+    start = reader.initialOffset()
+    assert start == {"version": -1}
+    seen = start["version"]
+    batches = []
+    while True:
+        end = reader.latestOffset()
+        if end["version"] == seen:
+            break
+        parts = reader.partitions({"version": seen}, end)
+        batches.append((seen, end["version"], len(parts)))
+        seen = end["version"]
+    # 5 commits at ≤2/batch → 3 batches, not one giant one
+    assert [b[:2] for b in batches] == [(-1, 1), (1, 3), (3, 4)]
+    # option plumbing: the format string form builds the same reader
+    src = TxnTableDataSource({"path": t, "maxcommitsperbatch": "2"})
+    assert src.streamReader(None).max_commits == 2

@@ -93,7 +93,12 @@ def _log_entries(table_path: str) -> list[tuple[int, dict]]:
 
 
 class TxnTableStreamReader(DataSourceStreamReader):
-    def __init__(self, table_path: str, cdf: bool = False) -> None:
+    def __init__(
+        self,
+        table_path: str,
+        cdf: bool = False,
+        max_commits_per_batch: "int | None" = None,
+    ) -> None:
         self.cdf = cdf
         if not os.path.isdir(os.path.join(table_path, "_txnlog")):
             raise ValueError(f"{table_path} is not a transactional table")
@@ -106,18 +111,42 @@ class TxnTableStreamReader(DataSourceStreamReader):
                     "directory names, not file footers)"
                 )
         self.table_path = table_path
+        if max_commits_per_batch is not None and max_commits_per_batch < 1:
+            raise ValueError("maxCommitsPerBatch must be >= 1")
+        self.max_commits = max_commits_per_batch
+        # high-water mark of versions this reader has handed to Spark —
+        # the reference point batch-size capping advances from
+        self._hwm: "int | None" = None
 
     # -- offsets: a table version IS an offset ---------------------------
     def initialOffset(self) -> dict:
+        self._hwm = -1  # fresh stream: capping applies from batch one
         return {"version": -1}
 
     def latestOffset(self) -> dict:
+        """Newest offset Spark may plan up to. With
+        ``maxCommitsPerBatch`` (the Delta ``maxFilesPerTrigger``
+        analogue at commit grain), progression is capped at that many
+        commits past the last planned batch — a fresh consumer of a
+        10⁵-commit table catches up in bounded micro-batches instead of
+        one giant batch that buffers the whole history through a single
+        checkpoint interval. The Python source API exposes no
+        admission-control hook, so the cap keys off this reader's own
+        high-water mark: every batch of a NEW stream is capped
+        (initialOffset seeds the mark); after a checkpoint RESTART the
+        first batch covers the accumulated gap (start is known only to
+        Spark) and every later batch is capped again."""
         from wikistream_lakehouse_spark.lakehouse.txn import current_version
 
-        return {"version": current_version(self.table_path)}
+        cur = current_version(self.table_path)
+        if self.max_commits is None or self._hwm is None:
+            return {"version": cur}
+        capped = min(cur, self._hwm + self.max_commits)
+        return {"version": capped}
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start["version"], end["version"]
+        self._hwm = max(self._hwm if self._hwm is not None else -1, hi)
         parts: list[_FilePartition] = []
         missing: list[str] = []
 
@@ -141,15 +170,14 @@ class TxnTableStreamReader(DataSourceStreamReader):
                     _FilePartition(_abs(f), None, "insert", v)
                     for f in e.get("add", [])
                 )
-            elif (
-                self.cdf
-                and not e.get("remove")
-                and not e.get("dvRetire")
-                and (e.get("dvAdd") or e.get("add"))
-            ):
+            elif self.cdf and not e.get("remove") and not e.get("dvRetire"):
                 # structural recoverability (txn.table_changes_cdf rule):
                 # a non-removing commit is a pure insert ⊎ delete-image
-                # delta — covers DV deletes AND merge_on_read_upsert
+                # delta — covers DV deletes AND merge_on_read_upsert.
+                # A commit with NEITHER add nor dvAdd (e.g. an empty CDC
+                # merge batch whose deletes matched no keys and whose
+                # inserts wrote zero files) is a no-op — skippable, not a
+                # stream-wedging error (ADVICE r5 low).
                 parts.extend(
                     _FilePartition(_abs(f), None, "insert", v)
                     for f in e.get("add", [])
@@ -161,7 +189,11 @@ class TxnTableStreamReader(DataSourceStreamReader):
 
                 by_file: dict[str, list[int]] = {}
                 for d in e.get("dvAdd", []):
-                    tbl = pq.read_table(_abs(d), columns=["f", "ri"])
+                    p = _abs(d)
+                    if missing and missing[-1] == d:
+                        continue  # vacuumed sidecar: report the friendly
+                        # retention error below, not a raw pyarrow crash
+                    tbl = pq.read_table(p, columns=["f", "ri"])
                     for f_rel, ri in zip(
                         tbl.column("f").to_pylist(), tbl.column("ri").to_pylist()
                     ):
@@ -265,7 +297,12 @@ class TxnTableDataSource(DataSource):
         return sch
 
     def streamReader(self, schema: StructType) -> TxnTableStreamReader:
-        return TxnTableStreamReader(self.options["path"], cdf=self._cdf())
+        mc = self.options.get("maxCommitsPerBatch".lower())
+        return TxnTableStreamReader(
+            self.options["path"],
+            cdf=self._cdf(),
+            max_commits_per_batch=int(mc) if mc is not None else None,
+        )
 
 
 def register_txn_source(spark) -> None:

@@ -102,3 +102,33 @@ def test_rejects_missing_key(spark, sf_dir):
     df = table(spark, sf_dir, "region")
     with pytest.raises(ValueError, match="not in DataFrame"):
         write_bucketed(df, "nope_b", ["no_such_col"], n_buckets=4)
+
+
+def test_append_mode_preserves_existing_rows(spark, tmp_path):
+    """mode='append' must ADD to a bucketed table — the unconditional
+    DROP used to silently destroy all prior data (ADVICE r5)."""
+    df1 = spark.range(0, 10).select(F.col("id").alias("k"))
+    df2 = spark.range(10, 15).select(F.col("id").alias("k"))
+    try:
+        write_bucketed(df1, "appendable_b", ["k"], n_buckets=4,
+                       path=str(tmp_path / "b"))
+        write_bucketed(df2, "appendable_b", ["k"], n_buckets=4,
+                       path=str(tmp_path / "b"), mode="append")
+        got = sorted(r.k for r in spark.table("appendable_b").collect())
+        assert got == list(range(15))
+        # layout still intact for the co-location contract
+        assert bucket_spec(spark, "appendable_b")["buckets"] == 4
+    finally:
+        spark.sql("DROP TABLE IF EXISTS appendable_b")
+
+
+def test_append_mode_refuses_mismatched_layout(spark, tmp_path):
+    df = spark.range(0, 10).select(F.col("id").alias("k"))
+    try:
+        write_bucketed(df, "mismatch_b", ["k"], n_buckets=4,
+                       path=str(tmp_path / "b"))
+        with pytest.raises(ValueError, match="layout mismatch"):
+            write_bucketed(df, "mismatch_b", ["k"], n_buckets=8,
+                           path=str(tmp_path / "b"), mode="append")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mismatch_b")

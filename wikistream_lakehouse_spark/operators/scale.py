@@ -73,15 +73,35 @@ def write_bucketed(
     missing = set(keys) - set(df.columns)
     if missing:
         raise ValueError(f"bucket keys not in DataFrame: {sorted(missing)}")
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be 'overwrite' or 'append', got {mode!r}")
     spark = df.sparkSession
-    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
-    if path is None:
-        # a dangling location from a previous session blocks managed-table
-        # creation even after DROP — clear it explicitly
-        warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-        stale = os.path.join(warehouse, table_name.lower())
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
+    exists = spark.catalog.tableExists(table_name)
+    if mode == "overwrite":
+        # drop/clear ONLY on overwrite — ADVICE r5: an unconditional drop
+        # made mode='append' silently destroy all prior data
+        spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+        if path is None:
+            # a dangling location from a previous session blocks
+            # managed-table creation even after DROP — clear it explicitly
+            warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+            stale = os.path.join(warehouse, table_name.lower())
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+    elif exists:
+        # appending with a different layout would silently break the
+        # zero-Exchange co-location contract every reader relies on
+        sort_keys = (
+            [] if not sort_by
+            else [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        )
+        have = bucket_spec(spark, table_name)
+        want = {"buckets": n_buckets, "keys": keys, "sort_by": sort_keys}
+        if have != want:
+            raise ValueError(
+                f"append bucket layout mismatch on {table_name}: "
+                f"table has {have}, write declares {want}"
+            )
     w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *keys)
     if sort_by:
         w = w.sortBy(*([sort_by] if isinstance(sort_by, str) else sort_by))

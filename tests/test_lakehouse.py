@@ -38,13 +38,18 @@ def test_bronze_is_append_only_processing_dated(spark, events, tmp_path):
 
 def test_silver_rerun_is_idempotent(spark, events, tmp_path):
     """The reference's curated write appends → re-runs duplicate rows
-    (glue/job_wiki_curate.py:48, SURVEY.md §1.3). Ours must converge."""
+    (glue/job_wiki_curate.py:48, SURVEY.md §1.3). Ours must converge —
+    and the DEFAULT silver path is transactional now (each curation is
+    an atomic, time-travelable replace_partitions commit)."""
+    from wikistream_lakehouse_spark.lakehouse.txn import history
+
     path = str(tmp_path / "silver")
     curate_to_silver(events, path)
-    n1 = spark.read.parquet(path).count()
+    n1 = read_table(spark, path).count()
     curate_to_silver(events, path)  # re-run over the same input
-    n2 = spark.read.parquet(path).count()
+    n2 = read_table(spark, path).count()
     assert n1 == n2 == events.count()
+    assert [h["op"] for h in history(path)] == ["replace_partitions"] * 2
 
 
 def test_silver_partitions_follow_event_time(spark, events, tmp_path):
@@ -52,7 +57,7 @@ def test_silver_partitions_follow_event_time(spark, events, tmp_path):
     regardless of the processing-date it landed under (dual-time model)."""
     path = str(tmp_path / "silver")
     curate_to_silver(events, path)
-    out = spark.read.parquet(path)
+    out = read_table(spark, path)
     # fixture events all live in 2024-01 → exactly those partitions exist
     parts = {
         (r.yyyy, r.mm) for r in out.select("yyyy", "mm").distinct().collect()
@@ -71,10 +76,10 @@ def test_silver_dynamic_overwrite_keeps_other_partitions(spark, events, tmp_path
     the other days untouched (the replaceWhere semantics)."""
     path = str(tmp_path / "silver")
     curate_to_silver(events, path)
-    before = spark.read.parquet(path).count()
+    before = read_table(spark, path).count()
     one_day = events.filter(F.to_date("ts") == "2024-01-15")
     curate_to_silver(one_day, path)  # touches only dd=15
-    after = spark.read.parquet(path).count()
+    after = read_table(spark, path).count()
     assert after == before
 
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from wikistream_lakehouse_spark.lakehouse import curate_to_silver
+from wikistream_lakehouse_spark.lakehouse import curate_to_silver_parquet
 from wikistream_lakehouse_spark.queries import all_queries
 from wikistream_lakehouse_spark.tables import table
 
@@ -74,7 +74,7 @@ def test_event_time_partition_pruning_on_silver(spark, sf_dir, tmp_path):
     time — the 'partition pruning keeps queries cheap' property the
     reference relies on (README.md:115)."""
     path = str(tmp_path / "silver")
-    curate_to_silver(table(spark, sf_dir, "events"), path)
+    curate_to_silver_parquet(table(spark, sf_dir, "events"), path)
     df = spark.read.parquet(path).filter(
         (F.col("yyyy") == 2024) & (F.col("mm") == 1) & (F.col("dd") == 15)
     )
@@ -304,3 +304,23 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, sf_dir, tmp_path):
     # semantics: only FRANCE's partition rows flow
     nk = [r.n_nationkey for r in nation.collect()]
     assert j.count() == fact.filter(F.col("nk").isin(nk)).count()
+
+
+def test_event_time_partition_pruning_on_txn_silver(spark, sf_dir, tmp_path):
+    """The DEFAULT silver is transactional now — the same yyyy/mm/dd
+    predicate must still prune at scan planning through txn.read_table
+    (snapshot reads carry basePath, so hive partition columns stay
+    prunable)."""
+    from wikistream_lakehouse_spark.lakehouse import curate_to_silver
+    from wikistream_lakehouse_spark.lakehouse.txn import read_table as txn_read
+
+    path = str(tmp_path / "silver_txn")
+    curate_to_silver(table(spark, sf_dir, "events"), path)
+    df = txn_read(spark, path).filter(
+        (F.col("yyyy") == 2024) & (F.col("mm") == 1) & (F.col("dd") == 15)
+    )
+    plan = plan_of(df)
+    assert "PartitionFilters" in plan
+    assert "dd" in plan.split("PartitionFilters")[1][:200]
+    days = df.select(F.to_date("ts").alias("d")).distinct().collect()
+    assert len(days) == 1

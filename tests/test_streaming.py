@@ -84,7 +84,7 @@ def test_wiki_pipeline_end_to_end(spark, wiki_dirs):
     assert "ds" in bronze.columns  # processing-date partition (T5)
 
     curate_wiki_silver(spark, wiki_dirs["bronze"], wiki_dirs["silver"])
-    silver = spark.read.parquet(wiki_dirs["silver"])
+    silver = read_table(spark, wiki_dirs["silver"])  # silver is txn now
     assert silver.count() == 90
     assert {r.dd for r in silver.select("dd").distinct().collect()} == {15}
 
@@ -102,7 +102,7 @@ def test_wiki_pipeline_end_to_end(spark, wiki_dirs):
     serve_daily_editors(
         spark, wiki_dirs["silver"], wiki_dirs["serving"], ds="2024-01-15"
     )
-    assert spark.read.parquet(wiki_dirs["silver"]).count() == 90
+    assert read_table(spark, wiki_dirs["silver"]).count() == 90
     serving2 = {
         r.username: r.edits
         for r in read_table(spark, wiki_dirs["serving"]).collect()
@@ -457,7 +457,7 @@ def test_run_daily_batch_is_one_idempotent_call(spark, wiki_dirs, tmp_path):
             spark, wiki_dirs["bronze"], wiki_dirs["silver"], gold,
             wiki_dirs["serving"], ds="2024-01-15",
         )
-    assert spark.read.parquet(wiki_dirs["silver"]).count() == 45
+    assert read_table(spark, wiki_dirs["silver"]).count() == 45
     gold_rows = read_table(spark, gold)
     assert gold_rows.filter(F.col("title").isNull()).count() == 0
     assert gold_rows.agg(F.sum("edits")).collect()[0][0] == 45  # gold keeps bots

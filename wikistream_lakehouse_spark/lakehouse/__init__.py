@@ -27,6 +27,7 @@ from wikistream_lakehouse_spark.lakehouse.gold import (
 from wikistream_lakehouse_spark.lakehouse.merge import upsert, upsert_parquet
 from wikistream_lakehouse_spark.lakehouse.silver import (
     curate_to_silver,
+    curate_to_silver_parquet,
     curate_to_silver_txn,
 )
 from wikistream_lakehouse_spark.lakehouse.txn import (
@@ -57,6 +58,7 @@ __all__ = [
     "sync_append",
     "view_lag",
     "curate_to_silver",
+    "curate_to_silver_parquet",
     "curate_to_silver_txn",
     "build_daily_gold",
     "build_daily_gold_parquet",

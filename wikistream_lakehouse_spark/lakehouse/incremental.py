@@ -540,7 +540,7 @@ def view_lag(source_path: str, view_path: str, store=None) -> int:
 # --------------------------------------------------------------------------
 
 from wikistream_lakehouse_spark.lakehouse.compact import list_partition_dirs
-from wikistream_lakehouse_spark.lakehouse.silver import curate_to_silver
+from wikistream_lakehouse_spark.lakehouse.silver import curate_to_silver_parquet
 
 
 def _list_part_files(bronze_path: str, part: str) -> list[str]:
@@ -588,7 +588,7 @@ def curate_incremental(
     silently drop those late files. The listing is snapshotted *before*
     the read, so files landing mid-run surface as a diff next run; the
     re-read covers the whole partition, so the dynamic partition
-    overwrite in curate_to_silver stays convergent.
+    overwrite in curate_to_silver_parquet stays convergent.
 
     State is written only after a successful curation, so a crashed run
     re-processes its delta — convergent thanks to partition overwrite.
@@ -605,6 +605,8 @@ def curate_incremental(
     # keep_source_partition: each delta owns (event-day × its ds) partitions,
     # so deltas sharing an event day never overwrite each other, and a
     # re-run of THIS delta still converges
-    curate_to_silver(batch, silver_path, ts_col=ts_col, keep_source_partition=True)
+    curate_to_silver_parquet(
+        batch, silver_path, ts_col=ts_col, keep_source_partition=True
+    )
     _save_state(state_path, {**state, **{p: snapshot[p] for p in todo}})
     return todo

@@ -57,7 +57,9 @@ def ingest_wiki_stream(
 def curate_wiki_silver(spark: SparkSession, bronze_path: str, silver_path: str) -> None:
     """§3.2 engine equivalent of the Glue job: bronze → silver with
     event-time yyyy/mm/dd from epoch-seconds `timestamp`
-    (glue/job_wiki_curate.py:35-41), idempotent partition overwrite."""
+    (glue/job_wiki_curate.py:35-41). The silver is a TRANSACTIONAL table
+    (curation = atomic partition replace; read it back with
+    ``txn.read_table``) — the whole medallion shares one substrate."""
     raw = spark.read.parquet(bronze_path)
     curated = raw.withColumn(
         "ts", F.to_timestamp(F.from_unixtime("timestamp"))
@@ -95,9 +97,10 @@ def run_daily_batch(
     travels with parquet (mergeSchema for evolution) and partitions
     self-register on read."""
     from wikistream_lakehouse_spark.lakehouse.gold import build_daily_gold
+    from wikistream_lakehouse_spark.lakehouse.txn import read_table
 
     curate_wiki_silver(spark, bronze_path, silver_path)
-    silver = spark.read.parquet(silver_path)
+    silver = read_table(spark, silver_path)
     build_daily_gold(
         silver, gold_path, ds, title_col="title", user_col="user", ts_col="ts"
     )
@@ -112,7 +115,9 @@ def serve_daily_editors(
     set-based upsert, committed through the transactional log (the
     serving layer's atomicity IS the product; see lakehouse/merge.py).
     Read the serving table with ``txn.read_table``."""
-    silver = spark.read.parquet(silver_path)
+    from wikistream_lakehouse_spark.lakehouse.txn import read_table
+
+    silver = read_table(spark, silver_path)
     agg = daily_editor_aggregate(silver, ds)
     upsert(spark, serving_path, agg, keys=["dt", "username"])
 

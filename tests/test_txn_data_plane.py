@@ -158,8 +158,19 @@ def test_txn_lifecycle_routes_data_ops_through_the_seam(
     cdf = txn.table_changes_cdf(spark, t, 2)
     assert cdf.filter("_change_type = 'delete'").count() == 10
     txn.compact(spark, t, target_file_bytes=1)
+    # plant an orphan (crashed-writer residue) so the aged-orphan sweep
+    # exercises its mtime/remove path through the seam too
+    import os as _os
+    import shutil as _sh
+
+    commit_dir = next(
+        d for d in _os.listdir(t) if d.startswith(txn._COMMIT_COL + "=")
+    )
+    a_file = ds.walk_files(_os.path.join(t, commit_dir))[0]
+    _sh.copyfile(a_file, _os.path.join(_os.path.dirname(a_file), "orphan.parquet"))
     vacuumed = txn.vacuum(t, retain_versions=1, orphan_grace_secs=0)
-    assert vacuumed  # pre-compact files + retired vectors reclaimed
+    assert vacuumed  # pre-compact files + retired vectors + the orphan
+    assert any(v.endswith("orphan.parquet") for v in vacuumed)
     got = sorted(
         r.k for r in txn.read_table(spark, t).filter("v = -1.0").collect()
     )
@@ -280,22 +291,49 @@ def test_merge_probe_pruning_matches_unpruned_semantics(spark, stats_table):
 
 
 def test_bulk_dv_delete_writes_parallel_sidecars(spark, tmp_path):
-    """A match set spanning many data files lands in multiple hash
-    buckets (>1 sidecar file); readers and compact treat the set
-    identically to a single-file vector."""
+    """The sidecar write is AQE-sized by target-file hash: under a tiny
+    advisory partition size (standing in for a backfill-scale match
+    set vs the 64 MB default) the vector spreads across >1 file —
+    no single-task serialization — and readers and compact treat the
+    sharded set identically to a single-file vector."""
     t = str(tmp_path / "t")
     for lo in range(0, 200, 10):  # 20 single-file appends
         txn.append(_kv(spark, lo, lo + 10), t)
-    v = txn.delete_where(spark, t, "k % 10 < 5", mode="mor")
+    knobs = {
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64b",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "64b",
+    }
+    prev = {k: spark.conf.get(k, None) for k in knobs}
+    for k, v_ in knobs.items():
+        spark.conf.set(k, v_)
+    try:
+        v = txn.delete_where(spark, t, "k % 10 < 5", mode="mor")
+    finally:
+        for k, old in prev.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
     assert v is not None
     dvs = txn._replay_state(t, txn.current_version(t))[1]
-    assert 1 < len(dvs) <= txn._DV_WRITE_BUCKETS
+    assert len(dvs) > 1
     got = sorted(r.k for r in txn.read_table(spark, t).collect())
     assert got == [k for k in range(200) if k % 10 >= 5]
     # compact applies + retires the whole sharded set
     txn.compact(spark, t, target_file_bytes=1 << 40)
     assert txn._replay_state(t, txn.current_version(t))[1] == []
     assert sorted(r.k for r in txn.read_table(spark, t).collect()) == got
+
+
+def test_trickle_dv_delete_coalesces_to_one_sidecar(spark, tmp_path):
+    """The flip side: a small delete's positions coalesce into ONE
+    sidecar under the normal advisory size — stacked trickle deletes
+    don't litter the table with per-bucket files."""
+    t = str(tmp_path / "t")
+    for lo in range(0, 100, 10):
+        txn.append(_kv(spark, lo, lo + 10), t)
+    txn.delete_where(spark, t, "k % 10 = 0", mode="mor")
+    assert len(txn._replay_state(t, txn.current_version(t))[1]) == 1
 
 
 # --------------------------------------------------------------------------

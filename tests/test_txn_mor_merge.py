@@ -56,9 +56,9 @@ def test_merge_upserts_and_deletes_in_one_commit(spark, table):
     files_after, dvs = txn._replay_state(table, txn.current_version(table))
     # every pre-merge file survives at its exact path (MoR, not rewrite)
     assert set(files_before) <= set(files_after)
-    # sidecar output is hash-bucketed by target file; a small merge
-    # lands in one or a few non-empty buckets
-    assert 1 <= len(dvs) <= txn._DV_WRITE_BUCKETS
+    # sidecar output is AQE-sized by target-file hash; a small merge's
+    # positions coalesce into one sidecar
+    assert len(dvs) == 1
     h = txn.history(table)[-1]
     assert h["op"] == "merge" and h["n_remove"] == 0
 
@@ -192,3 +192,60 @@ def test_cdc_replication_converges_through_deletes(spark, tmp_path):
     # replay with nothing new: no duplicate application, same state
     drain()
     assert _state(spark, dst) == [(2, "a", 20.0), (3, "b", 3.0)]
+
+
+def test_streaming_mv_maintenance_tracks_appends_and_mor_deletes(
+    spark, tmp_path
+):
+    """VERDICT r5 #7: the CDF stream as refresh trigger + the
+    incremental fold as exactly-once state — a continuously-maintained
+    view equals the full recompute through appends, a MoR merge, and a
+    DV delete, and a replayed drain changes nothing."""
+    from wikistream_lakehouse_spark.lakehouse.incremental import ViewSpec
+    from wikistream_lakehouse_spark.streaming.pipeline import (
+        mv_maintenance_sink,
+    )
+
+    src = str(tmp_path / "src")
+    view = str(tmp_path / "view")
+    ckpt = str(tmp_path / "ckpt")
+    spec = ViewSpec(
+        path=view,
+        group_by=("grp",),
+        measures={"n": ("count", "k"), "total": ("sum", "v")},
+        on_mutation="retract",
+    )
+    txn.append(_df(spark, [(1, "a", 1.0), (2, "a", 2.0)]), src)
+
+    def drain():
+        q = mv_maintenance_sink(spark, src, spec, ckpt, available_now=True)
+        q.awaitTermination(300)
+
+    def expect():
+        return sorted(
+            tuple(r)
+            for r in txn.read_table(spark, src)
+            .groupBy("grp")
+            .agg(F.count("k").alias("n"), F.sum("v").alias("total"))
+            .collect()
+        )
+
+    def got():
+        return sorted(tuple(r) for r in read_view(spark, view).collect())
+
+    drain()
+    assert got() == expect()
+
+    txn.append(_df(spark, [(3, "b", 3.0)]), src)
+    txn.merge_on_read_upsert(
+        spark,
+        src,
+        _df(spark, [(2, "a", 20.0), (4, "c", 4.0)]),
+        keys=["k"],
+    )
+    txn.delete_where(spark, src, "k = 1", mode="mor")
+    drain()
+    assert got() == expect()
+
+    drain()  # replay with nothing new: exactly-once, view unchanged
+    assert got() == expect()

@@ -273,6 +273,66 @@ def txn_append_sink(
     return writer.start()
 
 
+def mv_maintenance_sink(
+    spark,
+    source_path: str,
+    views,
+    checkpoint: str,
+    trigger_secs: int = 10,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Continuous materialized-view maintenance (VERDICT r5 next-round
+    #7): stream the source txn table's row-level change feed and fold
+    every declared ``incremental.ViewSpec`` forward per micro-batch —
+    a view that tracks a table taking appends AND deletion-vector
+    deletes / MoR merges, refreshed within one trigger of each commit.
+
+    Division of labor: the CDF stream (``txn_table`` source, versions
+    as offsets) is the *change-detection trigger* — it wakes the sink
+    exactly when new commits land and proves they're row-level
+    recoverable. The *fold itself* is ``refresh_aggregate``, which
+    reads the delta by source VERSION and stamps the folded-through
+    version in the view's own commit meta — so exactly-once composes
+    for free: a replayed micro-batch (at-least-once foreachBatch) finds
+    the view already at the source version and no-ops, and a crash
+    between commits just means the next trigger folds two deltas.
+    Declare views with ``on_mutation='retract'`` to keep the fold
+    O(delta) across DV deletes/merges (count/sum measures).
+
+    The CDF source fails loudly on CoW mutations (their row deltas are
+    unrecoverable); sources that take CoW rewrites should refresh in
+    batch mode instead, where the rebuild fallback applies.
+    """
+    from wikistream_lakehouse_spark.lakehouse.incremental import ViewSpec
+    from wikistream_lakehouse_spark.streaming.txn_source import (
+        register_txn_source,
+    )
+
+    register_txn_source(spark)
+    specs = [views] if isinstance(views, ViewSpec) else list(views)
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # batch content is only the trigger; the refresh reads the
+        # delta by version from the source's own log (exactly-once)
+        for spec in specs:
+            spec.refresh(batch_df.sparkSession, source_path)
+
+    reader = (
+        spark.readStream.format("txn_table")
+        .option("cdf", "true")
+        .load(source_path)
+    )
+    writer = (
+        reader.writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
+    return writer.start()
+
+
 def gold_merge_sink(
     agg: DataFrame,
     target_path: str,

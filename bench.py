@@ -119,8 +119,20 @@ def main() -> None:
         },
         "errors": errors,
     }
+    # Canonical, round-stamped name (VERDICT r5 wrong #4: the unsuffixed
+    # BENCH_detail.json drifted against the driver's BENCH_r{N}.json and a
+    # verdict could diff the wrong pair): infer the CURRENT round as
+    # 1 + the newest committed BENCH_r{N}.json, so the file bench writes
+    # this round is exactly the one the driver records alongside.
+    rounds = [0]
+    for n in os.listdir(REPO_DIR):
+        m = re.match(r"^BENCH_r(\d+)\.json$", n)
+        if m:
+            rounds.append(int(m.group(1)))
+    this_round = max(rounds) + 1
     detail_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_DETAIL", os.path.join(REPO_DIR, "BENCH_detail.json")
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(REPO_DIR, f"BENCH_detail_r{this_round:02d}.json"),
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)

@@ -41,6 +41,19 @@ GUARDED = [
     "cheapest_supplier_per_part",
     "keyword_search_bm25",
     "benchmark_contamination",
+    # round-5/6 hot additions (VERDICT r5 next-round #5): the salted
+    # skew join, the shuffle-free chunkers, the PQ/IVF ANN stages, and
+    # the band-join near-dup family
+    "skewed_cohort_stats",
+    "doc_char_chunks",
+    "doc_token_chunks",
+    "ann_pq_topk",
+    "ann_ivf_topk",
+    "minhash_near_dups",
+    "simhash_near_dups",
+    "language_id_ngram",
+    "doc_repetition_profile",
+    "session_windows_per_user",
 ]
 
 #: Pinned generation context — signatures are only comparable under the

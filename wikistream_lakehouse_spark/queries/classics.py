@@ -502,3 +502,47 @@ def idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation_name")
     )
+
+
+# --- TPC-H Q4 shape: priority count over EXISTS(late lineitem) --------------
+@register(
+    "late_order_priority_counts",
+    oracle="""
+        SELECT o.o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
+    tags=("classic", "subquery", "extra"),
+)
+def late_order_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: one quarter's orders that had at least one
+    slow-shipping line (>60 days after order date — the fixture carries
+    no commit/receipt dates, so lateness is ship-lag), counted per
+    priority class. The EXISTS decorrelates to a LEFT SEMI join whose
+    non-equi part (the ship-lag comparison) rides the join condition —
+    the probe side is the date-pruned orders slice, and the semi join
+    short-circuits per order instead of counting matches."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )

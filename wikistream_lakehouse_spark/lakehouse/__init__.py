@@ -32,6 +32,7 @@ from wikistream_lakehouse_spark.lakehouse.silver import (
 )
 from wikistream_lakehouse_spark.lakehouse.txn import (
     append,
+    clone_table,
     compact,
     convert_to_txn,
     delete_where,
@@ -65,6 +66,7 @@ __all__ = [
     "upsert",
     "upsert_parquet",
     "append",
+    "clone_table",
     "compact",
     "convert_to_txn",
     "delete_where",

@@ -100,6 +100,45 @@ class CommitConflict(Exception):
     validated against; re-read and retry the operation."""
 
 
+class ProtocolError(Exception):
+    """The log uses a protocol feature this engine doesn't implement.
+    Loud refusal is the only safe answer — misreading a feature-bearing
+    commit (e.g. ignoring a deletion vector) silently corrupts results.
+    The Delta reader/writer-features contract on this log."""
+
+
+#: Features a READER must understand to interpret the table correctly
+#: (ignoring any of these returns wrong rows, not degraded performance).
+_READER_FEATURES = {"deletionVectors", "schemaEvolution", "clone"}
+#: Features a WRITER must additionally understand to commit safely
+#: (ignoring these would write rows that violate declared invariants).
+_WRITER_FEATURES = _READER_FEATURES | {"generatedColumns", "checkConstraints"}
+
+
+def _stamp_features(entry: dict) -> dict:
+    """Record which protocol features a commit RELIES on, so a future
+    (or foreign) engine that lacks them refuses instead of misreading.
+    Purely additive metadata like per-file stats is deliberately NOT a
+    feature — a reader ignoring stats stays correct, just slower."""
+    rf = set()
+    if entry.get("dvAdd") or entry.get("dvRetire"):
+        rf.add("deletionVectors")
+    if entry.get("schemaEvolved"):
+        rf.add("schemaEvolution")
+    if entry.get("op") == "clone":
+        rf.add("clone")
+    wf = set()
+    if entry.get("op") in ("set_generated", "drop_generated"):
+        wf.add("generatedColumns")
+    if entry.get("op") in ("set_constraint", "drop_constraint"):
+        wf.add("checkConstraints")
+    if rf:
+        entry["readerFeatures"] = sorted(rf)
+    if wf:
+        entry["writerFeatures"] = sorted(wf)
+    return entry
+
+
 # --------------------------------------------------------------------------
 # The commit primitive, abstracted (VERDICT r4 next-round #3)
 # --------------------------------------------------------------------------
@@ -277,6 +316,14 @@ class DataStore:
         object-store implementation is copy+delete)."""
         raise NotImplementedError
 
+    def link(self, src: str, dst: str) -> None:
+        """Zero-copy second name for an immutable file (``clone_table``):
+        hard link on POSIX; an object-store implementation is
+        server-side copy (S3 CopyObject / GCS rewrite — no bytes
+        through the client). Either way, deleting one name never
+        affects the other — exactly the isolation clones need."""
+        raise NotImplementedError
+
     def makedirs(self, path: str) -> None:
         """Ensure a directory exists (no-op on object stores)."""
         raise NotImplementedError
@@ -322,6 +369,12 @@ class PosixDataStore(DataStore):
 
     def rename(self, src: str, dst: str) -> None:
         os.rename(src, dst)
+
+    def link(self, src: str, dst: str) -> None:
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copyfile(src, dst)  # cross-device fallback
 
     def makedirs(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
@@ -384,7 +437,19 @@ def _load_entry(table_path: str, version: int, store: LogStore | None = None) ->
         entry = json.loads(raw)
     except ValueError:
         return None
-    return entry if isinstance(entry, dict) else None
+    if not isinstance(entry, dict):
+        return None
+    unknown = set(entry.get("readerFeatures", [])) - _READER_FEATURES
+    if unknown:
+        # NOT a torn claim: the commit is real, this engine just can't
+        # interpret it — treating it as uncommitted would silently drop
+        # committed state
+        raise ProtocolError(
+            f"version {version} of {table_path} requires reader "
+            f"feature(s) {sorted(unknown)} this engine does not "
+            "implement — upgrade the engine to read this table"
+        )
+    return entry
 
 
 def _committed_versions(table_path: str, store: LogStore | None = None) -> list[int]:
@@ -460,9 +525,46 @@ def _replay(
 def _try_commit(
     table_path: str, version: int, entry: dict, store: LogStore | None = None
 ) -> bool:
-    """Atomically claim ``version``; False if another writer won it."""
-    payload = json.dumps(entry).encode()
+    """Atomically claim ``version``; False if another writer won it.
+    Every commit is feature-stamped on the way out (``_stamp_features``)
+    so engines lacking a capability refuse instead of misreading."""
+    payload = json.dumps(_stamp_features(entry)).encode()
     return _store(store).put_if_absent(_version_file(table_path, version), payload)
+
+
+def writer_features(table_path: str, store: LogStore | None = None) -> set[str]:
+    """Every protocol feature any commit of this table relies on
+    (reader and writer kinds) — checkpoint-bounded: the checkpoint
+    carries the union up to its version, only later commits are
+    scanned."""
+    out: set[str] = set()
+    cp = _latest_checkpoint(table_path, store)
+    floor = -1
+    if cp is not None:
+        floor = cp[0]
+        out |= set(cp[3])
+    for v in _committed_versions(table_path, store):
+        if v <= floor:
+            continue
+        e = _load_entry(table_path, v, store) or {}
+        out |= set(e.get("readerFeatures", []))
+        out |= set(e.get("writerFeatures", []))
+    return out
+
+
+def _check_writer_features(
+    table_path: str, store: LogStore | None = None
+) -> None:
+    """Refuse to WRITE to a table whose log relies on features this
+    engine doesn't implement — a blind write could violate an invariant
+    it can't see (e.g. a generated column declared by a newer engine)."""
+    unknown = writer_features(table_path, store) - _WRITER_FEATURES
+    if unknown:
+        raise ProtocolError(
+            f"{table_path} requires writer feature(s) {sorted(unknown)} "
+            "this engine does not implement — upgrade the engine before "
+            "writing to this table"
+        )
 
 
 def repair_log(table_path: str, store: LogStore | None = None) -> list[str]:
@@ -543,6 +645,7 @@ def set_constraint(
     ``restore`` is exempt (it re-references previously committed
     state, which may predate the constraint, as in Delta).
     """
+    _check_writer_features(table_path, store)
     for _ in range(max_retries):
         base = current_version(table_path, store)
         files, dvs = (
@@ -579,6 +682,7 @@ def drop_constraint(
     store: LogStore | None = None,
 ) -> int:
     """Remove a named constraint via a metadata-only commit."""
+    _check_writer_features(table_path, store)
     if name not in constraints(table_path, store):
         raise ValueError(f"no constraint {name!r} on {table_path}")
     for _ in range(max_retries):
@@ -631,6 +735,7 @@ def set_generated_column(
     Rewrite-family maintenance (compact/restore) is pass-through — it
     re-references rows the invariant already covered.
     """
+    _check_writer_features(table_path, store)
     for _ in range(max_retries):
         base = current_version(table_path, store)
         files, dvs = (
@@ -674,6 +779,7 @@ def drop_generated_column(
 ) -> int:
     """Stop generating/validating ``name`` via a metadata-only commit
     (the column itself stays in the data)."""
+    _check_writer_features(table_path, store)
     if name not in generated_columns(table_path, store):
         raise ValueError(f"no generated column {name!r} on {table_path}")
     for _ in range(max_retries):
@@ -1079,6 +1185,7 @@ def restore(
     if as_of is not None:
         version = version_as_of(table_path, as_of, store)
     assert version is not None
+    _check_writer_features(table_path, store)
     target, target_dvs = _replay_state(table_path, version, store)
     missing = [
         f
@@ -1307,6 +1414,7 @@ def append(
     pass over the NEW files at write time buys every later
     ``txn_skipping_scan`` zero-IO pruning from log metadata alone.
     """
+    _check_writer_features(table_path, store)
     df = _apply_generated(df, table_path, store)
     pb = _resolve_partition_by(table_path, partition_by, store)
     check = _check_schema_widening if merge_schema else _check_schema
@@ -1373,6 +1481,7 @@ def rewrite(
     differ from the current table's — merges/compactions must not
     morph the schema; pass False for an intentional overwrite-schema.
     """
+    _check_writer_features(table_path, store)
     pb = _resolve_partition_by(table_path, partition_by, store)
     if enforce_schema:
         _check_schema(df, table_path, store)
@@ -1424,6 +1533,7 @@ def replace_partitions(
     atomically). This is the scale-correct way to refresh one day of a
     100 TB table: touched-partition IO only, never a full rewrite.
     """
+    _check_writer_features(table_path, store)
     pb = _resolve_partition_by(table_path, partition_by, store)
     if not pb:
         raise ValueError("replace_partitions requires a partitioned table")
@@ -1472,17 +1582,27 @@ def checkpoint(table_path: str, store: LogStore | None = None) -> int:
         raise ValueError(f"nothing committed under {table_path}")
     files, dvs = _replay_state(table_path, v, store)
     path = os.path.join(_log_path(table_path), f"{v:0{_PAD}d}.checkpoint.json")
-    payload = json.dumps({"version": v, "active": files, "dvs": dvs}).encode()
+    payload = json.dumps(
+        {
+            "version": v,
+            "active": files,
+            "dvs": dvs,
+            # feature union up to v, so the writer-feature gate stays
+            # O(commits since checkpoint) like every other planner read
+            "features": sorted(writer_features(table_path, store)),
+        }
+    ).encode()
     st.put_if_absent(path, payload)  # False ⇒ same version already done
     return v
 
 
 def _latest_checkpoint(
     table_path: str, store: LogStore | None = None
-) -> tuple[int, list[str], list[str]] | None:
+) -> tuple[int, list[str], list[str], list[str]] | None:
     """Newest PARSEABLE checkpoint (a torn/corrupt one — impossible from
     this writer — degrades to the previous checkpoint, never a crash).
-    Returns (version, active data files, active DV files)."""
+    Returns (version, active data files, active DV files, feature
+    union up to that version)."""
     st = _store(store)
     log = _log_path(table_path)
     cps = sorted(
@@ -1491,7 +1611,12 @@ def _latest_checkpoint(
     for name in cps:
         try:
             d = json.loads(st.read(os.path.join(log, name)))
-            return int(d["version"]), list(d["active"]), list(d.get("dvs", []))
+            return (
+                int(d["version"]),
+                list(d["active"]),
+                list(d.get("dvs", [])),
+                list(d.get("features", [])),
+            )
         except (ValueError, KeyError, OSError):
             continue
     return None
@@ -1607,6 +1732,7 @@ def compact(
 
     Returns the committed version, or None when already compact / empty.
     """
+    _check_writer_features(table_path, store)
     pb = _current_partitioning(table_path, store)
     if partitions:
         unknown = set(partitions) - set(pb)
@@ -1790,6 +1916,103 @@ def convert_to_txn(
     return 0
 
 
+def clone_table(
+    src_path: str,
+    dst_path: str,
+    version: int | None = None,
+    as_of: "float | str | datetime | None" = None,
+    store: LogStore | None = None,
+) -> int:
+    """Zero-copy CLONE: create a new, fully independent transactional
+    table at ``dst_path`` referencing the SAME immutable bytes as the
+    source snapshot — no data is read or copied. Each data file (and
+    active deletion-vector sidecar) gets a second name via
+    ``DataStore.link`` (hard link on POSIX, server-side copy on an
+    object store), so the clone costs O(files) metadata operations on a
+    table of any size: the "give me a writable copy of prod to test a
+    backfill against" primitive.
+
+    Independence is physical: the two tables share bytes but not names
+    — vacuum/DML/compact on either side unlinks or adds only its OWN
+    names and can never perturb the other (pinned by tests). The
+    clone's history starts fresh at v0; ``meta`` records the source
+    path and version for lineage. Carried along: partition layout, the
+    schema-evolution flag, logged per-file stats (data skipping keeps
+    working), active CHECK constraints and generated columns (as
+    metadata commits v1..vk, like Delta clones carry table
+    properties). ``version=``/``as_of=`` clone a historical snapshot
+    (bounded by vacuum retention, like restore).
+
+    A clone that carries active deletion vectors reads correctly
+    (snapshot/DML/compact are DV-aware) but is NOT a pure insert delta,
+    so the change feeds refuse from_version=-1 over it — compact the
+    source first (or the clone after) for a feed-clean table.
+    """
+    if _claimed_versions(dst_path, store):
+        raise ValueError(f"{dst_path} already has a transaction log")
+    if version is not None and as_of is not None:
+        raise ValueError("pass version= or as_of=, not both")
+    if as_of is not None:
+        version = version_as_of(src_path, as_of, store)
+    v = current_version(src_path, store) if version is None else version
+    if v < 0:
+        raise ValueError(f"no committed data in {src_path}")
+    files, dvs = _replay_state(src_path, v, store)
+    ds = _data()
+    missing = [
+        f for f in files + dvs if not ds.exists(os.path.join(src_path, f))
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot clone {src_path}@v{v}: files vacuumed "
+            f"({missing[:3]}...) — the clone horizon is bounded by "
+            "vacuum retention, like restore"
+        )
+    for rel in files + dvs:
+        dst_f = os.path.join(dst_path, rel)
+        ds.makedirs(os.path.dirname(dst_f))
+        ds.link(os.path.join(src_path, rel), dst_f)
+    pb = _current_partitioning(src_path, store)
+    entry = _entry(
+        "clone",
+        sorted(files),
+        [],
+        pb,
+        {"cloneSource": os.path.abspath(src_path), "cloneSourceVersion": v},
+    )
+    if dvs:
+        entry["dvAdd"] = sorted(dvs)
+    if _is_evolved(src_path, store, upto=v):
+        entry["schemaEvolved"] = True
+    carried = {
+        rel: {"n": s["n"], "min": s["min"], "max": s["max"]}
+        for rel, s in logged_file_stats(src_path, v, store).items()
+        if rel in set(files)
+    }
+    if carried:
+        cols = sorted({c for s in carried.values() for c in s["min"]})
+        entry["stats"] = {"cols": cols, "files": carried}
+    if not _try_commit(dst_path, 0, entry, store):
+        raise CommitConflict(f"lost the v0 race creating clone {dst_path}")
+    # carry table metadata the way Delta clones carry properties
+    tail = 0
+    for name, expr in constraints(src_path, store).items():
+        tail += 1
+        _try_commit(
+            dst_path, tail,
+            _entry("set_constraint", [], [], pb, {"name": name, "expr": expr}),
+            store,
+        )
+    for name, expr in generated_columns(src_path, store).items():
+        tail += 1
+        _try_commit(
+            dst_path, tail,
+            _entry("set_generated", [], [], pb, {"name": name, "expr": expr}),
+            store,
+        )
+    return tail
+
+
 def table_changes(
     spark: SparkSession,
     table_path: str,
@@ -1820,7 +2043,7 @@ def table_changes(
             continue
         e = _load_entry(table_path, v, store) or {}
         op = e.get("op")
-        if op in ("append", "convert"):
+        if op in ("append", "convert") or (op == "clone" and not e.get("dvAdd")):
             files.extend(e.get("add", []))
         elif op == "compact" or op in _METADATA_OPS:
             continue  # rewrite of already-delivered rows / no content
@@ -1884,6 +2107,17 @@ def table_changes_cdf(
         op = e.get("op")
         if op == "compact" or op in _METADATA_OPS:
             continue
+        elif op == "clone" and e.get("dvAdd"):
+            # a DV-carrying clone's add files and vector address the
+            # SAME rows in the SAME commit: emitting insert+delete
+            # images for a dead row would let last-change-per-key
+            # netting resurrect it downstream — not a pure delta
+            raise ValueError(
+                f"version {v} is a clone carrying active deletion "
+                "vectors: its dead rows are not expressible as a pure "
+                "insert/delete-image delta — compact the table (purges "
+                "vectors) and restart the feed from that snapshot"
+            )
         elif not e.get("remove") and not e.get("dvRetire"):
             # dvRetire outside a compact (e.g. a restore) UN-deletes
             # rows, which no insert/delete image stream can express
@@ -2094,6 +2328,7 @@ def delete_where(
     """
     if mode not in ("cow", "mor"):
         raise ValueError(f"mode must be 'cow' or 'mor', got {mode!r}")
+    _check_writer_features(table_path, store)
     if mode == "mor":
         return _delete_where_mor(spark, table_path, predicate, max_retries, store)
     for _ in range(max_retries):
@@ -2224,6 +2459,7 @@ def update_where(
     allowed — rewritten rows land in their new hive partitions while
     the log retires the old files. Returns the committed version, or
     None when nothing matched."""
+    _check_writer_features(table_path, store)
     for _ in range(max_retries):
         base = current_version(table_path, store)
         if base < 0:
@@ -2322,6 +2558,7 @@ def merge_on_read_upsert(
     """
     if not keys:
         raise ValueError("merge requires at least one key column")
+    _check_writer_features(table_path, store)
     source = _apply_generated(source, table_path, store)
     touched = source.select(*keys)
     if deletes is not None:

@@ -165,10 +165,20 @@ class TxnTableStreamReader(DataSourceStreamReader):
                 "set_generated", "drop_generated",
             ):
                 continue  # layout rewrite / metadata-only: no new content
-            elif op in ("append", "convert"):
+            elif op in ("append", "convert") or (
+                op == "clone" and not e.get("dvAdd")
+            ):
                 parts.extend(
                     _FilePartition(_abs(f), None, "insert", v)
                     for f in e.get("add", [])
+                )
+            elif op == "clone":
+                # DV-carrying clone: dead rows aren't a pure delta
+                # (same rule as table_changes_cdf) — loud, not wrong
+                raise ValueError(
+                    f"version {v} is a clone carrying active deletion "
+                    "vectors — compact the table and restart the feed "
+                    "from that snapshot"
                 )
             elif self.cdf and not e.get("remove") and not e.get("dvRetire"):
                 # structural recoverability (txn.table_changes_cdf rule):

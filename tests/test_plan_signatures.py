@@ -23,6 +23,17 @@ with open(BASELINE_PATH) as f:
 QUERIES = all_queries()
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _fresh_plan_cache(spark):
+    """Plan signatures must not depend on suite ordering: a prior test's
+    persisted frame cache-matches into a freshly built plan (Spark
+    resolves equal analyzed subplans to InMemoryRelation), silently
+    changing the signature. Clear the cache once for this module so
+    every signature is computed against cold plans — the same state the
+    regen script runs in."""
+    spark.catalog.clearCache()
+
+
 def _context_matches() -> bool:
     ctx = _BASELINE["context"]
     return (

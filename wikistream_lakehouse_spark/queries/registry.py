@@ -84,6 +84,7 @@ def all_queries() -> dict[str, Query]:
         skew,
         streaming_windows,
         text,
+        timeseries,
         wiki,
     )
 

@@ -117,3 +117,123 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assignments = pack_sequences(d, max_tokens=512, n_buckets=32)
     return pack_stats(assignments, max_tokens=512).orderBy("pack_id")
+
+
+@register(
+    "leakage_safe_split",
+    oracle=f"""
+        WITH RECURSIVE sh AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(t[i:i+2], ' ')
+                                  FOR i IN generate_series(1, len(t) - 2)]) AS s
+            FROM (SELECT doc_id,
+                         list_filter(string_split(text, ' '), x -> x != '') AS t
+                  FROM documents
+                  WHERE doc_id < 300)
+            WHERE len(t) >= 3
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.s, b.s))) >= 0.02
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ), reach AS (
+            SELECT src AS node, dst AS r FROM edges
+            UNION
+            SELECT reach.node, edges.dst
+            FROM reach JOIN edges ON reach.r = edges.src
+        ), comp AS (
+            SELECT node, least(node, min(r)) AS component
+            FROM reach GROUP BY node
+        ), labeled AS (
+            SELECT d.doc_id,
+                   coalesce(comp.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+        )
+        SELECT doc_id, component,
+               {split_case_sql("component", _SPLITS)} AS split
+        FROM labeled
+        ORDER BY doc_id
+    """,
+    tags=("sampling", "dedup", "pipeline", "extra"),
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split WITHOUT near-duplicate leakage: hashing the
+    raw doc_id would scatter a duplicate cluster across splits — the
+    classic eval-contamination bug (a test document's near-copy sits in
+    train). Here the split key is the document's near-dup CLUSTER label
+    (exact-Jaccard pairs → connected components, the same deterministic
+    face dedup_canonical_docs certifies), so every member of a cluster
+    lands in the SAME split, and singletons hash exactly as before.
+    Still deterministic and growth-stable; the oracle recomputes the
+    components with a recursive CTE and the identical md5 thresholds, so
+    all N assignments must match."""
+    from wikistream_lakehouse_spark.operators.components import (
+        canonical_documents,
+    )
+    from wikistream_lakehouse_spark.functions.text import shingles, tokens
+
+    d = table(spark, sf_dir, "documents")
+    bounded = d.filter(F.col("doc_id") < 300)
+    sh = (
+        bounded.withColumn("s", shingles(tokens(F.col("text")), k=3))
+        .filter(F.size("s") > 0)
+        .select("doc_id", "s")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    jacc = F.size(F.array_intersect("sa", "sb")).cast("double") / F.size(
+        F.array_union("sa", "sb")
+    )
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(jacc >= 0.02)
+        .select("id_a", "id_b")
+    )
+    comp = canonical_documents(d, pairs, max_iterations=64)
+    return (
+        hash_split(comp, "component", _SPLITS)
+        .select("doc_id", "component", "split")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "fixed_count_per_lang_sample",
+    oracle="""
+        SELECT doc_id, lang, pick
+        FROM (
+            SELECT doc_id, lang,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5('fix:' || CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS BIGINT) AS pick
+            FROM documents
+        )
+        WHERE pick <= 20
+        ORDER BY lang, pick
+    """,
+    tags=("sampling", "pipeline", "extra"),
+)
+def fixed_count_per_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N-per-stratum sampling (the eval-set builder): the first
+    20 documents per language in deterministic md5 order — unlike a
+    fractional sample, the output size per stratum is pinned, and
+    unlike ``ORDER BY random()`` it is reproducible across runs and
+    engines. One hash-partitioned window per stratum; rank ≤ N prunes
+    with WindowGroupLimit before the sort materializes the tail."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("fix:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(key, F.col("doc_id"))
+    return (
+        d.select(
+            "doc_id", "lang",
+            F.row_number().over(w).cast("long").alias("pick"),
+        )
+        .filter(F.col("pick") <= 20)
+        .orderBy("lang", "pick")
+    )

@@ -385,3 +385,34 @@ def test_cdf_spans_schema_evolution_with_null_fill(spark, tmp_path):
         (1, "insert", None),
         (2, "insert", 9.0),
     ]
+
+
+def test_merge_probe_prunes_by_partition_values(spark, tmp_path, monkeypatch):
+    """Merge keys that include the partition column prune the probe to
+    the touched partitions — the CDC layout where the key is a STRING
+    date no numeric stat can cover."""
+    t = str(tmp_path / "t")
+    for ds in ("day_a", "day_b", "day_c"):
+        df = spark.createDataFrame(
+            [(ds, i, 1.0) for i in range(10)], "ds string, k long, v double"
+        ).coalesce(1)
+        txn.append(df, t, partition_by=["ds"])
+    probes = []
+    real = txn._read_files
+
+    def spy(spark_, path, fs, store=None, dvs=None, keep_rowpos=False):
+        if keep_rowpos:
+            probes.append(sorted(fs))
+        return real(spark_, path, fs, store, dvs=dvs, keep_rowpos=keep_rowpos)
+
+    monkeypatch.setattr(txn, "_read_files", spy)
+    src = spark.createDataFrame(
+        [("day_b", 3, -1.0)], "ds string, k long, v double"
+    )
+    txn.merge_on_read_upsert(spark, t, src, keys=["ds", "k"])
+    assert len(probes) == 1
+    assert all("ds=day_b" in f for f in probes[0])
+    rows = {
+        (r.ds, r.k): r.v for r in txn.read_table(spark, t).collect()
+    }
+    assert rows[("day_b", 3)] == -1.0 and len(rows) == 30

@@ -1316,6 +1316,66 @@ def _stat_to_float(v) -> "float | None":
     return None
 
 
+def _hive_safe_value(v) -> "str | None":
+    """The hive directory string for a partition value, or None when the
+    mapping isn't trustworthy (nulls, floats, characters Spark would
+    percent-escape) — callers skip pruning rather than guess."""
+    from datetime import date as _date
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, _date):  # covers datetime.date; datetime is a date
+        s = v.isoformat(sep=" ") if isinstance(v, datetime) else v.isoformat()
+        v = s
+    if isinstance(v, str) and v and all(
+        c.isalnum() or c in "-_.:" for c in v
+    ):
+        return v
+    return None
+
+
+def _prune_by_partition_values(
+    table_path: str,
+    files: list[str],
+    touched: DataFrame,
+    keys: list[str],
+    store: LogStore | None = None,
+    max_probe: int = 256,
+) -> list[str]:
+    """Partition-value face of merge-probe pruning: when merge keys
+    include the table's partition columns (the common CDC layout —
+    key = (ds, id) on a ds-partitioned table), only files in the
+    touched partitions can hold matches. One bounded distinct over the
+    delta (skipped entirely when it exceeds ``max_probe`` values or any
+    value's hive-directory form is ambiguous — pruning must never drop
+    a match)."""
+    pb = _current_partitioning(table_path, store)
+    part_keys = [k for k in keys if k in pb]
+    if not part_keys:
+        return list(files)
+    rows = (
+        touched.select(*part_keys).distinct().limit(max_probe + 1).collect()
+    )
+    if len(rows) > max_probe:
+        return list(files)
+    wanted = set()
+    for r in rows:
+        vals = tuple(_hive_safe_value(r[k]) for k in part_keys)
+        if any(v is None for v in vals):
+            return list(files)  # unencodable value: don't risk pruning
+        wanted.add(tuple(zip(part_keys, vals)))
+    out = []
+    for f in files:
+        pv = dict(_partition_values(f))
+        if not all(k in pv for k in part_keys):
+            out.append(f)  # partition not recoverable from path: keep
+        elif tuple((k, pv[k]) for k in part_keys) in wanted:
+            out.append(f)
+    return out
+
+
 def _candidate_merge_files(
     table_path: str,
     files: list[str],
@@ -1337,8 +1397,9 @@ def _candidate_merge_files(
     a well-clustered stats-logged table prunes the probe to the files a
     CDC batch actually touches, making the merge O(delta) end to end,
     reads included, not just writes."""
+    files = _prune_by_partition_values(table_path, files, touched, keys, store)
     logged = logged_file_stats(table_path, upto, store)
-    if not any(f in logged for f in files):
+    if not files or not any(f in logged for f in files):
         return list(files)
     row = touched.agg(
         *(

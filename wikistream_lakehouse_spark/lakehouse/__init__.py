@@ -33,13 +33,16 @@ from wikistream_lakehouse_spark.lakehouse.silver import (
 from wikistream_lakehouse_spark.lakehouse.txn import (
     append,
     clone_table,
+    column_mapping,
     compact,
     convert_to_txn,
     delete_where,
+    drop_column,
     history,
     logged_file_stats,
     merge_on_read_upsert,
     read_table,
+    rename_column,
     replace_partitions,
     restore,
     snapshot,
@@ -70,8 +73,11 @@ __all__ = [
     "compact",
     "convert_to_txn",
     "delete_where",
+    "drop_column",
     "history",
     "read_table",
+    "rename_column",
+    "column_mapping",
     "replace_partitions",
     "snapshot",
     "table_changes",

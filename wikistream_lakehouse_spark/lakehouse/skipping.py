@@ -271,12 +271,18 @@ def txn_skipping_scan(
     rels, dvs = txn._replay_state(table_path, v, store)
     if not rels:
         raise ValueError(f"no committed data at version {v} in {table_path}")
+    # ranges arrive under LOGICAL names; footers and logged stats carry
+    # PHYSICAL names — translate in, map the scanned frame back out
+    mapping, dropped = txn._column_mapping_state(table_path, v, store)
+    ranges = {mapping.get(c, c): r for c, r in ranges.items()}
+    if cast:
+        cast = {mapping.get(c, c): t for c, t in cast.items()}
     cols = list(ranges)
     # stats-in-log fast path: files whose commit embedded min/max for
     # every needed column prune from LOG METADATA alone — zero file IO;
     # only the uncovered remainder (pre-stats commits, compact rewrites)
     # pays the footer pass
-    logged = txn.logged_file_stats(table_path, v, store)
+    logged = txn._logged_file_stats_raw(table_path, v, store)
     from_log, need_footers = [], []
     for rel in rels:
         s = logged.get(rel)
@@ -320,4 +326,6 @@ def txn_skipping_scan(
             )
             .drop(txn._DV_FILE, txn._DV_POS)
         )
+    if mapping or dropped:
+        df = txn._to_logical(df, mapping, dropped)
     return df.drop(txn._COMMIT_COL), n_read, n_total

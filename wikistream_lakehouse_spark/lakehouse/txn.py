@@ -109,7 +109,7 @@ class ProtocolError(Exception):
 
 #: Features a READER must understand to interpret the table correctly
 #: (ignoring any of these returns wrong rows, not degraded performance).
-_READER_FEATURES = {"deletionVectors", "schemaEvolution", "clone"}
+_READER_FEATURES = {"deletionVectors", "schemaEvolution", "clone", "columnMapping"}
 #: Features a WRITER must additionally understand to commit safely
 #: (ignoring these would write rows that violate declared invariants).
 _WRITER_FEATURES = _READER_FEATURES | {"generatedColumns", "checkConstraints"}
@@ -127,6 +127,10 @@ def _stamp_features(entry: dict) -> dict:
         rf.add("schemaEvolution")
     if entry.get("op") == "clone":
         rf.add("clone")
+    if entry.get("op") in ("rename_column", "drop_column"):
+        # serving the physical name instead of the mapped one IS a
+        # wrong answer, so mapping is a READER feature
+        rf.add("columnMapping")
     wf = set()
     if entry.get("op") in ("set_generated", "drop_generated"):
         wf.add("generatedColumns")
@@ -839,7 +843,189 @@ _METADATA_OPS = (
     "drop_constraint",
     "set_generated",
     "drop_generated",
+    "rename_column",
+    "drop_column",
 )  # no content change
+
+
+# --------------------------------------------------------------------------
+# Column mapping: metadata-only RENAME / DROP COLUMN (Delta column-mapping
+# analogue). Data files keep their PHYSICAL column names forever; the log
+# carries a logical→physical map that readers apply and writers invert —
+# renaming or dropping a column on a 100 TB table is one commit, zero IO.
+# --------------------------------------------------------------------------
+
+
+def _column_mapping_state(
+    table_path: str,
+    upto: int | None = None,
+    store: LogStore | None = None,
+) -> tuple[dict[str, str], set[str]]:
+    """(logical→physical map, dropped physical names) at ``upto`` —
+    replayed from the metadata commits in version order, same planner
+    cost class as constraints()."""
+    v = current_version(table_path, store) if upto is None else upto
+    mapping: dict[str, str] = {}
+    dropped: set[str] = set()
+    for cv in _committed_versions(table_path, store):
+        if cv > v:
+            break
+        e = _load_entry(table_path, cv, store) or {}
+        m = e.get("meta") or {}
+        if e.get("op") == "rename_column":
+            phys = mapping.pop(m["from"], m["from"])
+            mapping[m["to"]] = phys
+        elif e.get("op") == "drop_column":
+            dropped.add(mapping.pop(m["name"], m["name"]))
+    mapping = {lg: ph for lg, ph in mapping.items() if lg != ph}
+    return mapping, dropped
+
+
+def column_mapping(
+    table_path: str, store: LogStore | None = None
+) -> dict[str, str]:
+    """Active logical→physical column map (empty for unmapped tables)."""
+    return _column_mapping_state(table_path, store=store)[0]
+
+
+def _to_logical(
+    df: DataFrame, mapping: dict[str, str], dropped: set[str]
+) -> DataFrame:
+    """Physical (on-disk) frame → logical (user-facing) frame."""
+    for phys in dropped:
+        if phys in df.columns:
+            df = df.drop(phys)
+    for logical, phys in mapping.items():
+        if phys in df.columns:
+            df = df.withColumnRenamed(phys, logical)
+    return df
+
+
+def _to_physical(
+    df: DataFrame,
+    mapping: dict[str, str],
+    dropped: set[str],
+    table_path: str,
+) -> DataFrame:
+    """Logical (user-supplied) frame → physical (on-disk) frame; refuses
+    a frame that would collide with a retired physical name (adding a
+    NEW column whose name equals a dropped or renamed-away physical
+    would corrupt the mapping — Delta avoids this with synthetic
+    physical ids; this log refuses instead, loudly)."""
+    taken = dropped | set(mapping.values())
+    collisions = sorted(
+        c for c in df.columns if c not in mapping and c in taken
+    )
+    if collisions:
+        raise ValueError(
+            f"column name(s) {collisions} collide with retired PHYSICAL "
+            f"column names of {table_path} (dropped or renamed-away); "
+            "pick different names — physical names are never reused"
+        )
+    for logical, phys in mapping.items():
+        if logical in df.columns:
+            df = df.withColumnRenamed(logical, phys)
+    return df
+
+
+def _refuse_expr_references(
+    table_path: str, col: str, verb: str, store: LogStore | None = None
+) -> None:
+    import re as _re
+
+    pat = _re.compile(rf"\b{_re.escape(col)}\b")
+    for kind, items in (
+        ("CHECK constraint", constraints(table_path, store)),
+        ("generated column", generated_columns(table_path, store)),
+    ):
+        for name, expr in items.items():
+            if pat.search(expr) or name == col:
+                raise ValueError(
+                    f"cannot {verb} column {col!r}: {kind} {name!r} "
+                    f"references it (expr: {expr}); drop the {kind} first"
+                )
+
+
+def _rename_drop_commit(
+    spark: SparkSession,
+    table_path: str,
+    op: str,
+    meta: dict,
+    col: str,
+    max_retries: int,
+    store: LogStore | None,
+) -> int:
+    _check_writer_features(table_path, store)
+    _refuse_expr_references(table_path, col, op.replace("_column", ""), store)
+    pb = _current_partitioning(table_path, store)
+    if col in pb:
+        raise ValueError(
+            f"cannot {op} partition column {col!r}: partition values live "
+            "in directory names (physical), not footers"
+        )
+    for _ in range(max_retries):
+        base = current_version(table_path, store)
+        if base < 0:
+            raise ValueError(f"no committed data in {table_path}")
+        sch = _table_schema(spark, table_path, store)
+        names = [f.name for f in sch.fields] if sch is not None else []
+        if col not in names:
+            raise ValueError(
+                f"no column {col!r} in {table_path} (has {names})"
+            )
+        if op == "rename_column" and meta["to"] in names:
+            raise ValueError(
+                f"cannot rename {col!r} to {meta['to']!r}: the name is "
+                f"already in use"
+            )
+        if op == "drop_column" and len(names) <= 1:
+            raise ValueError("cannot drop the table's last column")
+        entry = _entry(op, [], [], pb, meta)
+        if current_version(table_path, store) == base and _try_commit(
+            table_path, base + 1, entry, store
+        ):
+            return base + 1
+    raise CommitConflict(f"{op} conflicted {max_retries} times")
+
+
+def rename_column(
+    spark: SparkSession,
+    table_path: str,
+    old: str,
+    new: str,
+    max_retries: int = 5,
+    store: LogStore | None = None,
+) -> int:
+    """ALTER TABLE RENAME COLUMN, metadata-only: data files keep the
+    physical name; every reader maps physical→``new`` from this version
+    on (time travel shows each version under its own names). Refused
+    for partition columns and for columns referenced by active
+    constraints/generated columns (their expressions would silently go
+    stale). The commit carries the ``columnMapping`` reader feature, so
+    an engine without mapping support refuses instead of serving the
+    old name."""
+    return _rename_drop_commit(
+        spark, table_path, "rename_column",
+        {"from": old, "to": new}, old, max_retries, store,
+    )
+
+
+def drop_column(
+    spark: SparkSession,
+    table_path: str,
+    name: str,
+    max_retries: int = 5,
+    store: LogStore | None = None,
+) -> int:
+    """ALTER TABLE DROP COLUMN, metadata-only: the bytes stay in the
+    files (reclaimed physically at the next full rewrite/compact), but
+    no reader sees the column from this version on. Same refusals as
+    rename; the retired physical name is never reusable for a new
+    column (refused at write time)."""
+    return _rename_drop_commit(
+        spark, table_path, "drop_column",
+        {"name": name}, name, max_retries, store,
+    )
 
 
 def _validate_constraints(
@@ -888,7 +1074,10 @@ _COMMIT_COL = "txc"  # synthetic path segment naming each write's files
 
 
 def _write_data_files(
-    df: DataFrame, table_path: str, partition_by: list[str] | None = None
+    df: DataFrame,
+    table_path: str,
+    partition_by: list[str] | None = None,
+    store: "LogStore | None" = None,
 ) -> tuple[list[str], str]:
     """Materialize ``df`` as immutable parquet files under a unique
     subdirectory (hive-partitioned when ``partition_by``); returns their
@@ -905,6 +1094,9 @@ def _write_data_files(
         raise ValueError(
             f"column name {_COMMIT_COL!r} is reserved by the txn layer"
         )
+    mapping, dropped = _column_mapping_state(table_path, store=store)
+    if mapping or dropped:
+        df = _to_physical(df, mapping, dropped, table_path)
     sub = f"{_COMMIT_COL}=g{uuid.uuid4().hex[:12]}"
     out = os.path.join(table_path, sub)
     w = df.write.mode("error")
@@ -1004,7 +1196,11 @@ def _table_schema(
         paths = [os.path.join(table_path, f) for f in files]
     else:
         paths = [os.path.join(table_path, files[0])]
-    return reader.parquet(*paths).drop(_COMMIT_COL).schema
+    df = reader.parquet(*paths).drop(_COMMIT_COL)
+    mapping, dropped = _column_mapping_state(table_path, store=store)
+    if mapping or dropped:
+        df = _to_logical(df, mapping, dropped)
+    return df.schema
 
 
 def _check_schema_widening(
@@ -1113,6 +1309,11 @@ def snapshot(
             (F.col(_DV_FILE) == dv.f) & (F.col(_DV_POS) == dv.ri),
             "left_anti",
         ).drop(_DV_FILE, _DV_POS)
+    # column mapping AT THIS VERSION: time travel shows each snapshot
+    # under the logical names it had then
+    mapping, dropped = _column_mapping_state(table_path, upto=v, store=store)
+    if mapping or dropped:
+        df = _to_logical(df, mapping, dropped)
     return df.drop(_COMMIT_COL)
 
 
@@ -1251,13 +1452,20 @@ def _entry(op: str, adds: list[str], removes: list[str], partition_by: list[str]
 
 
 def _collect_commit_stats(
-    spark: SparkSession, table_path: str, rels: list[str], cols: list[str]
+    spark: SparkSession,
+    table_path: str,
+    rels: list[str],
+    cols: list[str],
+    store: "LogStore | None" = None,
 ) -> dict:
     """Per-file min/max/row-count for a commit's just-written files, in
     the commit-entry embedding shape — ONE distributed footer-only pass
     over the new files (O(files-in-commit), never O(table))."""
     from wikistream_lakehouse_spark.lakehouse.skipping import collect_file_stats
 
+    # stats_cols arrive LOGICAL; footers carry PHYSICAL names
+    mapping, _dropped = _column_mapping_state(table_path, store=store)
+    cols = [mapping.get(c, c) for c in cols]
     abs_files = [os.path.join(table_path, f) for f in rels]
     by_abs = {os.path.abspath(p): r for p, r in zip(abs_files, rels)}
     rows = collect_file_stats(
@@ -1286,6 +1494,31 @@ def logged_file_stats(
     falls back to a footer pass only for files without logged stats).
     DV deletes leave stats stale-but-conservative (dead rows widen the
     range; pruning stays correct)."""
+    raw = _logged_file_stats_raw(table_path, upto, store)
+    mapping, dropped = _column_mapping_state(table_path, upto, store)
+    if not mapping and not dropped:
+        return raw
+    rev = {ph: lg for lg, ph in mapping.items()}
+    out: dict[str, dict] = {}
+    for rel, s in raw.items():
+        out[rel] = {
+            "cols": [rev.get(c, c) for c in s["cols"] if c not in dropped],
+            "n": s["n"],
+            "min": {rev.get(c, c): x for c, x in s["min"].items() if c not in dropped},
+            "max": {rev.get(c, c): x for c, x in s["max"].items() if c not in dropped},
+        }
+    return out
+
+
+def _logged_file_stats_raw(
+    table_path: str,
+    upto: int | None = None,
+    store: LogStore | None = None,
+) -> dict[str, dict]:
+    """Logged stats under PHYSICAL (on-disk) column names — the form
+    stored in commits; footer-level consumers (skipping scans, clone
+    carry) want this, user-facing consumers want the logical
+    translation above."""
     v = current_version(table_path, store) if upto is None else upto
     active = set(_replay(table_path, v, store))
     out: dict[str, dict] = {}
@@ -1480,11 +1713,11 @@ def append(
     pb = _resolve_partition_by(table_path, partition_by, store)
     check = _check_schema_widening if merge_schema else _check_schema
     evolved = bool(check(df, table_path, store))
-    adds, sub = _write_data_files(df, table_path, pb)
+    adds, sub = _write_data_files(df, table_path, pb, store)
     try:
         _validate_constraints(df.sparkSession, table_path, adds, store)
         stats = (
-            _collect_commit_stats(df.sparkSession, table_path, adds, stats_cols)
+            _collect_commit_stats(df.sparkSession, table_path, adds, stats_cols, store)
             if stats_cols
             else None
         )
@@ -1546,7 +1779,7 @@ def rewrite(
     pb = _resolve_partition_by(table_path, partition_by, store)
     if enforce_schema:
         _check_schema(df, table_path, store)
-    adds, sub = _write_data_files(df, table_path, pb)
+    adds, sub = _write_data_files(df, table_path, pb, store)
     try:
         _validate_constraints(df.sparkSession, table_path, adds, store)
     except BaseException:
@@ -1556,7 +1789,7 @@ def rewrite(
     entry = _entry(op, adds, removes, pb, meta)
     if stats_cols:
         entry["stats"] = _collect_commit_stats(
-            df.sparkSession, table_path, adds, stats_cols
+            df.sparkSession, table_path, adds, stats_cols, store
         )
     if old_dvs:
         # the new state was derived from a DV-aware snapshot, so the
@@ -1600,7 +1833,7 @@ def replace_partitions(
         raise ValueError("replace_partitions requires a partitioned table")
     source = _apply_generated(source, table_path, store)
     _check_schema(source, table_path, store)
-    adds, sub = _write_data_files(source, table_path, pb)
+    adds, sub = _write_data_files(source, table_path, pb, store)
     new_parts = {_partition_values(p) for p in adds}
     try:
         _validate_constraints(spark, table_path, adds, store)
@@ -1847,7 +2080,7 @@ def compact(
             # pointing at an unscoped live file must survive (ADVICE r5
             # low — never retiring left permanently-active stale DVs
             # taxing every read until a full-table pass).
-            adds, sub = _write_data_files(df, table_path, pb)
+            adds, sub = _write_data_files(df, table_path, pb, store)
             try:
                 _validate_constraints(spark, table_path, adds, store)
             except BaseException:
@@ -1864,7 +2097,7 @@ def compact(
                 entry["dvRetire"] = sorted(dv_retire)
             if stats_cols:
                 entry["stats"] = _collect_commit_stats(
-                    spark, table_path, adds, stats_cols
+                    spark, table_path, adds, stats_cols, store
                 )
             if current_version(table_path, store) == base and _try_commit(
                 table_path, base + 1, entry, store
@@ -2047,7 +2280,7 @@ def clone_table(
         entry["schemaEvolved"] = True
     carried = {
         rel: {"n": s["n"], "min": s["min"], "max": s["max"]}
-        for rel, s in logged_file_stats(src_path, v, store).items()
+        for rel, s in _logged_file_stats_raw(src_path, v, store).items()
         if rel in set(files)
     }
     if carried:
@@ -2057,6 +2290,20 @@ def clone_table(
         raise CommitConflict(f"lost the v0 race creating clone {dst_path}")
     # carry table metadata the way Delta clones carry properties
     tail = 0
+    src_mapping, src_dropped = _column_mapping_state(src_path, v, store)
+    for phys in sorted(src_dropped):
+        tail += 1
+        _try_commit(
+            dst_path, tail,
+            _entry("drop_column", [], [], pb, {"name": phys}), store,
+        )
+    for logical, phys in sorted(src_mapping.items()):
+        tail += 1
+        _try_commit(
+            dst_path, tail,
+            _entry("rename_column", [], [], pb, {"from": phys, "to": logical}),
+            store,
+        )
     for name, expr in constraints(src_path, store).items():
         tail += 1
         _try_commit(
@@ -2327,6 +2574,9 @@ def _read_files(
             )
         if not keep_rowpos:
             df = df.drop(_DV_FILE, _DV_POS)
+    mapping, dropped = _column_mapping_state(table_path, store=store)
+    if mapping or dropped:
+        df = _to_logical(df, mapping, dropped)
     return df.drop(_COMMIT_COL)
 
 
@@ -2406,7 +2656,7 @@ def delete_where(
         kept = _read_files(
             spark, table_path, affected, store, dvs=dvs
         ).filter(~F.coalesce(F.expr(predicate), F.lit(False)))
-        adds, sub = _write_data_files(kept, table_path, pb)
+        adds, sub = _write_data_files(kept, table_path, pb, store)
         entry = _entry("delete", adds, affected, pb, {"predicate": predicate})
         if not adds and len(affected) == len(files):
             # delete emptied the table: log the schema so it stays
@@ -2549,7 +2799,7 @@ def update_where(
             )
         )
         _check_schema(updated, table_path, store)
-        adds, sub = _write_data_files(updated, table_path, pb)
+        adds, sub = _write_data_files(updated, table_path, pb, store)
         try:
             _validate_constraints(spark, table_path, adds, store)
         except BaseException:
@@ -2664,7 +2914,7 @@ def merge_on_read_upsert(
             if dv_out is not None:
                 _data().remove_tree(dv_out)
             dv_rels = []
-        adds, sub = _write_data_files(source, table_path, pb)
+        adds, sub = _write_data_files(source, table_path, pb, store)
         try:
             _validate_constraints(spark, table_path, adds, store)
         except BaseException:
@@ -2675,7 +2925,7 @@ def merge_on_read_upsert(
         entry = _entry("merge", adds, [], pb, meta)
         if stats_cols and adds:
             entry["stats"] = _collect_commit_stats(
-                spark, table_path, adds, stats_cols
+                spark, table_path, adds, stats_cols, store
             )
         if dv_rels:
             entry["dvAdd"] = dv_rels

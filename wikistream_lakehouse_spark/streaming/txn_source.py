@@ -111,6 +111,16 @@ class TxnTableStreamReader(DataSourceStreamReader):
                     "directory names, not file footers)"
                 )
         self.table_path = table_path
+        # column mapping (metadata-only rename/drop), pinned at query
+        # start like any streaming schema: physical→logical applied per
+        # Arrow batch in read()
+        from wikistream_lakehouse_spark.lakehouse.txn import (
+            _column_mapping_state,
+        )
+
+        mapping, dropped = _column_mapping_state(table_path)
+        self._rename = {ph: lg for lg, ph in mapping.items()}
+        self._dropped = set(dropped)
         if max_commits_per_batch is not None and max_commits_per_batch < 1:
             raise ValueError("maxCommitsPerBatch must be >= 1")
         self.max_commits = max_commits_per_batch
@@ -156,14 +166,13 @@ class TxnTableStreamReader(DataSourceStreamReader):
                 missing.append(rel)
             return p
 
+        from wikistream_lakehouse_spark.lakehouse.txn import _METADATA_OPS
+
         for v, e in _log_entries(self.table_path):
             if v <= lo or v > hi:
                 continue
             op = e.get("op")
-            if op == "compact" or op in (
-                "set_constraint", "drop_constraint",
-                "set_generated", "drop_generated",
-            ):
+            if op == "compact" or op in _METADATA_OPS:
                 continue  # layout rewrite / metadata-only: no new content
             elif op in ("append", "convert") or (
                 op == "clone" and not e.get("dvAdd")
@@ -232,13 +241,29 @@ class TxnTableStreamReader(DataSourceStreamReader):
             )
         return parts
 
+    def _map_columns(self, batch):
+        """Physical→logical per Arrow batch (drop retired columns,
+        rename mapped ones) — zero-copy array reuse."""
+        if not self._rename and not self._dropped:
+            return batch
+        import pyarrow as pa
+
+        arrays, names = [], []
+        for i, name in enumerate(batch.schema.names):
+            if name in self._dropped:
+                continue
+            arrays.append(batch.column(i))
+            names.append(self._rename.get(name, name))
+        return pa.RecordBatch.from_arrays(arrays, names=names)
+
     def read(self, partition: _FilePartition):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
         batches = pq.ParquetFile(partition.path).iter_batches()
         if not self.cdf:
-            yield from batches
+            for batch in batches:
+                yield self._map_columns(batch)
             return
         import numpy as np
 
@@ -256,6 +281,7 @@ class TxnTableStreamReader(DataSourceStreamReader):
                 if not len(local):
                     continue
                 batch = batch.take(pa.array(local))
+            batch = self._map_columns(batch)
             out_n = batch.num_rows
             batch = batch.append_column(
                 "_change_type",
@@ -292,10 +318,24 @@ class TxnTableDataSource(DataSource):
         path = self.options.get("path")
         if not path:
             raise ValueError("txn_table source requires .load(<table path>)")
+        from wikistream_lakehouse_spark.lakehouse.txn import (
+            _column_mapping_state,
+        )
+
         files = _replay(path, current_version(path))
         if not files:
             raise ValueError(f"no committed data in {path}")
         sch = from_arrow_schema(pq.read_schema(os.path.join(path, files[0])))
+        mapping, dropped = _column_mapping_state(path)
+        if mapping or dropped:
+            rev = {ph: lg for lg, ph in mapping.items()}
+            sch = StructType(
+                [
+                    StructField(rev.get(f.name, f.name), f.dataType, f.nullable)
+                    for f in sch.fields
+                    if f.name not in dropped
+                ]
+            )
         if self._cdf():
             sch = StructType(
                 list(sch.fields)

@@ -502,3 +502,58 @@ def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_ratio"),
         F.max("n").cast("long").alias("max_copies"),
     )
+
+
+# --- X4: unigram language-model scoring (perplexity-filter stage) -----------
+@register(
+    "unigram_logprob_score",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, ' '), x -> x != ''))
+                       AS tok
+            FROM documents
+        ), freq AS (
+            SELECT tok, CAST(count(*) AS DOUBLE) AS n FROM toks GROUP BY 1
+        ), tot AS (
+            SELECT CAST(count(*) AS DOUBLE) AS t FROM toks
+        )
+        SELECT toks.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               ROUND(AVG(LN(freq.n / tot.t)), 4) AS avg_logprob
+        FROM toks JOIN freq ON toks.tok = freq.tok CROSS JOIN tot
+        GROUP BY toks.doc_id
+        ORDER BY toks.doc_id
+    """,
+    tags=("X4", "text", "quality", "extra"),
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average unigram log-probability under the corpus's
+    own token distribution — the perplexity-filter stage of corpus QA
+    (a document full of corpus-rare tokens scores low; boilerplate
+    scores high). Two hash aggregations and one token-keyed join: the
+    token frequency table is itself an aggregate (vocabulary-sized, not
+    corpus-sized), the global count is a 1-row broadcast, and the score
+    is a delta-friendly avg — the same plan at any corpus size. Exact
+    oracle (both engines compute identical LN ratios; 4dp rounding
+    absorbs accumulation order)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    tot = toks.agg(F.count(F.lit(1)).cast("double").alias("t"))
+    return (
+        toks.join(freq, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("n") / F.col("t"))), 4).alias(
+                "avg_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -109,3 +109,34 @@ def test_table_detail_reads_shape_from_metadata(spark, parted):
     assert d["constraints"] == {}
     assert d["schema_evolved"] is False
     assert d["num_commits"] == 4
+
+
+def test_maintain_table_policy(spark, tmp_path):
+    """maintain_table applies the measured maintenance policy: compacts
+    away fragmentation + DV debt, checkpoints a long log, and is a
+    no-op when the table is already tended."""
+    from wikistream_lakehouse_spark.lakehouse.txn import (
+        append as _append,
+        delete_where as _delete,
+        maintain_table,
+        table_detail,
+    )
+
+    t = str(tmp_path / "t")
+    for i in range(12):  # 12 tiny appends → fragmentation + long log
+        _append(
+            spark.createDataFrame([(i, float(i))], "k long, v double"), t
+        )
+    for i in range(5):  # DV debt past the default threshold of 4
+        _delete(spark, t, f"k = {i}", mode="mor")
+    report = maintain_table(spark, t, vacuum_retain_versions=1)
+    assert set(report) == {"compact", "checkpoint", "vacuum"}
+    d = table_detail(t)
+    assert d["num_deletion_vectors"] == 0  # compact purged the vectors
+    assert d["num_files"] <= 2
+    assert d["checkpoint_version"] is not None
+    assert sorted(r.k for r in read_table(spark, t).collect()) == list(
+        range(5, 12)
+    )
+    # already tended: nothing to do
+    assert maintain_table(spark, t) == {}

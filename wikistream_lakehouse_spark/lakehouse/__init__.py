@@ -40,6 +40,7 @@ from wikistream_lakehouse_spark.lakehouse.txn import (
     drop_column,
     history,
     logged_file_stats,
+    maintain_table,
     merge_on_read_upsert,
     read_table,
     rename_column,
@@ -75,6 +76,7 @@ __all__ = [
     "delete_where",
     "drop_column",
     "history",
+    "maintain_table",
     "read_table",
     "rename_column",
     "column_mapping",

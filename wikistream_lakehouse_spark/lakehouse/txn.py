@@ -2145,6 +2145,66 @@ def table_detail(
     }
 
 
+def maintain_table(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    max_small_files: int = 8,
+    max_active_dvs: int = 4,
+    checkpoint_every: int = 16,
+    vacuum_retain_versions: int | None = None,
+    store: LogStore | None = None,
+) -> dict:
+    """One-call table tending — the maintenance POLICY the scale
+    measurements justify (SCALING.md: merge-on-read costs readers a
+    near-constant anti-join step while ANY vector is active, so the
+    lever is compact cadence, not vector count; fragmentation costs
+    scheduler overhead per small file):
+
+      * **compact** when the live deletion-vector count exceeds
+        ``max_active_dvs`` OR more than ``max_small_files`` live files
+        sit under half the target size (OPTIMIZE + PURGE in one pass);
+      * **checkpoint** when more than ``checkpoint_every`` commits
+        landed since the newest checkpoint (keeps planning
+        O(commits-since-checkpoint));
+      * **vacuum** only when ``vacuum_retain_versions`` is given —
+        reclamation is destructive to time travel, so it stays opt-in.
+
+    Everything is an ordinary optimistic commit, safe alongside live
+    writers; a second call right after is a no-op. Returns a report of
+    {action: result} for the actions taken — wire it to a scheduler (or
+    call it after CDC bursts) and the table stays read-optimal without
+    an operator watching file counts."""
+    d = table_detail(table_path, store)
+    ds = _data()
+    report: dict = {}
+    files = _replay(table_path, d["version"], store)
+    small = sum(
+        1
+        for f in files
+        if ds.exists(os.path.join(table_path, f))
+        and ds.size(os.path.join(table_path, f)) < target_file_bytes // 2
+    )
+    if d["num_deletion_vectors"] > max_active_dvs or small > max_small_files:
+        v = compact(
+            spark, table_path, target_file_bytes=target_file_bytes, store=store
+        )
+        if v is not None:
+            report["compact"] = v
+    cp = d["checkpoint_version"]
+    newest = current_version(table_path, store)
+    behind = newest - (cp if cp is not None else -1)
+    if behind > checkpoint_every:
+        report["checkpoint"] = checkpoint(table_path, store)
+    if vacuum_retain_versions is not None:
+        removed = vacuum(
+            table_path, retain_versions=vacuum_retain_versions, store=store
+        )
+        if removed:
+            report["vacuum"] = len(removed)
+    return report
+
+
 def convert_to_txn(
     spark: SparkSession,
     path: str,

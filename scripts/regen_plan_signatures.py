@@ -54,6 +54,12 @@ GUARDED = [
     "language_id_ngram",
     "doc_repetition_profile",
     "session_windows_per_user",
+    # round-6 additions: grid gapfill, rank-limited sampling, the
+    # correlated non-equi EXISTS, and the corpus LM scorer
+    "hourly_gapfill_locf",
+    "fixed_count_per_lang_sample",
+    "late_order_priority_counts",
+    "unigram_logprob_score",
 ]
 
 #: Pinned generation context — signatures are only comparable under the

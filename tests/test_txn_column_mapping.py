@@ -190,3 +190,45 @@ def test_clone_carries_mapping(spark, t, tmp_path):
     assert txn.read_table(spark, d).columns == ["key", "v"]
     # and the clone's carried stats still prune under the logical name
     assert all("key" in s["min"] for s in txn.logged_file_stats(d).values())
+
+
+def test_rename_racing_append_never_corrupts(spark, tmp_path):
+    """A rename racing a concurrent append resolves to ONE of two safe
+    outcomes, never a mixed state: either the append serialized first
+    (its rows are visible under the post-rename name — physical names
+    make old files forward-compatible), or the rename landed first and
+    the append's post-race schema re-validation refused the stale
+    logical name. Run several rounds to sample both interleavings."""
+    import threading
+
+    for i in range(4):
+        t = str(tmp_path / f"t{i}")
+        txn.append(_kv(spark, 0, 10), t)
+        errs = []
+
+        def do_append():
+            try:
+                txn.append(_kv(spark, 10, 20), t)
+            except ValueError as e:
+                errs.append(e)  # legitimate: schema changed under it
+
+        th = threading.Thread(target=do_append)
+        th.start()
+        txn.rename_column(spark, t, "k", "key")
+        th.join()
+        df = txn.read_table(spark, t)
+        assert df.columns == ["key", "v"]
+        n = df.count()
+        if errs:
+            assert "mismatch" in str(errs[0])
+            assert n == 10  # refused append left no rows (and no leak)
+            orphans = [
+                f for f in txn.DEFAULT_DATA_STORE.walk_files(t)
+                if f.endswith(".parquet") and "_txnlog" not in f
+                and os.path.relpath(f, t)
+                not in txn._replay(t, txn.current_version(t))
+            ]
+            assert orphans == []
+        else:
+            assert n == 20  # append landed; rows visible under new name
+            assert df.filter("key = 15").count() == 1

@@ -146,3 +146,27 @@ def test_clone_refuses_existing_destination_and_vacuumed_snapshot(
     txn.vacuum(src, retain_versions=1, orphan_grace_secs=0)
     with pytest.raises(ValueError, match="vacuumed"):
         txn.clone_table(src, str(tmp_path / "d2"), version=0)
+
+
+def test_clone_on_memory_logstore_substrate(spark, src, tmp_path):
+    """The clone protocol holds on the object-store-shaped log: source
+    and destination logs both live in a MemoryLogStore (conditional-put
+    only), data files hard-link on the shared data plane — the
+    DynamoDB-log + S3-data deployment shape."""
+    st = txn.MemoryLogStore()
+    s = str(tmp_path / "ms")
+    txn.append(_kv(spark, 0, 50), s, store=st)
+    d = str(tmp_path / "md")
+    txn.clone_table(s, d, store=st)
+    got = sorted(
+        (r.k, r.v)
+        for r in txn.read_table(spark, d, store=st).collect()
+    )
+    want = sorted(
+        (r.k, r.v)
+        for r in txn.read_table(spark, s, store=st).collect()
+    )
+    assert got == want and len(got) == 50
+    # independence holds on this substrate too
+    txn.delete_where(spark, s, "k < 25", store=st)
+    assert txn.read_table(spark, d, store=st).count() == 50

@@ -232,3 +232,29 @@ def test_rename_racing_append_never_corrupts(spark, tmp_path):
         else:
             assert n == 20  # append landed; rows visible under new name
             assert df.filter("key = 15").count() == 1
+
+
+def test_restore_rolls_the_mapping_back_with_the_data(spark, t):
+    """RESTORE restores table metadata too: rolling back past a rename
+    brings the old column name back (and rolling forward again is
+    possible since history is never rewritten)."""
+    pre = txn.current_version(t)  # v1: two appends, names (k, v)
+    txn.rename_column(spark, t, "k", "key")
+    txn.append(
+        spark.range(200, 210).select(
+            F.col("id").alias("key"), F.lit(-1.0).alias("v")
+        ),
+        t,
+    )
+    assert txn.read_table(spark, t).columns == ["key", "v"]
+    v_restore = txn.restore(t, version=pre)
+    df = txn.read_table(spark, t)
+    assert df.columns == ["k", "v"]  # mapping rolled back with the data
+    assert df.count() == 200
+    # the restore commit carries the mapping reset + the reader feature
+    e = txn._load_entry(t, v_restore)
+    assert e["meta"]["columnMapping"] == {}
+    assert "columnMapping" in e.get("readerFeatures", [])
+    # and a rename made AFTER the restore stacks normally
+    txn.rename_column(spark, t, "v", "value")
+    assert txn.read_table(spark, t).columns == ["k", "value"]

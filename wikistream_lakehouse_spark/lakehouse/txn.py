@@ -127,7 +127,10 @@ def _stamp_features(entry: dict) -> dict:
         rf.add("schemaEvolution")
     if entry.get("op") == "clone":
         rf.add("clone")
-    if entry.get("op") in ("rename_column", "drop_column"):
+    if entry.get("op") in ("rename_column", "drop_column") or (
+        entry.get("op") == "restore"
+        and "columnMapping" in (entry.get("meta") or {})
+    ):
         # serving the physical name instead of the mapped one IS a
         # wrong answer, so mapping is a READER feature
         rf.add("columnMapping")
@@ -877,6 +880,12 @@ def _column_mapping_state(
             mapping[m["to"]] = phys
         elif e.get("op") == "drop_column":
             dropped.add(mapping.pop(m["name"], m["name"]))
+        elif e.get("op") == "restore" and "columnMapping" in m:
+            # RESTORE rolls the mapping back with the data (Delta
+            # restores table metadata too): the commit snapshots the
+            # target version's full mapping state
+            mapping = dict(m["columnMapping"])
+            dropped = set(m.get("droppedColumns", []))
     mapping = {lg: ph for lg, ph in mapping.items() if lg != ph}
     return mapping, dropped
 
@@ -1401,6 +1410,14 @@ def restore(
         )
     evolved = _is_evolved(table_path, store, upto=version)
     pb = _current_partitioning(table_path, store)
+    # column-mapping state rolls back with the data (Delta restores
+    # table metadata too): snapshot the TARGET version's full state
+    # into the restore commit — the mapping replay treats it as a reset
+    t_map, t_drop = _column_mapping_state(table_path, version, store)
+    meta = {"restoredVersion": version}
+    if (t_map, t_drop) != _column_mapping_state(table_path, store=store):
+        meta["columnMapping"] = t_map
+        meta["droppedColumns"] = sorted(t_drop)
     for _ in range(max_retries):
         base = current_version(table_path, store)
         if version > base:
@@ -1414,7 +1431,7 @@ def restore(
             sorted(set(target) - cur),
             sorted(cur - set(target)),
             pb,
-            {"restoredVersion": version},
+            meta,
         )
         # DV state must roll back too: re-activate the target version's
         # vectors, retire the ones that appeared since

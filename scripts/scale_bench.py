@@ -54,6 +54,9 @@ DEFAULT_QUERIES = [
     "doc_char_chunks",            # posexplode row multiplier (watch)
     "doc_token_chunks",
     "ann_pq_topk",                # PQ encode + ADC + re-rank (watch)
+    # round-6 additions
+    "unigram_logprob_score",      # corpus-wide token explode ×2 + vocab join (watch)
+    "hourly_gapfill_locf",        # grid generate + per-series window
 ]
 
 

@@ -245,3 +245,35 @@ def test_incremental_recurates_partition_with_late_files(spark, events, tmp_path
     assert spark.read.parquet(silver).count() == 500
     # and once the listing is stable, it's a no-op again
     assert curate_incremental(spark, bronze, silver, state) == []
+
+
+def test_curate_to_silver_refuses_legacy_parquet_dir(spark, tmp_path):
+    """ADVICE r6 low: pointing the (now-transactional) curate_to_silver
+    at a pre-existing PLAIN-parquet silver directory must refuse loudly
+    — starting a fresh txn log beside legacy yyyy=... files makes
+    read_table silently ignore all pre-existing data while bare parquet
+    readers see duplicates. The error names the two escape hatches."""
+    import pytest
+
+    from wikistream_lakehouse_spark.lakehouse.silver import (
+        curate_to_silver,
+        curate_to_silver_parquet,
+    )
+
+    legacy = str(tmp_path / "silver")
+    raw = spark.createDataFrame(
+        [(1700000000, "A"), (1700090000, "B")], "ts long, title string"
+    )
+    curate_to_silver_parquet(raw, legacy)  # the old function's output
+    with pytest.raises(ValueError, match="convert_to_txn"):
+        curate_to_silver(raw, legacy)
+    # legacy data untouched, no txn log forked in
+    assert spark.read.parquet(legacy).count() == 2
+    from wikistream_lakehouse_spark.lakehouse import txn
+
+    assert not txn._claimed_versions(legacy)
+    # fresh and already-transactional destinations still work
+    clean = str(tmp_path / "clean")
+    curate_to_silver(raw, clean)
+    curate_to_silver(raw, clean)  # incremental re-run on a txn table
+    assert txn.read_table(spark, clean).count() == 2

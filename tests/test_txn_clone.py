@@ -170,3 +170,31 @@ def test_clone_on_memory_logstore_substrate(spark, src, tmp_path):
     # independence holds on this substrate too
     txn.delete_where(spark, s, "k < 25", store=st)
     assert txn.read_table(spark, d, store=st).count() == 50
+
+
+def test_historical_clone_carries_metadata_as_of_that_version(
+    spark, tmp_path
+):
+    """ADVICE r6 medium: CLONE of a snapshot carries constraints and
+    generated columns AS OF the cloned version, not HEAD (Delta CLONE
+    semantics) — a constraint added after v was never validated against
+    v's data, and the clone's log must not falsely assert it."""
+    s = str(tmp_path / "s")
+    txn.append(
+        spark.createDataFrame([(-5, -10), (3, 6)], "k long, dbl long"), s
+    )
+    txn.set_constraint(spark, s, "old_ok", "k > -100")
+    v_with_old = txn.current_version(s)
+    # HEAD-only metadata that must NOT ride along with a v_with_old clone
+    txn.delete_where(spark, s, "k < 0")
+    txn.set_constraint(spark, s, "k_nonneg", "k >= 0")
+    txn.set_generated_column(spark, s, "dbl", "k * 2")
+    d = str(tmp_path / "d")
+    txn.clone_table(s, d, version=v_with_old)
+    assert txn.constraints(d) == {"old_ok": "k > -100"}
+    assert txn.generated_columns(d) == {}
+    # the clone holds k=-5 and its log claims nothing that data violates
+    assert {r.k for r in txn.read_table(spark, d).collect()} == {-5, 3}
+    txn.append(
+        spark.createDataFrame([(-7, 0)], "k long, dbl long"), d
+    )  # allowed: neither HEAD-only constraint nor generation carried

@@ -258,3 +258,71 @@ def test_restore_rolls_the_mapping_back_with_the_data(spark, t):
     # and a rename made AFTER the restore stacks normally
     txn.rename_column(spark, t, "v", "value")
     assert txn.read_table(spark, t).columns == ["k", "value"]
+
+
+def test_column_swap_via_tmp_rename_cycle(spark, t):
+    """ADVICE r6 high: a permutation-cycle mapping (swap k/v via
+    k→tmp, v→k, tmp→v) must read and write correctly. Sequential
+    withColumnRenamed corrupted this (duplicate names mid-sequence →
+    both columns misrouted); the mapping is now applied as ONE
+    simultaneous select projection."""
+    txn.rename_column(spark, t, "k", "tmp")
+    txn.rename_column(spark, t, "v", "k")
+    txn.rename_column(spark, t, "tmp", "v")
+    assert txn.column_mapping(t) == {"v": "k", "k": "v"}
+    df = txn.read_table(spark, t)
+    assert sorted(df.columns) == ["k", "v"]
+    # logical k carries the OLD v values (doubles), logical v the old k
+    rows = {r.v: r.k for r in df.collect()}
+    assert rows[5] == 10.0 and rows[199] == 398.0
+    # writes under the swapped logical names route to the right
+    # physical columns: new logical v=500 must land beside old k=500
+    txn.append(
+        spark.createDataFrame([(999.0, 500)], "k double, v long"), t
+    )
+    back = txn.read_table(spark, t).filter("v = 500").collect()
+    assert len(back) == 1 and back[0].k == 999.0
+    # physical footer of the new file uses the ORIGINAL physical names
+    newest = txn._load_entry(t, txn.current_version(t))["add"][0]
+    sch = pq.read_schema(os.path.join(t, newest))
+    import pyarrow as pa
+
+    assert sch.field("k").type == pa.int64()  # logical v → physical k
+    # DML through the swap
+    txn.delete_where(spark, t, "v = 500")
+    assert txn.read_table(spark, t).filter("v = 500").count() == 0
+    # time travel: pre-swap snapshot keeps the original orientation
+    pre = txn.read_table(spark, t, version=1)
+    assert {r.k: r.v for r in pre.limit(1).collect()}
+
+
+def test_restore_racing_rename_still_resets_mapping(
+    spark, t, monkeypatch
+):
+    """ADVICE r6 low: the mapping-rollback comparison must be computed
+    INSIDE the retry loop — a rename committing between restore's
+    initial read and its winning commit previously left the restore
+    without the mapping reset, so the rename survived a rollback that
+    claimed restoredVersion semantics."""
+    pre = txn.current_version(t)  # mapping empty here
+    txn.append(_kv(spark, 200, 300), t)
+
+    real_try = txn._try_commit
+    state = {"raced": False}
+
+    def racing(path, v, entry, store=None):
+        if entry.get("op") == "restore" and not state["raced"]:
+            state["raced"] = True
+            monkeypatch.setattr(txn, "_try_commit", real_try)
+            txn.rename_column(spark, t, "k", "key")  # race in a rename
+            monkeypatch.setattr(txn, "_try_commit", racing)
+            return False  # force the restore to retry against new HEAD
+        return real_try(path, v, entry, store)
+
+    monkeypatch.setattr(txn, "_try_commit", racing)
+    v_restore = txn.restore(t, version=pre)
+    e = txn._load_entry(t, v_restore)
+    assert e["meta"].get("columnMapping") == {}  # reset recorded
+    df = txn.read_table(spark, t)
+    assert df.columns == ["k", "v"]  # raced rename rolled back too
+    assert df.count() == 200

@@ -416,3 +416,109 @@ def test_merge_probe_prunes_by_partition_values(spark, tmp_path, monkeypatch):
         (r.ds, r.k): r.v for r in txn.read_table(spark, t).collect()
     }
     assert rows[("day_b", 3)] == -1.0 and len(rows) == 30
+
+
+# --------------------------------------------------------------------------
+# 5. Size-logged maintenance planning (VERDICT r6 wrong #1 / next #1)
+# --------------------------------------------------------------------------
+
+
+def test_commits_carry_file_sizes_and_the_log_replays_them(
+    spark, tmp_path
+):
+    """Every data-adding commit stamps ``fileSizes``; the replayed map
+    equals the on-disk truth and follows the active set across a
+    rewrite."""
+    t = str(tmp_path / "t")
+    txn.append(_kv(spark, 0, 100), t)
+    txn.append(_kv(spark, 100, 200), t)
+    e = txn._load_entry(t, 1)
+    assert set(e["fileSizes"]) == set(e["add"])
+    import os
+
+    actual = {
+        f: os.path.getsize(os.path.join(t, f))
+        for f in txn._replay(t, txn.current_version(t))
+    }
+    assert txn.logged_file_sizes(t) == actual
+    # a rewrite retires the old entries from the replayed view
+    txn.compact(spark, t, target_file_bytes=1 << 40)
+    actual = {
+        f: os.path.getsize(os.path.join(t, f))
+        for f in txn._replay(t, txn.current_version(t))
+    }
+    assert txn.logged_file_sizes(t) == actual
+
+
+def test_maintenance_decisions_make_zero_data_plane_stat_calls(
+    spark, tmp_path, monkeypatch
+):
+    """maintain_table / table_detail / compact's binning on a
+    size-logged table read ONLY the log: zero exists/size/mtime/walk
+    against the data plane — the difference between a metadata tick and
+    10⁶ HEAD requests per tick at object-store scale."""
+    t = str(tmp_path / "t")
+    txn.append(_kv(spark, 0, 100), t)
+    txn.append(_kv(spark, 100, 200), t)
+    ds = TrackingDataStore()
+    monkeypatch.setattr(txn, "DEFAULT_DATA_STORE", ds)
+    # no-op maintenance: decisions made, nothing rewritten
+    report = txn.maintain_table(
+        spark, t, target_file_bytes=1, max_small_files=8
+    )
+    assert report == {}
+    d = txn.table_detail(t)
+    assert d["size_bytes"] > 0 and d["num_files"] == 2
+    # tiny target ⇒ n_out ≥ n_files ⇒ binning decides "already compact"
+    # — decided entirely from the logged sizes
+    assert txn.compact(spark, t, target_file_bytes=1) is None
+    for op in ("exists", "size", "mtime", "walk_files"):
+        assert ds.calls[op] == 0, f"data-plane {op} on a size-logged table: {ds.calls}"
+
+
+def test_statless_legacy_commits_fall_back_to_one_stat_probe(
+    spark, tmp_path, monkeypatch
+):
+    """Back-compat: files committed before size logging (simulated by
+    stripping ``fileSizes`` from the entry) still get sized — via the
+    data-plane fallback, for exactly those files."""
+    import json
+    import os
+
+    t = str(tmp_path / "t")
+    txn.append(_kv(spark, 0, 100), t)
+    # strip the stamp from v0, as an old-engine commit would look
+    vf = txn._version_file(t, 0)
+    e = json.loads(txn._store(None).read(vf))
+    del e["fileSizes"]
+    os.remove(vf)
+    assert txn._store(None).put_if_absent(vf, json.dumps(e).encode())
+    txn.append(_kv(spark, 100, 200), t)  # size-logged commit on top
+    assert txn.logged_file_sizes(t) and len(txn.logged_file_sizes(t)) == 1
+    files = txn._replay(t, txn.current_version(t))
+    sizes = txn._sizes_of(t, files)
+    actual = {f: os.path.getsize(os.path.join(t, f)) for f in files}
+    assert sizes == actual
+    assert txn.table_detail(t)["size_bytes"] == sum(actual.values())
+
+
+def test_checkpoint_carries_the_size_map(spark, tmp_path, monkeypatch):
+    """The checkpoint snapshots the size map so maintenance planning
+    stays O(commits-since-checkpoint); replay afterward never re-reads
+    the pre-checkpoint entries."""
+    t = str(tmp_path / "t")
+    for lo in (0, 100, 200):
+        txn.append(_kv(spark, lo, lo + 100), t)
+    txn.checkpoint(t)
+    txn.append(_kv(spark, 300, 400), t)
+    before = dict(txn.logged_file_sizes(t))
+    real = txn._load_entry
+    loaded = []
+
+    def spy(path, v, store=None):
+        loaded.append(v)
+        return real(path, v, store)
+
+    monkeypatch.setattr(txn, "_load_entry", spy)
+    assert txn.logged_file_sizes(t) == before
+    assert all(v > 2 for v in loaded), f"pre-checkpoint entry loads: {loaded}"

@@ -80,12 +80,37 @@ def curate_to_silver(
     it; delta curation does. Found by driving overlapping deltas, not by
     reasoning — see tests/test_lakehouse.py::test_incremental_overlapping.
     """
-    from wikistream_lakehouse_spark.lakehouse.txn import replace_partitions
+    from wikistream_lakehouse_spark.lakehouse import txn
 
+    _refuse_legacy_parquet_dir(table_path)
     curated, parts = _event_time_partitions(raw, ts_col, keep_source_partition)
-    return replace_partitions(
+    return txn.replace_partitions(
         raw.sparkSession, table_path, curated, partition_by=parts
     )
+
+
+def _refuse_legacy_parquet_dir(table_path: str) -> None:
+    """Refuse to start a fresh txn log alongside a pre-existing
+    plain-parquet silver directory (the old ``curate_to_silver``'s
+    output): ``read_table`` would silently ignore all legacy data while
+    bare ``spark.read.parquet`` readers see txc=/legacy duplicates.
+    Adopt the legacy layout first (``txn.convert_to_txn``) or keep
+    writing plain parquet (``curate_to_silver_parquet``)."""
+    from wikistream_lakehouse_spark.lakehouse import txn
+
+    if txn._claimed_versions(table_path):
+        return  # already transactional — normal incremental curation
+    if any(
+        f.endswith(".parquet") for f in txn._data().walk_files(table_path)
+    ):
+        raise ValueError(
+                f"{table_path} holds plain-parquet data with no "
+                "transaction log; starting a txn table here would fork "
+                "the layout (txn readers ignore the legacy files, bare "
+                "parquet readers see duplicates). Run "
+                "txn.convert_to_txn(...) to adopt the existing data, or "
+                "use curate_to_silver_parquet for a plain directory."
+            )
 
 
 #: Back-compat alias from when the txn substrate was the opt-in twin.

@@ -63,12 +63,17 @@ def _list_parquet_files(table_path: str) -> list[str]:
 
 def _to_float(v) -> float | None:
     """Normalize a footer stat (number / datetime / pandas Timestamp)
-    to float64 for envelope comparison."""
+    to float64 for envelope comparison; None for values with no float
+    order (strings, bytes) — those columns get no min/max envelope and
+    rely on the Bloom face of stats-in-log pruning instead."""
     if v is None:
         return None
     if hasattr(v, "timestamp"):  # datetime / pd.Timestamp
         return float(pd.Timestamp(v).timestamp())
-    return float(v)
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return None
 
 
 def collect_file_stats(

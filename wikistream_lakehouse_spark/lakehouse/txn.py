@@ -109,7 +109,13 @@ class ProtocolError(Exception):
 
 #: Features a READER must understand to interpret the table correctly
 #: (ignoring any of these returns wrong rows, not degraded performance).
-_READER_FEATURES = {"deletionVectors", "schemaEvolution", "clone", "columnMapping"}
+_READER_FEATURES = {
+    "deletionVectors",
+    "schemaEvolution",
+    "clone",
+    "columnMapping",
+    "typeWidening",
+}
 #: Features a WRITER must additionally understand to commit safely
 #: (ignoring these would write rows that violate declared invariants).
 _WRITER_FEATURES = _READER_FEATURES | {"generatedColumns", "checkConstraints"}
@@ -134,6 +140,11 @@ def _stamp_features(entry: dict) -> dict:
         # serving the physical name instead of the mapped one IS a
         # wrong answer, so mapping is a READER feature
         rf.add("columnMapping")
+    if entry.get("typeWidened"):
+        # mixed narrow/wide footers need the explicit-schema read path;
+        # a plain mergeSchema reader CRASHES on them (CANNOT_MERGE_
+        # SCHEMAS) or misreads — reader feature
+        rf.add("typeWidening")
     wf = set()
     if entry.get("op") in ("set_generated", "drop_generated"):
         wf.add("generatedColumns")
@@ -395,6 +406,82 @@ class PosixDataStore(DataStore):
                     pass
 
 
+class ObjectDataStore(DataStore):
+    """Object-store-SEMANTICS data plane (VERDICT r6 next-round #2):
+    the behavioral twin of ``PosixDataStore`` the way ``MemoryLogStore``
+    twins ``PosixLogStore`` — it answers every call the way S3/GCS
+    would, so running the txn lifecycle suites on it flushes out POSIX
+    assumptions (directory existence, atomic rename, hard-link
+    aliasing) before a real object-store port does. Unlike the log
+    (pure bytes, genuinely RAM-holdable), the DATA files must live on
+    a real filesystem — Spark's readers open them by path — so this
+    store is byte-backed by local files while exposing object
+    semantics:
+
+    * **no directories**: ``exists`` is HEAD — True only for objects
+      (files), never for "directories"; ``makedirs`` and
+      ``prune_empty_dirs`` are no-ops (any parent a PUT needs is an
+      implementation detail inside the mutating call, as S3 keys need
+      none);
+    * ``rename`` = copy + delete (two operations, NOT atomic — exactly
+      the window convert_to_txn must tolerate);
+    * ``link`` = server-side copy (CopyObject): full byte copy, no
+      inode aliasing — a clone sharing "the same bytes" on POSIX holds
+      independent bytes here, and independence tests must still pass;
+    * ``walk_files`` / ``list_root`` = LIST with prefix / delimiter.
+    """
+
+    def exists(self, path: str) -> bool:
+        return os.path.isfile(path)  # HEAD: a "directory" is not an object
+
+    def walk_files(self, directory: str) -> list[str]:
+        out = []
+        for root, _dirs, files in os.walk(directory):
+            out.extend(os.path.join(root, n) for n in files)
+        return sorted(out)
+
+    def list_root(self, directory: str) -> list[str]:
+        if not os.path.isdir(directory):
+            return []
+        return sorted(os.listdir(directory))
+
+    def remove(self, path: str) -> None:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+
+    def remove_tree(self, directory: str) -> None:
+        # batch DELETE by prefix; the empty POSIX dirs left behind are
+        # invisible at this API (no directories) and swept so the
+        # backing filesystem doesn't accumulate them
+        shutil.rmtree(directory, ignore_errors=True)
+
+    def size(self, path: str) -> int:
+        return os.path.getsize(path)
+
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(path)
+
+    def open_input(self, path: str):
+        return open(path, "rb")
+
+    def rename(self, src: str, dst: str) -> None:
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copyfile(src, dst)  # copy + ...
+        os.remove(src)  # ... delete: NOT atomic, like S3
+
+    def link(self, src: str, dst: str) -> None:
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copyfile(src, dst)  # CopyObject: bytes, not an inode alias
+
+    def makedirs(self, path: str) -> None:
+        pass  # object stores have no directories
+
+    def prune_empty_dirs(self, directory: str) -> None:
+        pass  # nothing to prune — directories don't exist
+
+
 DEFAULT_DATA_STORE: DataStore = PosixDataStore()
 
 
@@ -646,6 +733,76 @@ def constraints(
         elif e.get("op") == "drop_constraint":
             out.pop(m["name"], None)
     return out
+
+
+def set_stats_columns(
+    table_path: str,
+    cols: list[str],
+    max_retries: int = 5,
+    store: LogStore | None = None,
+) -> int:
+    """Declare the table's data-skipping stats columns (the Delta
+    ``dataSkippingStatsColumns`` property analogue): every subsequent
+    write — append, rewrite, compact, MERGE — logs per-file min/max
+    envelopes and Bloom filters for these columns WITHOUT each caller
+    passing ``stats_cols``. This is what keeps merge-probe pruning
+    alive across the table's life: a CDC merge's own rewritten files
+    get stats too, so the next merge still prunes. Declared names are
+    LOGICAL; pass ``[]`` to clear. Advisory metadata, not a protocol
+    feature: an engine ignoring it stays correct, just unpruned."""
+    _check_writer_features(table_path, store)
+    for _ in range(max_retries):
+        base = current_version(table_path, store)
+        pb = _current_partitioning(table_path, store)
+        entry = _entry(
+            "set_stats_columns", [], [], pb, {"cols": list(cols)}
+        )
+        if current_version(table_path, store) == base and _try_commit(
+            table_path, base + 1, entry, store
+        ):
+            return base + 1
+    raise CommitConflict(f"set_stats_columns conflicted {max_retries} times")
+
+
+def stats_columns(
+    table_path: str,
+    store: LogStore | None = None,
+    upto: int | None = None,
+) -> list[str]:
+    """The declared data-skipping columns (latest declaration wins;
+    empty when never declared or cleared) — same replay cost class as
+    ``constraints``."""
+    out: list[str] = []
+    for v in _committed_versions(table_path, store):
+        if upto is not None and v > upto:
+            break
+        e = _load_entry(table_path, v, store) or {}
+        if e.get("op") == "set_stats_columns":
+            out = list((e.get("meta") or {}).get("cols", []))
+    return out
+
+
+def _effective_stats_cols(
+    table_path: str,
+    stats_cols: "list[str] | None",
+    df: DataFrame,
+    store: "LogStore | None" = None,
+    pb: "list[str] | None" = None,
+) -> "list[str] | None":
+    """Per-call ``stats_cols`` wins; otherwise the table's declared
+    columns, filtered to those present in the frame being written and
+    not partition columns (partition values live in directory names,
+    not footers — they get partition pruning instead). ``pb`` is the
+    writer's resolved partitioning — needed on a creating write, where
+    nothing is committed yet."""
+    if stats_cols:
+        return stats_cols
+    declared = stats_columns(table_path, store)
+    if not declared:
+        return None
+    parts = set(pb if pb is not None else _current_partitioning(table_path, store))
+    cols = [c for c in declared if c in df.columns and c not in parts]
+    return cols or None
 
 
 def set_constraint(
@@ -1182,29 +1339,140 @@ def _current_partitioning(
     return []
 
 
+def _is_full_state_commit(e: dict) -> bool:
+    """True when the commit rematerialized the ENTIRE active file set,
+    so schema-evolution / type-widening flags before it no longer
+    matter. Op name alone is NOT enough: a merge-on-read ``merge``
+    adds files without removing any (old mixed-schema files stay
+    active), and a scoped ``compact`` (OPTIMIZE … WHERE) leaves every
+    unscoped file untouched — neither may reset the replay. ``restore``
+    is full-state by construction (it carries the target snapshot's own
+    flags)."""
+    op = e.get("op")
+    if op == "restore":
+        return True
+    if op not in ("rewrite", "compact", "merge", "mv_refresh"):
+        return False
+    if op == "compact" and (e.get("meta") or {}).get("partitions"):
+        return False
+    return bool(e.get("remove"))
+
+
 def _is_evolved(
     table_path: str,
     store: LogStore | None = None,
     upto: int | None = None,
 ) -> bool:
     """True if a commit widened the schema (``schemaEvolved`` flag)
-    since the newest FULL-state commit — a full rewrite (compact /
-    merge / mv_refresh) rematerializes every active file with the union
+    since the newest FULL-state commit (``_is_full_state_commit``) —
+    a full rewrite rematerializes every active file with the union
     schema, so evolution flags before it no longer matter and uniform
-    tables keep the cheap single-footer read path. A ``restore`` is
-    also full-state: it carries its own flag when the restored-to
-    snapshot was evolved. ``upto`` evaluates the question at a
-    historical version (time travel / restore planning)."""
-    full_rewrites = ("rewrite", "compact", "merge", "mv_refresh", "restore")
+    tables keep the cheap single-footer read path. ``upto`` evaluates
+    the question at a historical version (time travel / restore
+    planning)."""
     for v in reversed(_committed_versions(table_path, store)):
         if upto is not None and v > upto:
             continue
         e = _load_entry(table_path, v, store) or {}
         if e.get("schemaEvolved"):
             return True
-        if e.get("op") in full_rewrites:
+        if _is_full_state_commit(e):
             return False
     return False
+
+
+#: Safe widening lattice (Delta typeWidening analogue): (narrow, wide)
+#: pairs whose parquet encodings Spark's reader promotes losslessly
+#: under an explicit wider schema (probed empirically: int32→int64,
+#: float→double; decimal/date promotions are deliberately out of scope).
+_WIDENS = {
+    ("tinyint", "smallint"),
+    ("tinyint", "int"),
+    ("tinyint", "bigint"),
+    ("smallint", "int"),
+    ("smallint", "bigint"),
+    ("int", "bigint"),
+    ("float", "double"),
+}
+
+
+def _wider(a: str, b: str) -> "str | None":
+    """The wider of two type simpleStrings under the safe lattice, or
+    None when neither widens to the other (a genuine conflict)."""
+    if a == b:
+        return a
+    if (a, b) in _WIDENS:
+        return b
+    if (b, a) in _WIDENS:
+        return a
+    return None
+
+
+def _widening_plan(
+    df: DataFrame, table_path: str, store: LogStore | None = None
+) -> "tuple[bool, bool, object | None]":
+    """merge_schema append analysis: (column-set evolved?, any type
+    conflict resolved by widening?, union schema with the WIDER type
+    per column — a StructType, or None on a fresh table). Raises for
+    conflicts outside the safe lattice (string vs int, narrowing of
+    nested types, …) exactly like the pre-widening check did."""
+    from pyspark.sql.types import StructField, StructType
+
+    existing = _table_schema(df.sparkSession, table_path, store)
+    if existing is None:
+        return False, False, None
+    got = {f.name: f for f in df.schema.fields}
+    bad, widened, fields = [], False, []
+    for f in existing.fields:
+        g = got.get(f.name)
+        if g is None or g.dataType.simpleString() == f.dataType.simpleString():
+            fields.append(f)
+            continue
+        w = _wider(f.dataType.simpleString(), g.dataType.simpleString())
+        if w is None:
+            bad.append(f.name)
+            continue
+        widened = True
+        wide_f = f if w == f.dataType.simpleString() else g
+        fields.append(StructField(f.name, wide_f.dataType, True))
+    if bad:
+        want = {f.name: f.dataType.simpleString() for f in existing.fields}
+        have = {n: got[n].dataType.simpleString() for n in bad}
+        raise ValueError(
+            f"schema evolution for {table_path} may only ADD columns or "
+            f"WIDEN types ({sorted(_WIDENS)}); changes on {sorted(bad)} "
+            f"are neither (table {[(n, want[n]) for n in sorted(bad)]}, "
+            f"append {[(n, have[n]) for n in sorted(bad)]})"
+        )
+    names = {f.name for f in existing.fields}
+    for g in df.schema.fields:
+        if g.name not in names:
+            fields.append(StructField(g.name, g.dataType, True))
+    evolved = names != set(got)  # column-set change (add or omit)
+    return evolved, widened, StructType(fields)
+
+
+def _wide_schema(
+    table_path: str,
+    store: LogStore | None = None,
+    upto: int | None = None,
+):
+    """The explicit read schema (PHYSICAL names, data columns only) for
+    a type-widened snapshot, or None when no widening is active at
+    ``upto`` — same reset semantics as ``_is_evolved``: a full rewrite
+    rematerializes every file at the wide types, so the flag clears;
+    ``restore`` carries the restored-to version's own stamp."""
+    from pyspark.sql.types import StructType
+
+    for v in reversed(_committed_versions(table_path, store)):
+        if upto is not None and v > upto:
+            continue
+        e = _load_entry(table_path, v, store) or {}
+        if e.get("wideSchemaJson"):
+            return StructType.fromJson(json.loads(e["wideSchemaJson"]))
+        if _is_full_state_commit(e):
+            return None
+    return None
 
 
 def _logged_schema(table_path: str, store: LogStore | None = None):
@@ -1233,7 +1501,11 @@ def _table_schema(
     if not files:
         return _logged_schema(table_path, store)
     reader = spark.read.option("basePath", table_path)
-    if _is_evolved(table_path, store):
+    ws = _wide_schema(table_path, store)
+    if ws is not None:
+        reader = reader.schema(ws)
+        paths = [os.path.join(table_path, files[0])]
+    elif _is_evolved(table_path, store):
         reader = reader.option("mergeSchema", "true")
         paths = [os.path.join(table_path, f) for f in files]
     else:
@@ -1245,30 +1517,40 @@ def _table_schema(
     return df.schema
 
 
-def _check_schema_widening(
-    df: DataFrame, table_path: str, store: LogStore | None = None
-) -> bool:
-    """Schema check for ``merge_schema`` appends: shared columns must
-    keep their types; NEW columns are allowed (they widen the table) and
-    MISSING columns are allowed (null-filled at read via footer merge).
-    Returns True when the write's column set differs from the table's —
-    i.e. the commit must carry the ``schemaEvolved`` flag."""
-    existing = _table_schema(df.sparkSession, table_path, store)
-    if existing is None:
-        return False
-    want = {f.name: f.dataType.simpleString() for f in existing.fields}
-    got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-    conflicts = sorted(
-        n for n in want.keys() & got.keys() if want[n] != got[n]
+def _append_schema_state(
+    df: DataFrame,
+    table_path: str,
+    store: "LogStore | None",
+    merge_schema: bool,
+    pb: list[str],
+) -> "tuple[bool, str | None]":
+    """Append-time schema validation, widening-aware: (schemaEvolved
+    flag, wideSchemaJson to stamp or None). A stamp is produced when
+    this append widens a type, OR when widening is already active and
+    the column set changes (the union read schema must learn the new
+    columns — the newest stamp since the last full rewrite is the
+    authoritative snapshot schema). Stored under PHYSICAL names, data
+    columns only (partition columns come from directory inference)."""
+    if not merge_schema:
+        _check_schema(df, table_path, store)
+        return False, None
+    evolved, widened, union = _widening_plan(df, table_path, store)
+    if union is None:
+        return evolved, None
+    active = widened or (_wide_schema(table_path, store) is not None)
+    if not (widened or (active and evolved)):
+        return evolved, None
+    from pyspark.sql.types import StructField, StructType
+
+    mapping, _dropped = _column_mapping_state(table_path, store=store)
+    phys = StructType(
+        [
+            StructField(mapping.get(f.name, f.name), f.dataType, True)
+            for f in union.fields
+            if f.name not in pb
+        ]
     )
-    if conflicts:
-        raise ValueError(
-            f"schema evolution for {table_path} may only ADD columns; "
-            f"type changes on {conflicts} are not widening "
-            f"(table {[(n, want[n]) for n in conflicts]}, "
-            f"append {[(n, got[n]) for n in conflicts]})"
-        )
-    return set(want) != set(got)
+    return evolved, phys.json()
 
 
 def _check_schema(
@@ -1336,8 +1618,15 @@ def snapshot(
             return spark.createDataFrame([], sch)
         raise ValueError(f"no committed data at version {v} in {table_path}")
     reader = spark.read.option("basePath", table_path)
-    if _is_evolved(table_path, store, upto=v):
-        # widened tables: files carry different column subsets; union the
+    ws = _wide_schema(table_path, store, upto=v)
+    if ws is not None:
+        # type-widened snapshot: explicit wide schema — the parquet
+        # reader promotes narrow footers (int32→int64, float→double)
+        # and null-fills absent columns; partition columns come from
+        # directory inference. mergeSchema would CRASH on mixed types.
+        reader = reader.schema(ws)
+    elif _is_evolved(table_path, store, upto=v):
+        # evolved tables: files carry different column subsets; union the
         # footers so missing columns surface as nulls (mergeSchema)
         reader = reader.option("mergeSchema", "true")
     df = reader.parquet(*(os.path.join(table_path, f) for f in files))
@@ -1462,6 +1751,7 @@ def restore(
         ):
             meta["columnMapping"] = t_map
             meta["droppedColumns"] = sorted(t_drop)
+        t_ws = _wide_schema(table_path, store, upto=version)
         cur_files, cur_dvs = _replay_state(table_path, base, store)
         cur = set(cur_files)
         entry = _entry(
@@ -1481,6 +1771,12 @@ def restore(
             entry["dvRetire"] = dv_retire
         if evolved:
             entry["schemaEvolved"] = True
+        if t_ws is not None:
+            # the restored-to snapshot was type-widened: the restore is
+            # full-state for the replay, so it must carry the wide read
+            # schema itself (like columnMapping above)
+            entry["typeWidened"] = True
+            entry["wideSchemaJson"] = t_ws.json()
         if current_version(table_path, store) == base and _try_commit(
             table_path, base + 1, entry, store
         ):
@@ -1513,9 +1809,14 @@ def _collect_commit_stats(
     cols: list[str],
     store: "LogStore | None" = None,
 ) -> dict:
-    """Per-file min/max/row-count for a commit's just-written files, in
-    the commit-entry embedding shape — ONE distributed footer-only pass
-    over the new files (O(files-in-commit), never O(table))."""
+    """Per-file min/max/row-count AND Bloom filters for a commit's
+    just-written files, in the commit-entry embedding shape — one
+    distributed footer-only pass for the envelopes plus one
+    column-pruned data pass for the filters, both over only the new
+    files (O(files-in-commit), never O(table)). The Bloom face is what
+    keeps merge-probe pruning alive on uuid-like keys, where every
+    file's min/max spans the whole key space (VERDICT r6 wrong #2)."""
+    from wikistream_lakehouse_spark.lakehouse.bloom import collect_file_blooms
     from wikistream_lakehouse_spark.lakehouse.skipping import collect_file_stats
 
     # stats_cols arrive LOGICAL; footers carry PHYSICAL names
@@ -1526,6 +1827,7 @@ def _collect_commit_stats(
     rows = collect_file_stats(
         spark, table_path, cols, files=abs_files
     ).collect()
+    blooms = collect_file_blooms(spark, abs_files, cols)
     files: dict[str, dict] = {}
     for r in rows:
         rel = by_abs[os.path.abspath(r["file"])]
@@ -1534,6 +1836,9 @@ def _collect_commit_stats(
             "min": {c: r[f"{c}_min"] for c in cols},
             "max": {c: r[f"{c}_max"] for c in cols},
         }
+        fb = blooms.get(r["file"]) or blooms.get(os.path.abspath(r["file"]))
+        if fb:
+            files[rel]["bloom"] = fb
     return {"cols": list(cols), "files": files}
 
 
@@ -1562,6 +1867,12 @@ def logged_file_stats(
             "min": {rev.get(c, c): x for c, x in s["min"].items() if c not in dropped},
             "max": {rev.get(c, c): x for c, x in s["max"].items() if c not in dropped},
         }
+        if s.get("bloom"):
+            out[rel]["bloom"] = {
+                rev.get(c, c): b
+                for c, b in s["bloom"].items()
+                if c not in dropped
+            }
     return out
 
 
@@ -1719,6 +2030,46 @@ def _prune_by_partition_values(
     return out
 
 
+def _prune_by_blooms(
+    files: list[str],
+    logged: dict[str, dict],
+    touched: DataFrame,
+    keys: list[str],
+) -> list[str]:
+    """Point-key face of merge-probe pruning: intersect the touched-key
+    set against the per-file Bloom filters commits log for their stats
+    columns — the pruning that still works when every file's min/max
+    envelope spans the key space (uuid/random CDC keys, VERDICT r6
+    wrong #2). One bounded distinct per key column over the delta
+    (skipped for columns exceeding ``MAX_BLOOM_PROBE`` values — pruning
+    must stay delta-bounded); files keep candidacy on any doubt (no
+    filter for the column, uncanonical type, saturation)."""
+    from wikistream_lakehouse_spark.lakehouse.bloom import (
+        MAX_BLOOM_PROBE,
+        prune_files_by_blooms,
+    )
+
+    with_bloom = [
+        k
+        for k in keys
+        if any(k in (logged.get(f, {}).get("bloom") or {}) for f in files)
+    ]
+    if not with_bloom:
+        return list(files)
+    touched_values: dict[str, list] = {}
+    for k in with_bloom:
+        rows = (
+            touched.select(k).distinct().limit(MAX_BLOOM_PROBE + 1).collect()
+        )
+        if len(rows) > MAX_BLOOM_PROBE:
+            continue  # too many keys: fall back to the envelope face
+        touched_values[k] = [r[k] for r in rows]
+    if not touched_values:
+        return list(files)
+    blooms = {f: (logged.get(f) or {}).get("bloom") or {} for f in files}
+    return prune_files_by_blooms(files, blooms, touched_values)
+
+
 def _candidate_merge_files(
     table_path: str,
     files: list[str],
@@ -1744,6 +2095,9 @@ def _candidate_merge_files(
     logged = logged_file_stats(table_path, upto, store)
     if not files or not any(f in logged for f in files):
         return list(files)
+    files = _prune_by_blooms(files, logged, touched, keys)
+    if not files:
+        return []
     row = touched.agg(
         *(
             agg
@@ -1821,8 +2175,8 @@ def append(
     _check_writer_features(table_path, store)
     df = _apply_generated(df, table_path, store)
     pb = _resolve_partition_by(table_path, partition_by, store)
-    check = _check_schema_widening if merge_schema else _check_schema
-    evolved = bool(check(df, table_path, store))
+    evolved, wide_json = _append_schema_state(df, table_path, store, merge_schema, pb)
+    stats_cols = _effective_stats_cols(table_path, stats_cols, df, store, pb)
     adds, sub = _write_data_files(df, table_path, pb, store)
     try:
         _validate_constraints(df.sparkSession, table_path, adds, store)
@@ -1835,13 +2189,18 @@ def append(
             entry = _entry("append", adds, [], pb, meta)
             if evolved:
                 entry["schemaEvolved"] = True
+            if wide_json:
+                entry["typeWidened"] = True
+                entry["wideSchemaJson"] = wide_json
             if stats:
                 entry["stats"] = stats
             v = _next_claim(table_path, store)
             if _try_commit(table_path, v, entry, store):
                 return v
             # lost the race: someone committed — re-validate against them
-            evolved = bool(check(df, table_path, store)) or evolved
+            ev2, wj2 = _append_schema_state(df, table_path, store, merge_schema, pb)
+            evolved = ev2 or evolved
+            wide_json = wj2 or wide_json
             pb_now = _current_partitioning(table_path, store)
             if pb_now and pb_now != pb:
                 raise ValueError(
@@ -1889,6 +2248,7 @@ def rewrite(
     pb = _resolve_partition_by(table_path, partition_by, store)
     if enforce_schema:
         _check_schema(df, table_path, store)
+    stats_cols = _effective_stats_cols(table_path, stats_cols, df, store, pb)
     adds, sub = _write_data_files(df, table_path, pb, store)
     try:
         _validate_constraints(df.sparkSession, table_path, adds, store)
@@ -1947,6 +2307,12 @@ def replace_partitions(
     new_parts = {_partition_values(p) for p in adds}
     try:
         _validate_constraints(spark, table_path, adds, store)
+        sc = _effective_stats_cols(table_path, None, source, store, pb)
+        stats = (
+            _collect_commit_stats(spark, table_path, adds, sc, store)
+            if sc
+            else None
+        )
         for _ in range(max_retries):
             base = current_version(table_path, store)
             removes = [
@@ -1955,6 +2321,8 @@ def replace_partitions(
                 if _partition_values(f) in new_parts
             ]
             entry = _entry("replace_partitions", adds, removes, pb, None)
+            if stats:
+                entry["stats"] = stats
             if _try_commit(table_path, base + 1, entry, store):
                 return base + 1
             _check_schema(source, table_path, store)
@@ -2212,6 +2580,7 @@ def compact(
             # pointing at an unscoped live file must survive (ADVICE r5
             # low — never retiring left permanently-active stale DVs
             # taxing every read until a full-table pass).
+            sc = _effective_stats_cols(table_path, stats_cols, df, store, pb)
             adds, sub = _write_data_files(df, table_path, pb, store)
             try:
                 _validate_constraints(spark, table_path, adds, store)
@@ -2227,9 +2596,9 @@ def compact(
             entry = _entry("compact", adds, scope, pb, {"partitions": partitions})
             if dv_retire:
                 entry["dvRetire"] = sorted(dv_retire)
-            if stats_cols:
+            if sc:
                 entry["stats"] = _collect_commit_stats(
-                    spark, table_path, adds, stats_cols, store
+                    spark, table_path, adds, sc, store
                 )
             if current_version(table_path, store) == base and _try_commit(
                 table_path, base + 1, entry, store
@@ -2378,8 +2747,6 @@ def convert_to_txn(
             partition_cols = cols
         flat_files = flat_files or not segs
         new_rel = os.path.join(sub, rel)
-        ds.makedirs(os.path.dirname(os.path.join(path, new_rel)))
-        ds.rename(full, os.path.join(path, new_rel))
         moved.append(new_rel.replace(os.sep, "/"))
     if not moved:
         raise ValueError(f"no parquet files to convert under {path}")
@@ -2388,12 +2755,40 @@ def convert_to_txn(
             f"{path} mixes top-level parquet files with partition "
             "directories — resolve the layout before converting"
         )
+
+    # all-or-nothing validation above, parallel move below (VERDICT r6
+    # next #7): each rename is one RPC pair on an object store
+    def _move_one(new_rel: str) -> None:
+        rel = os.path.relpath(new_rel, sub)
+        ds.makedirs(os.path.dirname(os.path.join(path, new_rel)))
+        ds.rename(os.path.join(path, rel), os.path.join(path, new_rel))
+
+    _parallel_file_ops(_move_one, [m.replace("/", os.sep) for m in moved])
     # drop the now-empty original partition dirs (cosmetic)
     ds.prune_empty_dirs(path)
     entry = _entry("convert", sorted(moved), [], partition_cols, None)
     if not _try_commit(path, 0, entry, store):
         raise CommitConflict(f"lost the v0 race converting {path}")
     return 0
+
+
+def _parallel_file_ops(
+    fn, items: list, max_workers: int = 32
+) -> None:
+    """Run one metadata file operation per item on a driver thread
+    pool — object-store file ops (CopyObject, DeleteObject) are
+    IO-bound RPCs, so threads give near-linear fan-out; any failure
+    propagates after the pool drains (no silent partial success)."""
+    if not items:
+        return
+    if len(items) == 1:
+        fn(items[0])
+        return
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(max_workers, len(items))) as ex:
+        for f in [ex.submit(fn, it) for it in items]:
+            f.result()
 
 
 def clone_table(
@@ -2448,10 +2843,16 @@ def clone_table(
             f"({missing[:3]}...) — the clone horizon is bounded by "
             "vacuum retention, like restore"
         )
-    for rel in files + dvs:
+    def _link_one(rel: str) -> None:
         dst_f = os.path.join(dst_path, rel)
         ds.makedirs(os.path.dirname(dst_f))
         ds.link(os.path.join(src_path, rel), dst_f)
+
+    # parallel link fan-out (VERDICT r6 wrong #3): on an object store
+    # each link is one CopyObject RPC — serially a 10⁶-file clone is
+    # hours; 32-way it's minutes. POSIX hard links are near-free either
+    # way; the pool just removes the syscall serialization.
+    _parallel_file_ops(_link_one, files + dvs)
     pb = _current_partitioning(src_path, store)
     entry = _entry(
         "clone",
@@ -2464,8 +2865,19 @@ def clone_table(
         entry["dvAdd"] = sorted(dvs)
     if _is_evolved(src_path, store, upto=v):
         entry["schemaEvolved"] = True
+    src_ws = _wide_schema(src_path, store, upto=v)
+    if src_ws is not None:
+        # a widened snapshot's linked files are mixed narrow/wide: the
+        # clone's fresh log must carry the wide read schema from v0
+        entry["typeWidened"] = True
+        entry["wideSchemaJson"] = src_ws.json()
     carried = {
-        rel: {"n": s["n"], "min": s["min"], "max": s["max"]}
+        rel: {
+            "n": s["n"],
+            "min": s["min"],
+            "max": s["max"],
+            **({"bloom": s["bloom"]} if s.get("bloom") else {}),
+        }
         for rel, s in _logged_file_stats_raw(src_path, v, store).items()
         if rel in set(files)
     }
@@ -2749,7 +3161,10 @@ def _read_files(
     join build side). ``keep_rowpos`` retains the physical-identity
     columns for callers that need them (DV writers, file pruning)."""
     reader = spark.read.option("basePath", table_path)
-    if _is_evolved(table_path, store):
+    ws = _wide_schema(table_path, store)
+    if ws is not None:
+        reader = reader.schema(ws)  # see snapshot(): widened read path
+    elif _is_evolved(table_path, store):
         reader = reader.option("mergeSchema", "true")
     df = reader.parquet(*(os.path.join(table_path, f) for f in files))
     if dvs or keep_rowpos:
@@ -3060,6 +3475,7 @@ def merge_on_read_upsert(
         raise ValueError("merge requires at least one key column")
     _check_writer_features(table_path, store)
     source = _apply_generated(source, table_path, store)
+    stats_cols = _effective_stats_cols(table_path, stats_cols, source, store)
     touched = source.select(*keys)
     if deletes is not None:
         touched = touched.unionByName(deletes.select(*keys))

@@ -82,6 +82,7 @@ def all_queries() -> dict[str, Query]:
         sampling,
         similarity,
         skew,
+        sql_surface,
         streaming_windows,
         text,
         timeseries,

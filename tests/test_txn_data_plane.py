@@ -680,3 +680,126 @@ def test_declared_stats_columns_follow_every_writer(spark, tmp_path):
     txn.set_stats_columns(t, [])
     txn.append(_kv(spark, 200, 210), t)
     assert "stats" not in txn._load_entry(t, txn.current_version(t))
+
+
+# --------------------------------------------------------------------------
+# 7. Disjoint-commit conflict re-validation (VERDICT r6 next #4)
+# --------------------------------------------------------------------------
+
+
+def _race_in(monkeypatch, trigger_op, racer):
+    """Force a deterministic race: when a commit with op==trigger_op is
+    first attempted, run ``racer()`` (a real committing operation) and
+    fail the attempt, so the loser retries against the new HEAD."""
+    real = txn._try_commit
+    state = {"raced": False}
+
+    def racing(path, v, entry, store=None):
+        if entry.get("op") == trigger_op and not state["raced"]:
+            state["raced"] = True
+            monkeypatch.setattr(txn, "_try_commit", real)
+            racer()
+            monkeypatch.setattr(txn, "_try_commit", racing)
+            return False
+        return real(path, v, entry, store)
+
+    monkeypatch.setattr(txn, "_try_commit", racing)
+
+
+def test_delete_racing_disjoint_append_restamps_without_rescan(
+    spark, tmp_path, monkeypatch
+):
+    """A delete losing the commit race to a DISJOINT append (no
+    matching rows) re-stamps its already-written rewrite: the
+    read-compute-write cycle runs exactly ONCE, and the final state is
+    the serializable outcome (appended rows present, matches gone)."""
+    t = str(tmp_path / "t")
+    txn.append(_kv(spark, 0, 100), t, stats_cols=["k"])
+    writes = []
+    real_write = txn._write_data_files
+
+    def spy(df, path, pb, store=None):
+        writes.append(1)
+        return real_write(df, path, pb, store)
+
+    monkeypatch.setattr(txn, "_write_data_files", spy)
+    _race_in(
+        monkeypatch, "delete",
+        lambda: txn.append(_kv(spark, 500, 510), t, stats_cols=["k"]),
+    )
+    v = txn.delete_where(spark, t, "k < 10")
+    assert v == txn.current_version(t)
+    # exactly one rewrite execution: the loser re-stamped, not re-ran
+    # (the racing append's own write is the second entry)
+    assert len(writes) == 2, writes
+    rows = {r.k for r in txn.read_table(spark, t).collect()}
+    assert rows == set(range(10, 100)) | set(range(500, 510))
+
+
+def test_delete_racing_matching_append_recomputes(
+    spark, tmp_path, monkeypatch
+):
+    """Non-disjoint twin: the racing append CONTAINS matching rows, so
+    the loser must re-run against the new snapshot (serializable: the
+    delete that committed last covers them) — two rewrite executions,
+    zero surviving matches."""
+    t = str(tmp_path / "t")
+    txn.append(_kv(spark, 0, 100), t, stats_cols=["k"])
+    writes = []
+    real_write = txn._write_data_files
+
+    def spy(df, path, pb, store=None):
+        writes.append(1)
+        return real_write(df, path, pb, store)
+
+    monkeypatch.setattr(txn, "_write_data_files", spy)
+    _race_in(
+        monkeypatch, "delete",
+        lambda: txn.append(
+            spark.createDataFrame([(5, -1.0)], "k long, v double"), t
+        ),
+    )
+    txn.delete_where(spark, t, "k < 10")
+    assert len(writes) == 3, writes  # loser's two runs + racer's one
+    rows = {r.k for r in txn.read_table(spark, t).collect()}
+    assert rows == set(range(10, 100))  # the raced-in k=5 died too
+
+
+def test_update_racing_disjoint_append_restamps(
+    spark, tmp_path, monkeypatch
+):
+    t = str(tmp_path / "t")
+    txn.append(_kv(spark, 0, 100), t, stats_cols=["k"])
+    writes = []
+    real_write = txn._write_data_files
+
+    def spy(df, path, pb, store=None):
+        writes.append(1)
+        return real_write(df, path, pb, store)
+
+    monkeypatch.setattr(txn, "_write_data_files", spy)
+    _race_in(
+        monkeypatch, "update",
+        lambda: txn.append(_kv(spark, 500, 510), t, stats_cols=["k"]),
+    )
+    txn.update_where(spark, t, {"v": "v + 1000"}, "k = 7")
+    assert len(writes) == 2, writes
+    rows = {r.k: r.v for r in txn.read_table(spark, t).collect()}
+    assert rows[7] == 1014.0 and rows[505] == 1010.0
+
+
+def test_update_racing_constraint_takes_slow_path(
+    spark, tmp_path, monkeypatch
+):
+    """A CHECK constraint racing in is NEVER disjoint for an update:
+    the re-run validates the new values against it and refuses."""
+    t = str(tmp_path / "t")
+    txn.append(_kv(spark, 0, 10), t)
+    _race_in(
+        monkeypatch, "update",
+        lambda: txn.set_constraint(spark, t, "v_small", "v < 100"),
+    )
+    with pytest.raises(txn.ConstraintViolation):
+        txn.update_where(spark, t, {"v": "v + 1000"}, "k = 7")
+    rows = {r.k: r.v for r in txn.read_table(spark, t).collect()}
+    assert rows[7] == 14.0  # nothing leaked

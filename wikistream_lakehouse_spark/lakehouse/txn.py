@@ -3246,32 +3246,108 @@ def delete_where(
     _check_writer_features(table_path, store)
     if mode == "mor":
         return _delete_where_mor(spark, table_path, predicate, max_retries, store)
+    pending = None  # (adds, sub, affected, schema_json, written_at_base)
     for _ in range(max_retries):
         base = current_version(table_path, store)
         if base < 0:
             raise ValueError(f"no committed data in {table_path}")
         files, dvs = _replay_state(table_path, base, store)
+        pb = _current_partitioning(table_path, store)
+        if pending is not None:
+            # disjoint-race re-VALIDATION (VERDICT r6 next #4): when the
+            # winning commits provably can't change this delete's result
+            # — they touched none of our input files, added no matching
+            # rows, marked no positions in our inputs — re-stamp the
+            # already-written rewrite against the new version instead of
+            # re-running the whole read-compute-write cycle.
+            adds, sub, affected, schema_json, _wb = pending
+            if _commit_delta_is_disjoint(
+                spark, table_path, affected, predicate, _wb, base, store
+            ):
+                entry = _entry(
+                    "delete", adds, affected, pb, {"predicate": predicate}
+                )
+                if schema_json and not adds and len(affected) == len(files):
+                    entry["schemaJson"] = schema_json
+                if current_version(table_path, store) == base and _try_commit(
+                    table_path, base + 1, entry, store
+                ):
+                    return base + 1
+                continue  # lost again: re-check against the newer head
+            _drop_data_dir(table_path, sub)
+            pending = None
         affected = _affected_files(
             spark, table_path, files, predicate, store, dvs=dvs
         )
         if not affected:
             return None
-        pb = _current_partitioning(table_path, store)
         kept = _read_files(
             spark, table_path, affected, store, dvs=dvs
         ).filter(~F.coalesce(F.expr(predicate), F.lit(False)))
         adds, sub = _write_data_files(kept, table_path, pb, store)
         entry = _entry("delete", adds, affected, pb, {"predicate": predicate})
+        schema_json = kept.schema.json()
         if not adds and len(affected) == len(files):
             # delete emptied the table: log the schema so it stays
             # readable (and appendable under the same contract)
-            entry["schemaJson"] = kept.schema.json()
+            entry["schemaJson"] = schema_json
         if current_version(table_path, store) == base and _try_commit(
             table_path, base + 1, entry, store
         ):
             return base + 1
-        _drop_data_dir(table_path, sub)
+        pending = (adds, sub, affected, schema_json, base)
+    if pending is not None:
+        _drop_data_dir(table_path, pending[1])
     raise CommitConflict(f"delete conflicted {max_retries} times")
+
+
+def _commit_delta_is_disjoint(
+    spark: SparkSession,
+    table_path: str,
+    affected: list[str],
+    predicate: str,
+    lo: int,
+    hi: int,
+    store: LogStore | None = None,
+) -> bool:
+    """Can the commits in (lo, hi] change a rewrite whose inputs were
+    ``affected`` and whose row filter is ``predicate``? False (i.e.
+    DISJOINT → safe to re-stamp) iff the winners (1) removed/rewrote
+    none of our input files, (2) marked no deletion-vector positions in
+    them, and (3) appended no files containing a matching live row —
+    checked with ONE scan bounded to the winners' own new files, never
+    a table re-scan. Conservative on any doubt."""
+    w_adds: list[str] = []
+    w_removes: set[str] = set()
+    w_dvs: list[str] = []
+    for v in _committed_versions(table_path, store):
+        if v <= lo or v > hi:
+            continue
+        e = _load_entry(table_path, v, store) or {}
+        if e.get("op") in (
+            "set_constraint", "drop_constraint", "set_generated",
+            "drop_generated", "rename_column", "drop_column", "restore",
+        ):
+            # raced-in table metadata (a constraint our written values
+            # were never validated against, a mapping change, a
+            # rollback): always take the slow path
+            return False
+        w_adds += e.get("add", [])
+        w_removes |= set(e.get("remove", []))
+        w_dvs += e.get("dvAdd", [])
+    mine = set(affected)
+    if mine & w_removes:
+        return False  # an input was rewritten under us
+    for d in w_dvs:
+        if _dv_target_files(table_path, d) & mine:
+            return False  # winner marked rows dead inside our inputs
+    live_now, dvs_now = _replay_state(table_path, hi, store)
+    new_live = [f for f in w_adds if f in set(live_now)]
+    if new_live and _affected_files(
+        spark, table_path, new_live, predicate, store, dvs=dvs_now
+    ):
+        return False  # winner appended rows this delete must also cover
+    return True
 
 
 def _write_dv_sidecar(
@@ -3375,17 +3451,37 @@ def update_where(
     the log retires the old files. Returns the committed version, or
     None when nothing matched."""
     _check_writer_features(table_path, store)
+    pending = None  # (adds, sub, affected, written_at_base)
     for _ in range(max_retries):
         base = current_version(table_path, store)
         if base < 0:
             raise ValueError(f"no committed data in {table_path}")
         files, dvs = _replay_state(table_path, base, store)
+        pb = _current_partitioning(table_path, store)
+        if pending is not None:
+            # same disjoint-race re-stamp as delete_where: reuse the
+            # already-written rewrite when the winners provably can't
+            # change its result
+            adds, sub, affected, _wb = pending
+            if _commit_delta_is_disjoint(
+                spark, table_path, affected, predicate, _wb, base, store
+            ):
+                entry = _entry(
+                    "update", adds, affected, pb,
+                    {"predicate": predicate, "set": dict(set_exprs)},
+                )
+                if current_version(table_path, store) == base and _try_commit(
+                    table_path, base + 1, entry, store
+                ):
+                    return base + 1
+                continue
+            _drop_data_dir(table_path, sub)
+            pending = None
         affected = _affected_files(
             spark, table_path, files, predicate, store, dvs=dvs
         )
         if not affected:
             return None
-        pb = _current_partitioning(table_path, store)
         src = _read_files(spark, table_path, affected, store, dvs=dvs)
         unknown = set(set_exprs) - set(src.columns)
         if unknown:
@@ -3420,7 +3516,9 @@ def update_where(
             table_path, base + 1, entry, store
         ):
             return base + 1
-        _drop_data_dir(table_path, sub)
+        pending = (adds, sub, affected, base)
+    if pending is not None:
+        _drop_data_dir(table_path, pending[1])
     raise CommitConflict(f"update conflicted {max_retries} times")
 
 

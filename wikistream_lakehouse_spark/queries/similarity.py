@@ -339,3 +339,49 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, q, "vec_id", "embedding", "query_id", books,
         top_k=TOP_K, n_candidates=50,
     )
+
+
+@register(
+    "ann_ivf_pq_topk",
+    oracle=None,  # approximate — recall floors asserted in unit tests
+    tags=("X3", "similarity", "ivf", "pq", "ann"),
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via the composed IVF-PQ index
+    (operators/ivfpq.py): residual-PQ codes inside partition-pruned
+    inverted lists — the standard memory-bounded ANN at 10⁸⁺ vectors.
+    IVF bounds the SCAN FRACTION (n_probe of k_clusters partitions),
+    PQ bounds the BYTES/ROW (~32×), so a query touches
+    O(N·n_probe/k) code rows and re-reads raw vectors only for the
+    exact re-rank shortlist. Recall ≥0.85 across seeds certified in
+    tests/test_ivfpq_index.py; probed-partition pruning plan-asserted
+    there too."""
+    import os
+    import tempfile
+
+    from wikistream_lakehouse_spark.operators.ivfpq import (
+        build_ivf_pq_index,
+        search_ivf_pq_index,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    path = _IVFPQ_CACHE.get(sf_dir)
+    if path is None:
+        path = os.path.join(tempfile.mkdtemp(prefix="wsls_ivfpq_"), "index")
+        build_ivf_pq_index(
+            e, path, "vec_id", "embedding", k_clusters=16, m=8, k_codes=16
+        )
+        _IVFPQ_CACHE[sf_dir] = path
+    return search_ivf_pq_index(
+        q, path, e, "vec_id", "embedding", "query_id",
+        n_probe=4, top_k=TOP_K, n_candidates=50,
+    )
+
+
+#: sf_dir → built index path (build once per process; the driver's
+#: determinism probe calls each query twice and the build is the
+#: expensive half).
+_IVFPQ_CACHE: dict = {}

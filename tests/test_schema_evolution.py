@@ -52,9 +52,12 @@ def test_writer_may_omit_columns_after_evolution(spark, tmp_path):
 
 
 def test_type_change_always_refused(spark, tmp_path):
+    """Since round 7 the SAFE lattice (int→bigint, float→double, …)
+    widens instead of refusing — tests/test_txn_type_widening.py covers
+    that; here the refusal contract holds for everything OUTSIDE it."""
     t = str(tmp_path / "t")
     append(spark.createDataFrame([(1, "a")], "k long, v string"), t)
-    with pytest.raises(ValueError, match="not widening"):
+    with pytest.raises(ValueError, match="neither"):
         append(
             spark.createDataFrame([(2, 3)], "k long, v long"),
             t,

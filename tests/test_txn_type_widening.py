@@ -194,3 +194,28 @@ def test_mor_merge_and_scoped_compact_do_not_reset_evolution(
     # a FULL compact does clear it
     txn.compact(spark, t, target_file_bytes=1 << 40)
     assert not txn._is_evolved(t)
+
+
+def test_stream_source_widens_mixed_batches(spark, t, tmp_path):
+    """The txn_table streaming source on a widened table delivers every
+    batch at the union read schema — narrow files' int32/float columns
+    are cast per Arrow batch, so the sink sees one stable schema."""
+    from wikistream_lakehouse_spark.streaming.txn_source import (
+        register_txn_source,
+    )
+
+    txn.append(_ints(spark, 10, 20, "bigint"), t, merge_schema=True)
+    register_txn_source(spark)
+    q = (
+        spark.readStream.format("txn_table")
+        .load(t)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.schema["k"].dataType.simpleString() == "bigint"
+    assert out.count() == 20 and out.filter("k = 5").count() == 1

@@ -121,6 +121,19 @@ class TxnTableStreamReader(DataSourceStreamReader):
         mapping, dropped = _column_mapping_state(table_path)
         self._rename = {ph: lg for lg, ph in mapping.items()}
         self._dropped = set(dropped)
+        # type widening: a widened table's files carry MIXED physical
+        # types (int32 beside int64); every delivered batch is cast to
+        # the log's union read schema, pinned at query start like the
+        # mapping above
+        from wikistream_lakehouse_spark.lakehouse.txn import _wide_schema
+
+        ws = _wide_schema(table_path)
+        if ws is not None:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            self._wide_arrow = to_arrow_schema(ws)
+        else:
+            self._wide_arrow = None
         if max_commits_per_batch is not None and max_commits_per_batch < 1:
             raise ValueError("maxCommitsPerBatch must be >= 1")
         self.max_commits = max_commits_per_batch
@@ -242,12 +255,23 @@ class TxnTableStreamReader(DataSourceStreamReader):
         return parts
 
     def _map_columns(self, batch):
-        """Physical→logical per Arrow batch (drop retired columns,
-        rename mapped ones) — zero-copy array reuse."""
-        if not self._rename and not self._dropped:
-            return batch
+        """Physical→logical per Arrow batch: widen narrow columns to
+        the union read schema, drop retired columns, rename mapped ones
+        — zero-copy array reuse except the widening casts."""
         import pyarrow as pa
 
+        if self._wide_arrow is not None:
+            arrays, names = [], []
+            for i, name in enumerate(batch.schema.names):
+                col = batch.column(i)
+                idx = self._wide_arrow.get_field_index(name)
+                if idx >= 0 and col.type != self._wide_arrow.field(idx).type:
+                    col = col.cast(self._wide_arrow.field(idx).type)
+                arrays.append(col)
+                names.append(name)
+            batch = pa.RecordBatch.from_arrays(arrays, names=names)
+        if not self._rename and not self._dropped:
+            return batch
         arrays, names = [], []
         for i, name in enumerate(batch.schema.names):
             if name in self._dropped:
@@ -325,7 +349,15 @@ class TxnTableDataSource(DataSource):
         files = _replay(path, current_version(path))
         if not files:
             raise ValueError(f"no committed data in {path}")
-        sch = from_arrow_schema(pq.read_schema(os.path.join(path, files[0])))
+        from wikistream_lakehouse_spark.lakehouse.txn import _wide_schema
+
+        ws = _wide_schema(path)
+        if ws is not None:
+            sch = ws  # widened table: the log's union read schema
+        else:
+            sch = from_arrow_schema(
+                pq.read_schema(os.path.join(path, files[0]))
+            )
         mapping, dropped = _column_mapping_state(path)
         if mapping or dropped:
             rev = {ph: lg for lg, ph in mapping.items()}

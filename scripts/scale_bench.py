@@ -57,6 +57,9 @@ DEFAULT_QUERIES = [
     # round-6 additions
     "unigram_logprob_score",      # corpus-wide token explode ×2 + vocab join (watch)
     "hourly_gapfill_locf",        # grid generate + per-series window
+    # round-7 additions
+    "ann_ivf_pq_topk",            # composed index: build + probed-partition ADC (watch)
+    "sql_daily_top_titles",       # catalog surface: curate + register + SQL
 ]
 
 

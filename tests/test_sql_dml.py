@@ -1,0 +1,156 @@
+"""SQL DML routing over registered txn tables (``catalog.sql_dml``):
+DELETE/UPDATE/INSERT/MERGE statements reach the transactional engine,
+bindings auto-refresh, the narrow grammar refuses loudly outside
+itself, and version-pinned bindings stay read-only."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikistream_lakehouse_spark.lakehouse import catalog, txn
+
+
+def _kv(spark, lo, hi):
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2.0).alias("v"),
+            (F.col("id") % 3).cast("string").alias("tag"),
+        )
+        .coalesce(1)
+    )
+
+
+@pytest.fixture()
+def reg(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txn.append(_kv(spark, 0, 100), t)
+    catalog.register_table(spark, "dml_t", t)
+    yield t
+    catalog.unregister_table(spark, "dml_t")
+
+
+def test_delete_from_where(spark, reg):
+    v = catalog.sql_dml(spark, "DELETE FROM dml_t WHERE k < 10")
+    assert v == 1
+    # the binding auto-refreshed: SQL over the name sees the delete
+    assert spark.sql("SELECT count(*) AS n FROM dml_t").first().n == 90
+    # time travel still shows the pre-delete rows
+    assert txn.read_table(spark, reg, version=0).count() == 100
+
+
+def test_delete_mor_mode_routes_to_deletion_vectors(spark, reg):
+    catalog.sql_dml(
+        spark, "DELETE FROM dml_t WHERE k = 5", delete_mode="mor"
+    )
+    assert spark.table("dml_t").count() == 99
+    assert txn.table_detail(reg)["num_deletion_vectors"] >= 1
+
+
+def test_update_set_where_with_commas_in_exprs(spark, reg):
+    v = catalog.sql_dml(
+        spark,
+        "UPDATE dml_t SET v = round(v + 0.5, 1), tag = concat(tag, ',x') "
+        "WHERE k BETWEEN 10 AND 12",
+    )
+    assert v == 1
+    got = (
+        spark.table("dml_t")
+        .filter("k = 10")
+        .select("v", "tag")
+        .first()
+    )
+    assert got.v == 20.5 and got.tag.endswith(",x")
+    assert spark.table("dml_t").filter("tag LIKE '%,x'").count() == 3
+
+
+def test_insert_select_and_values(spark, reg):
+    v = catalog.sql_dml(
+        spark,
+        "INSERT INTO dml_t SELECT k + 1000, v, tag FROM dml_t WHERE k < 3",
+    )
+    assert v == 1
+    assert spark.table("dml_t").filter("k >= 1000").count() == 3
+    catalog.sql_dml(
+        spark, "INSERT INTO dml_t VALUES (5000, 1.5, 'zz')"
+    )
+    row = spark.table("dml_t").filter("k = 5000").first()
+    assert row.v == 1.5 and row.tag == "zz"
+
+
+def test_insert_column_list_null_fills_the_rest(spark, reg):
+    catalog.sql_dml(spark, "INSERT INTO dml_t (k, tag) VALUES (7000, 'q')")
+    row = spark.table("dml_t").filter("k = 7000").first()
+    assert row.v is None and row.tag == "q"
+    with pytest.raises(ValueError, match="arity"):
+        catalog.sql_dml(spark, "INSERT INTO dml_t (k) VALUES (1, 2)")
+    with pytest.raises(ValueError, match="unknown columns"):
+        catalog.sql_dml(spark, "INSERT INTO dml_t (nope) VALUES (1)")
+
+
+def test_merge_upsert_all_shorthand(spark, reg):
+    src = spark.createDataFrame(
+        [(5, 111.0, "upd"), (9999, 1.0, "new")], "k long, v double, tag string"
+    )
+    src.createOrReplaceTempView("dml_src")
+    v = catalog.sql_dml(
+        spark,
+        "MERGE INTO dml_t AS t USING dml_src AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert v == 1
+    tbl = spark.table("dml_t")
+    assert tbl.count() == 101
+    assert tbl.filter("k = 5").first().tag == "upd"
+    assert tbl.filter("k = 9999").first().tag == "new"
+
+
+def test_unsupported_and_malformed_statements_refuse_loudly(spark, reg):
+    for stmt in (
+        "SELECT * FROM dml_t",
+        "DROP TABLE dml_t",
+        "DELETE FROM dml_t",  # no WHERE: full-table delete stays explicit
+        "TRUNCATE TABLE dml_t",
+    ):
+        with pytest.raises(ValueError, match="grammar|unsupported"):
+            catalog.sql_dml(spark, stmt)
+    with pytest.raises(ValueError, match="SET assignment"):
+        catalog.sql_dml(spark, "UPDATE dml_t SET 5 = v WHERE k = 1")
+    with pytest.raises(ValueError, match="equalities|equate"):
+        catalog.sql_dml(
+            spark,
+            "MERGE INTO dml_t AS t USING dml_t AS s ON t.k > s.k "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *",
+        )
+
+
+def test_unregistered_and_pinned_targets_are_refused(spark, reg):
+    with pytest.raises(ValueError, match="not a registered"):
+        catalog.sql_dml(spark, "DELETE FROM nosuch WHERE k = 1")
+    catalog.register_table(spark, "dml_pinned", reg, version=0)
+    try:
+        with pytest.raises(ValueError, match="read-only"):
+            catalog.sql_dml(spark, "DELETE FROM dml_pinned WHERE k = 1")
+    finally:
+        catalog.unregister_table(spark, "dml_pinned")
+
+
+def test_dml_composes_with_history_and_cdf(spark, reg):
+    # MoR delete: the only delete form CDF can replay (CoW removes files)
+    catalog.sql_dml(
+        spark, "DELETE FROM dml_t WHERE k < 5", delete_mode="mor"
+    )
+    catalog.sql_dml(spark, "INSERT INTO dml_t VALUES (42424, 0.0, 'h')")
+    ops = [
+        r.op
+        for r in catalog.history_df(spark, "dml_t").orderBy("version").collect()
+    ]
+    assert ops[0] == "append" and "delete" in ops and "append" == ops[-1]
+    # CDF range is (from, to]: from=0 replays both DML commits
+    cdf = txn.table_changes_cdf(spark, reg, 0, txn.current_version(reg))
+    kinds = {r["_change_type"] for r in cdf.select("_change_type").collect()}
+    assert kinds == {"delete", "insert"}

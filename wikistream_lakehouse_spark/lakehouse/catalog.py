@@ -22,6 +22,7 @@ Python row path.
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -112,6 +113,232 @@ def _resolve_path(spark: SparkSession, name_or_path: str) -> "tuple[str, txn.Log
     if b is not None:
         return b.path, b.store
     return name_or_path, None
+
+
+# --------------------------------------------------------------------------
+# SQL DML routing: DELETE / UPDATE / INSERT / MERGE on registered names
+# --------------------------------------------------------------------------
+
+_IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+
+_DELETE_RE = re.compile(
+    rf"^\s*DELETE\s+FROM\s+({_IDENT})\s+WHERE\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_UPDATE_RE = re.compile(
+    rf"^\s*UPDATE\s+({_IDENT})\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_INSERT_RE = re.compile(
+    rf"^\s*INSERT\s+INTO\s+({_IDENT})\s*(\(\s*{_IDENT}"
+    rf"(?:\s*,\s*{_IDENT})*\s*\))?\s*(SELECT\s+.+|VALUES\s*.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MERGE_RE = re.compile(
+    rf"^\s*MERGE\s+INTO\s+({_IDENT})(?:\s+AS\s+({_IDENT}))?"
+    rf"\s+USING\s+({_IDENT})(?:\s+AS\s+({_IDENT}))?"
+    rf"\s+ON\s+(.+?)"
+    rf"\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*"
+    rf"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ASSIGN_RE = re.compile(rf"^\s*({_IDENT})\s*=\s*(\S.*?)\s*$", re.DOTALL)
+_EQ_RE = re.compile(
+    rf"^\s*({_IDENT})\s*\.\s*({_IDENT})\s*=\s*({_IDENT})\s*\.\s*({_IDENT})\s*$"
+)
+
+_DML_GRAMMAR = """supported DML grammar (registered txn names only):
+  DELETE FROM t WHERE <predicate>
+  UPDATE t SET col = <expr>[, ...] WHERE <predicate>
+  INSERT INTO t [(col, ...)] SELECT ... | VALUES (...), ...
+  MERGE INTO t [AS a] USING s [AS b] ON a.k = b.k [AND ...]
+      WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+Reads (SELECT ...) go straight to spark.sql(); richer writes use the
+txn API directly (txn.delete_where / update_where / transactional_upsert)."""
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split on commas at paren/quote depth zero (SET lists can contain
+    function calls and string literals with commas)."""
+    parts, buf, depth, quote = [], [], 0, None
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if quote:
+            buf.append(c)
+            if c == quote:
+                # '' / "" escapes inside SQL literals stay in the token
+                if i + 1 < len(s) and s[i + 1] == quote:
+                    buf.append(s[i + 1])
+                    i += 1
+                else:
+                    quote = None
+        elif c in "'\"":
+            quote = c
+            buf.append(c)
+        elif c in "([":
+            depth += 1
+            buf.append(c)
+        elif c in ")]":
+            depth -= 1
+            buf.append(c)
+        elif c == "," and depth == 0:
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    parts.append("".join(buf))
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _writable_binding(spark: SparkSession, name: str) -> _Binding:
+    b = _BINDINGS.get(_key(spark, name))
+    if b is None:
+        raise ValueError(
+            f"{name!r} is not a registered txn table — register_table() "
+            f"it first.\n{_DML_GRAMMAR}"
+        )
+    if b.pinned:
+        raise ValueError(
+            f"{name!r} is a version-pinned (time-travel) binding and is "
+            "read-only; register the table without version=/as_of= to "
+            "write through it"
+        )
+    return b
+
+
+def _insert_frame(
+    spark: SparkSession, b: _Binding, cols_sql: "str | None", body: str
+) -> DataFrame:
+    """Build the to-append DataFrame for INSERT: evaluate the SELECT or
+    VALUES body with spark.sql, align columns (explicit column list =
+    positional binding, missing columns null-filled with the target
+    type), and cast positionally to the target schema."""
+    from pyspark.sql import functions as F
+
+    target = txn.read_table(spark, b.path, version=b.version, store=b.store)
+    df = spark.sql(body)
+    names = (
+        [c.strip() for c in cols_sql.strip("() \t\n").split(",")]
+        if cols_sql
+        else [f.name for f in target.schema.fields]
+    )
+    if len(df.columns) != len(names):
+        raise ValueError(
+            f"INSERT arity mismatch: {len(df.columns)} values for "
+            f"{len(names)} columns {names}"
+        )
+    df = df.toDF(*names)
+    by_name = {f.name: f for f in target.schema.fields}
+    unknown = [c for c in names if c not in by_name]
+    if unknown:
+        raise ValueError(f"INSERT names unknown columns {unknown}")
+    out = df.select(
+        *[
+            F.col(f.name).cast(f.dataType)
+            if f.name in df.columns
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in target.schema.fields
+        ]
+    )
+    return out
+
+
+def sql_dml(
+    spark: SparkSession,
+    statement: str,
+    delete_mode: str = "cow",
+) -> "int | None":
+    """Route one DML statement against a REGISTERED txn-table name to
+    the transactional engine — the write half of the analyst SQL
+    surface (``register_table`` + ``spark.sql`` being the read half).
+    The grammar is deliberately narrow and refused loudly outside it
+    (no silent half-parse can reach the data):
+
+    * ``DELETE FROM t WHERE p`` → ``txn.delete_where`` (``delete_mode``
+      picks copy-on-write vs deletion-vector MoR),
+    * ``UPDATE t SET c = e, … WHERE p`` → ``txn.update_where``,
+    * ``INSERT INTO t [(cols)] SELECT …/VALUES …`` → ``txn.append``
+      (the query body is evaluated by ``spark.sql`` so it can read any
+      registered view; explicit column lists bind positionally and
+      null-fill the rest),
+    * ``MERGE INTO t USING s ON t.k = s.k … UPDATE SET * / INSERT *``
+      (the Delta upsert-all shorthand) → ``txn.transactional_upsert``
+      keyed on the equi-join columns.
+
+    The target must be a latest-bound registration (version-pinned
+    bindings are read-only); after the commit the binding auto-
+    refreshes, so the next ``spark.sql`` over the name sees the new
+    version. Returns the committed version (None for a no-op DML).
+    Reference parity: the reference's Athena surface is read-only SQL
+    (README.md:99-110) — writes there re-run pipeline jobs; here the
+    same SQL front door reaches the transactional write path."""
+    m = _DELETE_RE.match(statement)
+    if m:
+        name, pred = m.group(1), m.group(2)
+        b = _writable_binding(spark, name)
+        v = txn.delete_where(
+            spark, b.path, pred, store=b.store, mode=delete_mode
+        )
+        refresh_table(spark, name)
+        return v
+    m = _UPDATE_RE.match(statement)
+    if m:
+        name, set_sql, pred = m.group(1), m.group(2), m.group(3)
+        assigns = {}
+        for part in _split_top_level(set_sql):
+            am = _ASSIGN_RE.match(part)
+            if not am:
+                raise ValueError(
+                    f"unparseable SET assignment {part!r}\n{_DML_GRAMMAR}"
+                )
+            assigns[am.group(1)] = am.group(2)
+        b = _writable_binding(spark, name)
+        v = txn.update_where(spark, b.path, assigns, pred, store=b.store)
+        refresh_table(spark, name)
+        return v
+    m = _INSERT_RE.match(statement)
+    if m:
+        name, cols_sql, body = m.group(1), m.group(2), m.group(3)
+        b = _writable_binding(spark, name)
+        out = _insert_frame(spark, b, cols_sql, body)
+        pb = txn.table_detail(b.path, b.store)["partition_by"]
+        v = txn.append(
+            out, b.path, partition_by=pb or None, store=b.store
+        )
+        refresh_table(spark, name)
+        return v
+    m = _MERGE_RE.match(statement)
+    if m:
+        name, t_alias, src, s_alias, cond = m.groups()
+        t_names = {name.lower(), (t_alias or name).lower()}
+        s_names = {src.lower(), (s_alias or src).lower()}
+        keys = []
+        for clause in re.split(r"\s+AND\s+", cond, flags=re.IGNORECASE):
+            em = _EQ_RE.match(clause)
+            if not em:
+                raise ValueError(
+                    f"MERGE ON supports only conjunctions of "
+                    f"alias.col = alias.col equalities; got {clause!r}\n"
+                    f"{_DML_GRAMMAR}"
+                )
+            qa, ca, qb, cb = em.groups()
+            sides = {qa.lower(): ca, qb.lower(): cb}
+            t_side = [c for q, c in sides.items() if q in t_names]
+            s_side = [c for q, c in sides.items() if q in s_names]
+            if len(t_side) != 1 or len(s_side) != 1 or ca != cb:
+                raise ValueError(
+                    f"MERGE ON clause {clause!r} must equate the same "
+                    "column across the two tables (upsert-all shorthand)"
+                )
+            keys.append(t_side[0])
+        b = _writable_binding(spark, name)
+        source = spark.table(src)
+        v = txn.transactional_upsert(spark, b.path, source, keys, store=b.store)
+        refresh_table(spark, name)
+        return v
+    raise ValueError(f"unsupported DML statement\n{_DML_GRAMMAR}")
 
 
 def history_df(

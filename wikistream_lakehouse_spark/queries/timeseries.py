@@ -21,6 +21,13 @@ from wikistream_lakehouse_spark.tables import table
 
 _TYPES = ("error", "signup")  # sparse slices: ~200 events / 720 hours
 
+# rolling_zscore_anomalies tuning: trailing-day baseline, warm-up floor,
+# and a 4dp-rounded threshold compared identically on both engines so
+# the anomaly set can't flip on cross-engine float dust
+_Z_LOOKBACK = 24  # hourly buckets
+_Z_MIN_HISTORY = 12
+_Z_THRESHOLD = 2.0
+
 
 @register(
     "hourly_gapfill_locf",
@@ -96,3 +103,80 @@ def hourly_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
         F.last("av", ignorenulls=True).over(w).alias("filled_avg"),
     ).orderBy("event_type", "window_start")
+
+
+@register(
+    "rolling_zscore_anomalies",
+    oracle=f"""
+        WITH agg AS (
+            SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS ws,
+                   avg(value) AS av
+            FROM events GROUP BY 1, 2
+        ), stats AS (
+            SELECT event_type, ws, av,
+                   avg(av) OVER w AS mu,
+                   stddev_samp(av) OVER w AS sd,
+                   count(*) OVER w AS nw
+            FROM agg
+            WINDOW w AS (
+                PARTITION BY event_type ORDER BY ws
+                ROWS BETWEEN {_Z_LOOKBACK} PRECEDING AND 1 PRECEDING
+            )
+        )
+        SELECT event_type,
+               ws AS window_start,
+               ROUND(av, 4) AS hourly_avg,
+               ROUND((av - mu) / sd, 4) AS zscore
+        FROM stats
+        WHERE nw >= {_Z_MIN_HISTORY} AND sd > 1e-9
+          AND abs(ROUND((av - mu) / sd, 4)) >= {_Z_THRESHOLD}
+        ORDER BY event_type, window_start
+    """,
+    tags=("timeseries", "anomaly"),
+)
+def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly detection on hourly per-type series: a
+    bucket is anomalous when its average sits ≥ 2σ from the trailing
+    24-bucket mean (current bucket excluded, ≥ 12 buckets of warm-up so
+    early noise can't fire). One hash-aggregate to hourly grain, then a
+    single frame-bounded window per series — the series key has bounded
+    cardinality, so the plan is two narrow shuffles at any SF; nothing
+    is proportional to raw event count past the first aggregate.
+    Reference parity: none (the reference's dashboards are
+    threshold-free); this is the standard serving-layer alert query."""
+    agg = (
+        table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("ws")
+        )
+        .agg(F.avg("value").alias("av"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ws")
+        .rowsBetween(-_Z_LOOKBACK, -1)
+    )
+    stats = agg.select(
+        "event_type",
+        "ws",
+        "av",
+        F.avg("av").over(w).alias("mu"),
+        F.stddev_samp("av").over(w).alias("sd"),
+        F.count(F.lit(1)).over(w).alias("nw"),
+    )
+    z = F.round((F.col("av") - F.col("mu")) / F.col("sd"), 4)
+    return (
+        stats.filter(
+            (F.col("nw") >= _Z_MIN_HISTORY)
+            & (F.col("sd") > 1e-9)
+            & (F.abs(z) >= _Z_THRESHOLD)
+        )
+        .select(
+            "event_type",
+            F.col("ws").alias("window_start"),
+            F.round("av", 4).alias("hourly_avg"),
+            z.alias("zscore"),
+        )
+        .orderBy("event_type", "window_start")
+    )

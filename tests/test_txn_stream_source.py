@@ -81,15 +81,65 @@ def test_stream_fails_loudly_on_mutating_commit(spark, tmp_path):
         q.awaitTermination(300)
 
 
-def test_partitioned_table_refused(spark, tmp_path):
+def test_partitioned_table_streams_with_path_values(spark, tmp_path):
+    """Hive-partitioned tables stream: path-encoded columns materialize
+    per batch from the directory values (round-7; previously refused).
+    The numeric-looking string value must come back as the STRING it
+    was written as (type from the value scan: '7' and 'x' mix → string),
+    and a hive-escaped value must decode."""
     t = str(tmp_path / "pt")
     append(
-        spark.createDataFrame([(1, "d1")], "k long, ds string"),
+        spark.createDataFrame(
+            [(1, "7"), (2, "x"), (3, "a b")], "k long, ds string"
+        ),
         t,
         partition_by=["ds"],
     )
-    with pytest.raises(ValueError, match="unpartitioned"):
-        TxnTableStreamReader(t)
+    append(
+        spark.createDataFrame([(4, "7")], "k long, ds string"),
+        t,
+        partition_by=["ds"],
+    )
+    register_txn_source(spark)
+    q = (
+        spark.readStream.format("txn_table")
+        .load(t)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.schema["ds"].dataType.simpleString() == "string"
+    got = {(r.k, r.ds) for r in out.collect()}
+    assert got == {(1, "7"), (2, "x"), (3, "a b"), (4, "7")}
+
+
+def test_partitioned_stream_infers_numeric_partition_type(spark, tmp_path):
+    """All-numeric directory values with no log-stamped authority infer
+    long — matching what a batch read_table of the same table infers."""
+    t = str(tmp_path / "pn")
+    append(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, b long"),
+        t,
+        partition_by=["b"],
+    )
+    register_txn_source(spark)
+    q = (
+        spark.readStream.format("txn_table")
+        .load(t)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.schema["b"].dataType.simpleString() == "bigint"
+    assert {(r.k, r.b) for r in out.collect()} == {(1, 10), (2, 20)}
 
 
 def test_stream_feeds_windowed_aggregation(spark, tmp_path):

@@ -115,6 +115,7 @@ _READER_FEATURES = {
     "clone",
     "columnMapping",
     "typeWidening",
+    "partitionEvolution",
 }
 #: Features a WRITER must additionally understand to commit safely
 #: (ignoring these would write rows that violate declared invariants).
@@ -145,6 +146,15 @@ def _stamp_features(entry: dict) -> dict:
         # a plain mergeSchema reader CRASHES on them (CANNOT_MERGE_
         # SCHEMAS) or misreads — reader feature
         rf.add("typeWidening")
+    if entry.get("op") == "set_partitioning" or (
+        (entry.get("meta") or {}).get("physicalSchemaJson")
+    ):
+        # the active set may mix directory layouts (or path-encode
+        # columns whose types only the stamped schema records): a
+        # single-scan reader CRASHES on conflicting structures or
+        # silently misreads — grouped-union read path required. The
+        # meta face covers clones of evolved sources.
+        rf.add("partitionEvolution")
     wf = set()
     if entry.get("op") in ("set_generated", "drop_generated"):
         wf.add("generatedColumns")
@@ -1032,6 +1042,7 @@ _METADATA_OPS = (
     "drop_generated",
     "rename_column",
     "drop_column",
+    "set_partitioning",
 )  # no content change
 
 
@@ -1328,15 +1339,186 @@ def _partition_values(rel_path: str) -> tuple[tuple[str, str], ...]:
 
 
 def _current_partitioning(
-    table_path: str, store: LogStore | None = None
+    table_path: str,
+    store: LogStore | None = None,
+    upto: int | None = None,
 ) -> list[str]:
     """The table's partition columns, as recorded by the newest commit
-    that declared any (first writer defines the layout)."""
+    ≤ ``upto`` (default: HEAD) that declared any (first writer defines
+    the layout; a ``set_partitioning`` commit evolves it)."""
     for v in reversed(_committed_versions(table_path, store)):
+        if upto is not None and v > upto:
+            continue
         e = _load_entry(table_path, v, store) or {}
         if "partitionBy" in e:
             return list(e["partitionBy"])
     return []
+
+
+def _file_layout(rel_path: str) -> tuple[str, ...]:
+    """The partition columns a data file's PATH encodes, in path order —
+    a file's layout is frozen at write time, so after partition
+    evolution the active set mixes layouts and this is the grouping
+    key the read path unions over."""
+    return tuple(
+        s.split("=", 1)[0]
+        for s in rel_path.split("/")[1:-1]
+        if "=" in s
+    )
+
+
+def _mixed_layout_files(files: list[str], pb: list[str]) -> list[str]:
+    """Active files whose path layout differs from the CURRENT spec
+    ``pb`` — nonempty exactly when partition evolution has happened and
+    no full compact has migrated the layout yet."""
+    want = tuple(pb)
+    return [f for f in files if _file_layout(f) != want]
+
+
+def _refuse_mixed_layout(
+    table_path: str,
+    pb: list[str],
+    store: "LogStore | None" = None,
+    version: int | None = None,
+) -> None:
+    """Guard for ops whose remove-set is PARTITION-PATH-derived
+    (``replace_partitions``): an active file written under an earlier
+    spec can hold rows of a replaced partition without matching its
+    path, so replacing over a mixed layout would silently keep stale
+    rows. Pure string work over the already-replayed file list."""
+    v = current_version(table_path, store) if version is None else version
+    if v < 0:
+        return
+    mixed = _mixed_layout_files(_replay(table_path, v, store), pb)
+    if mixed:
+        raise ValueError(
+            f"replace_partitions on {table_path}: {len(mixed)} active "
+            f"file(s) predate the current partition spec {pb} "
+            f"(partition evolution, e.g. {mixed[0]!r}) — their rows "
+            "cannot be matched by partition path, so a replace could "
+            "silently keep stale rows; run a full compact() to migrate "
+            "the layout first"
+        )
+
+
+def _evolution_physical_types(
+    table_path: str,
+    store: "LogStore | None" = None,
+    upto: int | None = None,
+) -> "dict | None":
+    """Authoritative physical column types for a partition-EVOLVED
+    table: the schema its ``set_partitioning`` commit stamped
+    (``physicalSchemaJson``). None for never-evolved tables — gated on
+    the checkpoint-bounded feature union, so the extra reverse log scan
+    is paid only once evolution has actually happened. Needed because a
+    migrated layout may path-encode a column whose raw values LOOK like
+    another type ("bucket=1" for a string column) and directory
+    inference alone would misreport it."""
+    if "partitionEvolution" not in writer_features(table_path, store):
+        return None
+    from pyspark.sql.types import StructType
+
+    for v in reversed(_committed_versions(table_path, store)):
+        if upto is not None and v > upto:
+            continue
+        e = _load_entry(table_path, v, store) or {}
+        s = (e.get("meta") or {}).get("physicalSchemaJson")
+        if s:
+            sch = StructType.fromJson(json.loads(s))
+            return {f.name: f.dataType for f in sch.fields}
+    return None
+
+
+def _layout_grouped_parquet(
+    make_reader,
+    table_path: str,
+    files: list[str],
+    with_rowpos: bool = False,
+    pin_schema: bool = True,
+    known_types: "dict | None" = None,
+):
+    """Read ``files`` as one relation across partition-layout groups.
+
+    Spark's partition discovery requires ONE directory structure per
+    scan ("conflicting directory structures" otherwise), so a
+    partition-evolved table — old files flat or under the previous
+    hive spec, new files under the current one — cannot go through a
+    single ``reader.parquet(*paths)``. Grouping by each file's
+    path-encoded column set gives every group a consistent structure;
+    each group recovers its partition columns from its own paths (old
+    files carry the newer spec's columns as DATA columns, so every
+    group resolves the same logical schema) and the groups union by
+    name, with Catalyst's set-operation coercion reconciling inferred
+    partition-value types against stored ones. Physical row identity
+    (``with_rowpos``) must attach per group — ``_metadata`` is a
+    scan-local pseudo-column that cannot be referenced across a union.
+
+    Column TYPES cannot be left to per-group partition inference: a
+    string column whose values look numeric ("bucket=1") would infer
+    int in the group that path-encodes it, and the union's coercion
+    would then morph the table schema (and corrupt values like "01").
+    So with ``pin_schema`` (every caller without an explicit log-carried
+    schema) a probe pass derives ONE authoritative schema — a column's
+    data-stored type wins over any path-inferred one — and each group
+    re-reads under it, the parquet reader casting raw path strings
+    straight to the true type.
+
+    One layout (every table that never evolved) short-circuits to the
+    exact single-reader plan used before evolution existed."""
+    groups: dict[tuple[str, ...], list[str]] = {}
+    for f in files:
+        groups.setdefault(_file_layout(f), []).append(f)
+    grouped = sorted(groups.items())
+    rd = make_reader
+    needs_pin = pin_schema and (
+        len(grouped) > 1
+        or (known_types and any(c in known_types for c in grouped[0][0]))
+    )
+    if needs_pin:
+        from pyspark.sql.types import StructField, StructType
+
+        auth: dict[str, object] = {}
+        order: list[str] = []
+        probes = [
+            (
+                key,
+                make_reader()
+                .parquet(*(os.path.join(table_path, f) for f in gf))
+                .schema,
+            )
+            for key, gf in grouped
+        ]
+        for key, sch in probes:
+            encoded = set(key) | {_COMMIT_COL}
+            for fld in sch.fields:
+                if fld.name not in order:
+                    order.append(fld.name)
+                if fld.name not in encoded and fld.name not in auth:
+                    auth[fld.name] = fld.dataType  # data-stored: wins
+        for n, t in (known_types or {}).items():
+            # the stamped evolution schema types columns that are
+            # path-encoded in EVERY group (nothing data-stored to win)
+            auth.setdefault(n, t)
+        for _key, sch in probes:
+            for fld in sch.fields:
+                auth.setdefault(fld.name, fld.dataType)  # path-only
+        full = StructType(
+            [StructField(n, auth[n], True) for n in order]
+        )
+
+        def rd():
+            return make_reader().schema(full)
+
+    parts = []
+    for _key, gf in grouped:
+        g = rd().parquet(*(os.path.join(table_path, f) for f in gf))
+        if with_rowpos:
+            g = _with_rowpos(g, table_path)
+        parts.append(g)
+    df = parts[0]
+    for other in parts[1:]:
+        df = df.unionByName(other)
+    return df
 
 
 def _is_full_state_commit(e: dict) -> bool:
@@ -1500,17 +1682,28 @@ def _table_schema(
     files = _replay(table_path, v, store)
     if not files:
         return _logged_schema(table_path, store)
-    reader = spark.read.option("basePath", table_path)
     ws = _wide_schema(table_path, store)
-    if ws is not None:
-        reader = reader.schema(ws)
-        paths = [os.path.join(table_path, files[0])]
-    elif _is_evolved(table_path, store):
-        reader = reader.option("mergeSchema", "true")
-        paths = [os.path.join(table_path, f) for f in files]
-    else:
-        paths = [os.path.join(table_path, files[0])]
-    df = reader.parquet(*paths).drop(_COMMIT_COL)
+    evolved = ws is None and _is_evolved(table_path, store)
+
+    def make_reader():
+        reader = spark.read.option("basePath", table_path)
+        if ws is not None:
+            reader = reader.schema(ws)
+        elif evolved:
+            reader = reader.option("mergeSchema", "true")
+        return reader
+
+    # the FULL file list, never a one-file shortcut: partition-column
+    # types come from directory inference, and inference over a single
+    # file's path misreports a string column whose one value happens to
+    # look numeric ("ds=7" → int) even when the other files' values
+    # would disambiguate it. Schema-only — one data footer per layout
+    # group; the paths are driver-side listing work, the same cost
+    # class every snapshot read already pays.
+    df = _layout_grouped_parquet(
+        make_reader, table_path, files, pin_schema=ws is None,
+        known_types=_evolution_physical_types(table_path, store),
+    ).drop(_COMMIT_COL)
     mapping, dropped = _column_mapping_state(table_path, store=store)
     if mapping or dropped:
         df = _to_logical(df, mapping, dropped)
@@ -1617,23 +1810,31 @@ def snapshot(
         if sch is not None:
             return spark.createDataFrame([], sch)
         raise ValueError(f"no committed data at version {v} in {table_path}")
-    reader = spark.read.option("basePath", table_path)
     ws = _wide_schema(table_path, store, upto=v)
-    if ws is not None:
-        # type-widened snapshot: explicit wide schema — the parquet
-        # reader promotes narrow footers (int32→int64, float→double)
-        # and null-fills absent columns; partition columns come from
-        # directory inference. mergeSchema would CRASH on mixed types.
-        reader = reader.schema(ws)
-    elif _is_evolved(table_path, store, upto=v):
-        # evolved tables: files carry different column subsets; union the
-        # footers so missing columns surface as nulls (mergeSchema)
-        reader = reader.option("mergeSchema", "true")
-    df = reader.parquet(*(os.path.join(table_path, f) for f in files))
+    evolved = ws is None and _is_evolved(table_path, store, upto=v)
+
+    def make_reader():
+        reader = spark.read.option("basePath", table_path)
+        if ws is not None:
+            # type-widened snapshot: explicit wide schema — the parquet
+            # reader promotes narrow footers (int32→int64, float→double)
+            # and null-fills absent columns; partition columns come from
+            # directory inference. mergeSchema would CRASH on mixed types.
+            reader = reader.schema(ws)
+        elif evolved:
+            # evolved tables: files carry different column subsets; union
+            # the footers so missing columns surface as nulls (mergeSchema)
+            reader = reader.option("mergeSchema", "true")
+        return reader
+
+    df = _layout_grouped_parquet(
+        make_reader, table_path, files,
+        with_rowpos=bool(dvs), pin_schema=ws is None,
+        known_types=_evolution_physical_types(table_path, store),
+    )
     if dvs:
         # merge-on-read: subtract DV-marked positions (anti-join on the
         # row's physical identity; AQE broadcasts the small DV side)
-        df = _with_rowpos(df, table_path)
         dv = _dv_frame(spark, table_path, dvs)
         df = df.join(
             dv,
@@ -1731,7 +1932,11 @@ def restore(
             "vacuum's retain_versions"
         )
     evolved = _is_evolved(table_path, store, upto=version)
-    pb = _current_partitioning(table_path, store)
+    # partition spec restores WITH the data (like column mapping below):
+    # the restored snapshot's files follow the spec of their era, and
+    # future writes should too — leaving HEAD's newer spec active would
+    # silently keep the table mixed-layout after an "undo"
+    pb = _current_partitioning(table_path, store, upto=version)
     t_map, t_drop = _column_mapping_state(table_path, version, store)
     for _ in range(max_retries):
         base = current_version(table_path, store)
@@ -2276,6 +2481,95 @@ def rewrite(
     return v
 
 
+def set_partitioning(
+    spark: SparkSession,
+    table_path: str,
+    partition_by: list[str],
+    max_retries: int = 5,
+    store: LogStore | None = None,
+) -> int:
+    """Iceberg-style PARTITION EVOLUTION: change the table's partition
+    spec for FUTURE writes via a metadata-only commit — zero data
+    movement, however large the table. Existing files keep their
+    written layout; the active set then mixes directory layouts and
+    every read unions per-layout groups (the commit stamps the
+    ``partitionEvolution`` reader feature, so an engine without the
+    grouped read path refuses instead of misreading). The old spec's
+    files still prune by THEIR path values; files predating a spec
+    carry its columns as ordinary data columns, which a scan filters
+    the usual way (partition pruning is an optimization, never a
+    correctness dependency). A FULL ``compact`` rewrites everything
+    under the current spec and so migrates the layout physically;
+    until then ``replace_partitions`` refuses (its remove-set is
+    path-derived, and an old-layout file could silently keep replaced
+    rows), while append/delete/update/merge/CDF/clone/restore all
+    operate correctly on the mixed set.
+
+    ``partition_by`` names logical columns of the current schema
+    (``[]`` un-partitions future writes). Returns the committed
+    version (the current one when the spec already matches).
+    Reference parity: the reference's layout is fixed at
+    ``yyyy/mm/dd`` forever (kafka/wiki-s3-consumer.py:40-52; Glue
+    recrawls); evolution here is one commit."""
+    _check_writer_features(table_path, store)
+    pb_new = list(partition_by or [])
+    if len(set(pb_new)) != len(pb_new):
+        raise ValueError(f"duplicate partition columns in {pb_new}")
+    sch = _table_schema(spark, table_path, store)
+    if sch is None:
+        raise ValueError(
+            f"no committed data in {table_path} — a new table's first "
+            "write defines its layout; set_partitioning evolves an "
+            "existing one"
+        )
+    unknown = [c for c in pb_new if c not in sch.fieldNames()]
+    if unknown:
+        raise ValueError(
+            f"partition columns {unknown} not in table schema "
+            f"{sch.fieldNames()}"
+        )
+    # entries store PHYSICAL names (data-file directory names survive
+    # renames); translate the user's logical spec like every writer
+    mapping, _dropped = _column_mapping_state(table_path, store=store)
+    pb_phys = [mapping.get(c, c) for c in pb_new]
+    from pyspark.sql.types import StructField, StructType
+
+    for _ in range(max_retries):
+        base = current_version(table_path, store)
+        current = _current_partitioning(table_path, store)
+        if current == pb_phys:
+            return base  # already the active spec — nothing to commit
+        entry = _entry(
+            "set_partitioning",
+            [],
+            [],
+            pb_phys,
+            {
+                "previousPartitionBy": current,
+                # authoritative PHYSICAL column types: once a column is
+                # path-encoded its type can no longer be read from any
+                # footer, and directory inference guesses ("bucket=1"
+                # for a string column infers int) — readers seed their
+                # schema from this stamp (_evolution_physical_types)
+                "physicalSchemaJson": json.dumps(
+                    StructType(
+                        [
+                            StructField(
+                                mapping.get(f.name, f.name),
+                                f.dataType,
+                                True,
+                            )
+                            for f in sch.fields
+                        ]
+                    ).jsonValue()
+                ),
+            },
+        )
+        if _try_commit(table_path, base + 1, entry, store):
+            return base + 1
+    raise CommitConflict(f"set_partitioning conflicted {max_retries} times")
+
+
 def replace_partitions(
     spark: SparkSession,
     table_path: str,
@@ -2301,6 +2595,7 @@ def replace_partitions(
     pb = _resolve_partition_by(table_path, partition_by, store)
     if not pb:
         raise ValueError("replace_partitions requires a partitioned table")
+    _refuse_mixed_layout(table_path, pb, store)  # before any data write
     source = _apply_generated(source, table_path, store)
     _check_schema(source, table_path, store)
     adds, sub = _write_data_files(source, table_path, pb, store)
@@ -2315,11 +2610,9 @@ def replace_partitions(
         )
         for _ in range(max_retries):
             base = current_version(table_path, store)
-            removes = [
-                f
-                for f in _replay(table_path, base, store)
-                if _partition_values(f) in new_parts
-            ]
+            _refuse_mixed_layout(table_path, pb, store, version=base)
+            live = _replay(table_path, base, store)
+            removes = [f for f in live if _partition_values(f) in new_parts]
             entry = _entry("replace_partitions", adds, removes, pb, None)
             if stats:
                 entry["stats"] = stats
@@ -2853,14 +3146,21 @@ def clone_table(
     # hours; 32-way it's minutes. POSIX hard links are near-free either
     # way; the pool just removes the syscall serialization.
     _parallel_file_ops(_link_one, files + dvs)
-    pb = _current_partitioning(src_path, store)
-    entry = _entry(
-        "clone",
-        sorted(files),
-        [],
-        pb,
-        {"cloneSource": os.path.abspath(src_path), "cloneSourceVersion": v},
-    )
+    pb = _current_partitioning(src_path, store, upto=v)
+    meta = {"cloneSource": os.path.abspath(src_path), "cloneSourceVersion": v}
+    src_types = _evolution_physical_types(src_path, store, upto=v)
+    if src_types is not None:
+        # a partition-evolved source's linked files may path-encode
+        # columns whose types no footer records; the clone's fresh log
+        # must carry the same authority its reads will need
+        from pyspark.sql.types import StructField, StructType
+
+        meta["physicalSchemaJson"] = json.dumps(
+            StructType(
+                [StructField(n, t, True) for n, t in sorted(src_types.items())]
+            ).jsonValue()
+        )
+    entry = _entry("clone", sorted(files), [], pb, meta)
     if dvs:
         entry["dvAdd"] = sorted(dvs)
     if _is_evolved(src_path, store, upto=v):
@@ -3160,15 +3460,23 @@ def _read_files(
     fast path: deleted positions, not deleted data, flow through the
     join build side). ``keep_rowpos`` retains the physical-identity
     columns for callers that need them (DV writers, file pruning)."""
-    reader = spark.read.option("basePath", table_path)
     ws = _wide_schema(table_path, store)
-    if ws is not None:
-        reader = reader.schema(ws)  # see snapshot(): widened read path
-    elif _is_evolved(table_path, store):
-        reader = reader.option("mergeSchema", "true")
-    df = reader.parquet(*(os.path.join(table_path, f) for f in files))
+    evolved = ws is None and _is_evolved(table_path, store)
+
+    def make_reader():
+        reader = spark.read.option("basePath", table_path)
+        if ws is not None:
+            reader = reader.schema(ws)  # see snapshot(): widened read path
+        elif evolved:
+            reader = reader.option("mergeSchema", "true")
+        return reader
+
+    df = _layout_grouped_parquet(
+        make_reader, table_path, files,
+        with_rowpos=bool(dvs) or keep_rowpos, pin_schema=ws is None,
+        known_types=_evolution_physical_types(table_path, store),
+    )
     if dvs or keep_rowpos:
-        df = _with_rowpos(df, table_path)
         if dvs:
             dv = _dv_frame(spark, table_path, dvs)
             df = df.join(

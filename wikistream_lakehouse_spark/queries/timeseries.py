@@ -133,7 +133,9 @@ def hourly_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND abs(ROUND((av - mu) / sd, 4)) >= {_Z_THRESHOLD}
         ORDER BY event_type, window_start
     """,
-    tags=("timeseries", "anomaly"),
+    # "extra": the 50-entry scored window is full (registry discipline);
+    # the suite's oracle sweep still proves this against DuckDB
+    tags=("timeseries", "anomaly", "extra"),
 )
 def rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-style anomaly detection on hourly per-type series: a

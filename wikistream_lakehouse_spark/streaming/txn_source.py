@@ -36,9 +36,17 @@ log reads, no data IO); each changed file becomes one input partition
 read executor-side as Arrow record batches (pyarrow footer+pages of
 that file only). A 100 TB table streams at the cost of its deltas.
 
-Hive-partitioned txn tables are refused for now: partition values live
-in directory names, not footers, so file-local Arrow reads would drop
-those columns; de-partitioned (flat) tables carry every column in-file.
+Hive-partitioned txn tables stream too: partition values live in
+directory names, not footers, so planning parses each delta file's
+hive segments driver-side (metadata work) and the executor-side read
+CONFORMS every Arrow batch to the declared schema — data-stored
+columns pass through (cast if a widened footer is narrow), path-encoded
+columns materialize as constant arrays cast to their declared type,
+and columns absent from both (schema evolution) null-fill. Partition
+column types come from the log when it knows them (the partition-
+evolution ``physicalSchemaJson`` stamp, or the widened union schema);
+otherwise from a conservative value scan over the active paths (all
+ints → long, all floats → double, ISO dates → date, else string).
 
 Reference parity: the reference's streaming consumer tails Kafka
 (kafka/wiki-s3-consumer.py:62-90); this source makes any txn TABLE
@@ -70,11 +78,58 @@ class _FilePartition(InputPartition):
         positions: "list[int] | None" = None,
         change_type: "str | None" = None,
         version: int = -1,
+        pv: "dict | None" = None,
     ) -> None:
         self.path = path
         self.positions = positions  # CDF delete: row indices to emit
         self.change_type = change_type  # None = plain (no CDF columns)
         self.version = version
+        self.pv = pv or {}  # path-encoded column -> decoded raw string
+
+
+def _decode_hive(raw: str) -> "str | None":
+    """Hive directory value -> the written value's string form (Spark
+    escapePathName percent-encodes specials; the null sentinel decodes
+    to None)."""
+    if raw == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    from urllib.parse import unquote
+
+    return unquote(raw)
+
+
+def _infer_value_type(values: "list[str]"):
+    """Type for a path-encoded column with no log-stamped authority:
+    the same conservative ladder a human would apply to the observed
+    directory strings — all-int → long, all-float → double, all
+    ISO dates → date, anything else → string. Empty/all-null → string."""
+    import re as _re
+
+    from pyspark.sql.types import (
+        DateType,
+        DoubleType,
+        LongType,
+        StringType,
+    )
+
+    if values and all(_re.fullmatch(r"-?\d+", v) for v in values):
+        return LongType()
+    if values and all(
+        _re.fullmatch(r"-?\d+(\.\d+)?([eE][+-]?\d+)?", v) for v in values
+    ):
+        return DoubleType()
+    if values and all(
+        _re.fullmatch(r"\d{4}-\d{2}-\d{2}", v) for v in values
+    ):
+        return DateType()
+    return StringType()
+
+
+def _file_pv(rel: str) -> dict:
+    """Decoded hive partition values of a table-relative data file."""
+    from wikistream_lakehouse_spark.lakehouse.txn import _partition_values
+
+    return {k: _decode_hive(v) for k, v in _partition_values(rel)}
 
 
 def _log_entries(table_path: str) -> list[tuple[int, dict]]:
@@ -98,18 +153,11 @@ class TxnTableStreamReader(DataSourceStreamReader):
         table_path: str,
         cdf: bool = False,
         max_commits_per_batch: "int | None" = None,
+        output_schema: "StructType | None" = None,
     ) -> None:
         self.cdf = cdf
         if not os.path.isdir(os.path.join(table_path, "_txnlog")):
             raise ValueError(f"{table_path} is not a transactional table")
-        for _v, e in _log_entries(table_path):
-            if e.get("partitionBy"):
-                raise ValueError(
-                    "txn_table streaming source supports unpartitioned "
-                    f"tables only; {table_path} is partitioned by "
-                    f"{e['partitionBy']} (partition values live in "
-                    "directory names, not file footers)"
-                )
         self.table_path = table_path
         # column mapping (metadata-only rename/drop), pinned at query
         # start like any streaming schema: physical→logical applied per
@@ -134,6 +182,22 @@ class TxnTableStreamReader(DataSourceStreamReader):
             self._wide_arrow = to_arrow_schema(ws)
         else:
             self._wide_arrow = None
+        # the declared output schema (sans CDF columns) is the contract
+        # every delivered batch is CONFORMED to: partitioned tables'
+        # path-encoded columns materialize against it, and column order
+        # is pinned by it (logical, post-mapping names)
+        if output_schema is not None:
+            from pyspark.sql.pandas.types import to_arrow_schema
+            from pyspark.sql.types import StructType as _ST
+
+            data_fields = [
+                f
+                for f in output_schema.fields
+                if f.name not in ("_change_type", "_commit_version")
+            ]
+            self._out_arrow = to_arrow_schema(_ST(data_fields))
+        else:
+            self._out_arrow = None
         if max_commits_per_batch is not None and max_commits_per_batch < 1:
             raise ValueError("maxCommitsPerBatch must be >= 1")
         self.max_commits = max_commits_per_batch
@@ -191,7 +255,7 @@ class TxnTableStreamReader(DataSourceStreamReader):
                 op == "clone" and not e.get("dvAdd")
             ):
                 parts.extend(
-                    _FilePartition(_abs(f), None, "insert", v)
+                    _FilePartition(_abs(f), None, "insert", v, _file_pv(f))
                     for f in e.get("add", [])
                 )
             elif op == "clone":
@@ -211,7 +275,7 @@ class TxnTableStreamReader(DataSourceStreamReader):
                 # inserts wrote zero files) is a no-op — skippable, not a
                 # stream-wedging error (ADVICE r5 low).
                 parts.extend(
-                    _FilePartition(_abs(f), None, "insert", v)
+                    _FilePartition(_abs(f), None, "insert", v, _file_pv(f))
                     for f in e.get("add", [])
                 )
                 # MoR delete/merge: the vector names exactly the rows
@@ -231,7 +295,9 @@ class TxnTableStreamReader(DataSourceStreamReader):
                     ):
                         by_file.setdefault(f_rel, []).append(int(ri))
                 parts.extend(
-                    _FilePartition(_abs(f_rel), sorted(pos), "delete", v)
+                    _FilePartition(
+                        _abs(f_rel), sorted(pos), "delete", v, _file_pv(f_rel)
+                    )
                     for f_rel, pos in sorted(by_file.items())
                 )
             else:
@@ -280,6 +346,41 @@ class TxnTableStreamReader(DataSourceStreamReader):
             names.append(self._rename.get(name, name))
         return pa.RecordBatch.from_arrays(arrays, names=names)
 
+    def _conform(self, batch, partition: _FilePartition):
+        """Deliver exactly the declared schema, whatever one file's
+        footer holds: data-stored columns pass through (cast when a
+        footer is narrower than the declared type), path-encoded
+        columns materialize as constant arrays cast from their decoded
+        directory string, anything else (schema evolution) null-fills.
+        Column order is the declared order — the Arrow batches ARE the
+        stream's rows, so the contract lives here."""
+        import pyarrow as pa
+
+        if self._out_arrow is None:
+            return batch
+        # pv keys are physical (directory) names; the declared schema
+        # is logical
+        pv = {
+            self._rename.get(k, k): v for k, v in partition.pv.items()
+        }
+        n = batch.num_rows
+        have = {name: i for i, name in enumerate(batch.schema.names)}
+        arrays = []
+        for field in self._out_arrow:
+            if field.name in have:
+                col = batch.column(have[field.name])
+                if col.type != field.type:
+                    col = col.cast(field.type)
+            elif field.name in pv:
+                raw = pv[field.name]
+                col = pa.array([raw] * n, pa.string()).cast(field.type)
+            else:
+                col = pa.nulls(n, field.type)
+            arrays.append(col)
+        return pa.RecordBatch.from_arrays(
+            arrays, schema=pa.schema(self._out_arrow)
+        )
+
     def read(self, partition: _FilePartition):
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -287,7 +388,7 @@ class TxnTableStreamReader(DataSourceStreamReader):
         batches = pq.ParquetFile(partition.path).iter_batches()
         if not self.cdf:
             for batch in batches:
-                yield self._map_columns(batch)
+                yield self._conform(self._map_columns(batch), partition)
             return
         import numpy as np
 
@@ -305,7 +406,7 @@ class TxnTableStreamReader(DataSourceStreamReader):
                 if not len(local):
                     continue
                 batch = batch.take(pa.array(local))
-            batch = self._map_columns(batch)
+            batch = self._conform(self._map_columns(batch), partition)
             out_n = batch.num_rows
             batch = batch.append_column(
                 "_change_type",
@@ -358,6 +459,40 @@ class TxnTableDataSource(DataSource):
             sch = from_arrow_schema(
                 pq.read_schema(os.path.join(path, files[0]))
             )
+        # partitioned tables: path-encoded columns aren't in any footer.
+        # Types: the log's partition-evolution stamp when present, else
+        # a conservative scan of the observed directory values.
+        from wikistream_lakehouse_spark.lakehouse.txn import (
+            _evolution_physical_types,
+            _partition_values,
+        )
+
+        order: list[str] = []
+        observed: dict[str, list] = {}
+        for f in files:
+            for k, raw in _partition_values(f):
+                if k not in order:
+                    order.append(k)
+                v = _decode_hive(raw)
+                if v is not None:
+                    observed.setdefault(k, []).append(v)
+        missing_cols = [
+            c for c in order if c not in {f.name for f in sch.fields}
+        ]
+        if missing_cols:
+            stamped = _evolution_physical_types(path) or {}
+            sch = StructType(
+                list(sch.fields)
+                + [
+                    StructField(
+                        c,
+                        stamped.get(c)
+                        or _infer_value_type(observed.get(c, [])),
+                        True,
+                    )
+                    for c in missing_cols
+                ]
+            )
         mapping, dropped = _column_mapping_state(path)
         if mapping or dropped:
             rev = {ph: lg for lg, ph in mapping.items()}
@@ -384,6 +519,7 @@ class TxnTableDataSource(DataSource):
             self.options["path"],
             cdf=self._cdf(),
             max_commits_per_batch=int(mc) if mc is not None else None,
+            output_schema=schema,
         )
 
 

@@ -179,3 +179,89 @@ def test_clone_preserves_mixed_layout(spark, t, tmp_path):
     )
     # the clone evolved independently: its current spec is the source's
     assert txn._current_partitioning(dst) == ["bucket"]
+
+
+# --------------------------------------------------------------------------
+# Type widening × partition evolution (ADVICE r7 high): composing the two
+# features in EITHER order must keep the table readable — the pinned wide
+# read schema is augmented per mixed-layout read with the path-encoded
+# columns it omits, typed from the set_partitioning schema stamp.
+# --------------------------------------------------------------------------
+
+
+def _idf(spark, lo, hi, ktype):
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.col("id").cast(ktype).alias("k"),
+            (F.col("id") % 4).cast("string").alias("bucket"),
+            (F.col("id") * 1.5).alias("v"),
+        )
+        .coalesce(1)
+    )
+
+
+def test_widening_append_after_evolution_keeps_reads_green(spark, tmp_path):
+    """append → set_partitioning → widening append → read (the exact
+    ADVICE r7 repro). The old-layout group stores ``bucket`` in footers;
+    the wide-schema pin must not drop it."""
+    p = str(tmp_path / "t")
+    txn.append(_idf(spark, 0, 40, "int"), p)  # flat, k:int
+    txn.set_partitioning(spark, p, ["bucket"])
+    txn.append(_idf(spark, 40, 80, "bigint"), p, merge_schema=True)
+    df = txn.read_table(spark, p)
+    assert df.count() == 80
+    assert dict(df.dtypes)["k"] == "bigint"
+    assert dict(df.dtypes)["bucket"] == "string"
+    # partition-column predicate correct across BOTH layouts
+    got = sorted(r.k for r in df.filter("bucket = '2'").select("k").collect())
+    assert got == [k for k in range(80) if k % 4 == 2]
+    # old-layout row values survive (not null-filled)
+    assert df.filter("k = 10").first().v == 15.0
+
+
+def test_evolution_after_widening_keeps_reads_green(spark, tmp_path):
+    """Reverse order: widen first (stamp excludes the then-current spec
+    column ``ds``), then evolve to ``bucket`` — new files store ``ds``
+    as DATA while the stamp omits it."""
+    p = str(tmp_path / "t")
+    base = _idf(spark, 0, 40, "int").withColumn(
+        "ds", (F.col("k") % 2).cast("string")
+    )
+    txn.append(base, p, partition_by=["ds"])
+    widened = _idf(spark, 40, 80, "bigint").withColumn(
+        "ds", (F.col("k") % 2).cast("string")
+    )
+    txn.append(widened, p, merge_schema=True)
+    txn.set_partitioning(spark, p, ["bucket"])
+    more = _idf(spark, 80, 120, "bigint").withColumn(
+        "ds", (F.col("k") % 2).cast("string")
+    )
+    txn.append(more, p, merge_schema=True)
+    df = txn.read_table(spark, p)
+    assert df.count() == 120
+    assert dict(df.dtypes)["k"] == "bigint"
+    # ds readable from BOTH path (old layout) and footer (new layout)
+    assert df.filter("ds = '1'").count() == 60
+    assert df.filter("bucket = '3' AND k >= 80").count() == sum(
+        1 for k in range(80, 120) if k % 4 == 3
+    )
+    # time travel to the pre-evolution widened snapshot still works
+    assert txn.read_table(spark, p, version=1).count() == 80
+
+
+def test_widened_mixed_layout_dml_and_compact(spark, tmp_path):
+    """DELETE on the widened mixed set, then a full compact migrates
+    the layout and normalizes types."""
+    p = str(tmp_path / "t")
+    txn.append(_idf(spark, 0, 40, "int"), p)
+    txn.set_partitioning(spark, p, ["bucket"])
+    txn.append(_idf(spark, 40, 80, "bigint"), p, merge_schema=True)
+    txn.delete_where(spark, p, "k < 10")
+    df = txn.read_table(spark, p)
+    assert df.count() == 70
+    txn.compact(spark, p)
+    df2 = txn.read_table(spark, p)
+    assert df2.count() == 70
+    assert dict(df2.dtypes)["k"] == "bigint"
+    assert _layouts(p) == {("bucket",)}

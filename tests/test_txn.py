@@ -336,3 +336,29 @@ def test_log_replay_matches_kv_model(spark, tmp_path_factory, log_store, ops):
                 (r.k, r.v) for r in snapshot(spark, t, store=log_store).collect()
             )
             assert got == model, f"after {op}: {got} != {model}"
+
+
+def test_numeric_looking_string_partition_values_keep_type_and_value(
+    spark, tmp_path
+):
+    """Directory inference misreports a string partition column whose
+    values look numeric ("ds=01" → int 1: type wrong, leading zero
+    GONE). Every append stamps its physical schema (r8), and readers
+    pin partition-column types from the newest stamp — type and exact
+    values survive, and a second append passes the strict check."""
+    from wikistream_lakehouse_spark.lakehouse import txn
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "01").otherwise("2").alias("ds"),
+    )
+    txn.append(df.coalesce(1), t, partition_by=["ds"])
+    out = txn.read_table(spark, t)
+    assert dict(out.dtypes)["ds"] == "string"
+    assert sorted(set(r.ds for r in out.collect())) == ["01", "2"]
+    # strict second append: the pre-fix failure mode was a bogus
+    # "table has ds:int, append has ds:string" refusal
+    txn.append(df.coalesce(1), t)
+    assert txn.read_table(spark, t).count() == 20
+    assert txn.read_table(spark, t).filter("ds = '01'").count() == 10

@@ -803,3 +803,67 @@ def test_update_racing_constraint_takes_slow_path(
         txn.update_where(spark, t, {"v": "v + 1000"}, "k = 7")
     rows = {r.k: r.v for r in txn.read_table(spark, t).collect()}
     assert rows[7] == 14.0  # nothing leaked
+
+
+def test_delete_racing_set_partitioning_takes_slow_path(
+    spark, tmp_path, monkeypatch
+):
+    """A raced-in METADATA op must force re-execution, never a
+    re-stamp (ADVICE r7: the slow-path list omitted set_partitioning —
+    a re-stamped rewrite would silently predate the spec its commit
+    records). Derived from _METADATA_OPS now, so this pins the class."""
+    t = str(tmp_path / "t")
+    txn.append(
+        _kv(spark, 0, 100).withColumn(
+            "b", (F.col("k") % 2).cast("string")
+        ),
+        t,
+    )
+    writes = []
+    real_write = txn._write_data_files
+
+    def spy(df, path, pb, store=None):
+        writes.append(1)
+        return real_write(df, path, pb, store)
+
+    monkeypatch.setattr(txn, "_write_data_files", spy)
+    _race_in(
+        monkeypatch, "delete",
+        lambda: txn.set_partitioning(spark, t, ["b"]),
+    )
+    v = txn.delete_where(spark, t, "k < 10")
+    assert v == txn.current_version(t)
+    # TWO rewrite executions (original + re-run after the lost race):
+    # the racer itself writes no data files
+    assert len(writes) == 2, writes
+    rows = {r.k for r in txn.read_table(spark, t).collect()}
+    assert rows == set(range(10, 100))
+
+
+def test_delete_racing_set_stats_columns_takes_slow_path(
+    spark, tmp_path, monkeypatch
+):
+    """Same class: a raced-in set_stats_columns means the re-stamped
+    adds would lack the newly-declared stats — slow path required."""
+    t = str(tmp_path / "t")
+    txn.append(_kv(spark, 0, 100), t)
+    writes = []
+    real_write = txn._write_data_files
+
+    def spy(df, path, pb, store=None):
+        writes.append(1)
+        return real_write(df, path, pb, store)
+
+    monkeypatch.setattr(txn, "_write_data_files", spy)
+    _race_in(
+        monkeypatch, "delete",
+        lambda: txn.set_stats_columns(t, ["k"]),
+    )
+    v = txn.delete_where(spark, t, "k < 10")
+    assert v == txn.current_version(t)
+    # TWO rewrite executions: the loser re-ran, it did not re-stamp
+    assert len(writes) == 2, writes
+    rows = {r.k for r in txn.read_table(spark, t).collect()}
+    assert rows == set(range(10, 100))
+    # and the raced-in declaration is the table's active stats policy
+    assert txn.stats_columns(t) == ["k"]

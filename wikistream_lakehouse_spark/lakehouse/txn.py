@@ -1043,6 +1043,7 @@ _METADATA_OPS = (
     "rename_column",
     "drop_column",
     "set_partitioning",
+    "set_stats_columns",
 )  # no content change
 
 
@@ -1401,32 +1402,54 @@ def _refuse_mixed_layout(
         )
 
 
-def _evolution_physical_types(
+def _stamped_physical_types(
     table_path: str,
     store: "LogStore | None" = None,
     upto: int | None = None,
 ) -> "dict | None":
-    """Authoritative physical column types for a partition-EVOLVED
-    table: the schema its ``set_partitioning`` commit stamped
-    (``physicalSchemaJson``). None for never-evolved tables — gated on
-    the checkpoint-bounded feature union, so the extra reverse log scan
-    is paid only once evolution has actually happened. Needed because a
-    migrated layout may path-encode a column whose raw values LOOK like
-    another type ("bucket=1" for a string column) and directory
-    inference alone would misreport it."""
-    if "partitionEvolution" not in writer_features(table_path, store):
-        return None
+    """Authoritative PHYSICAL column types from the newest commit at or
+    before ``upto`` that stamped a physical schema — every append stamps
+    ``physicalSchemaJson`` (r8), and ``set_partitioning``/``clone``
+    stamp one under ``meta``. Readers seed schema pinning from this
+    because directory inference alone MISREPORTS a string partition
+    column whose raw values look numeric ("ds=01" → int 1, value
+    corrupted) — path-encoded columns have no footer to consult, so the
+    log is the only type authority. None only for legacy logs with no
+    stamp anywhere. The reverse scan normally stops at the newest
+    append (O(1) entry reads); a long metadata-only tail walks back to
+    it."""
     from pyspark.sql.types import StructType
 
     for v in reversed(_committed_versions(table_path, store)):
         if upto is not None and v > upto:
             continue
         e = _load_entry(table_path, v, store) or {}
-        s = (e.get("meta") or {}).get("physicalSchemaJson")
+        s = e.get("physicalSchemaJson") or (e.get("meta") or {}).get(
+            "physicalSchemaJson"
+        )
         if s:
             sch = StructType.fromJson(json.loads(s))
             return {f.name: f.dataType for f in sch.fields}
     return None
+
+
+def _physical_schema_json(
+    df: DataFrame, table_path: str, store: "LogStore | None" = None
+) -> str:
+    """``df``'s schema under PHYSICAL column names, as the JSON every
+    append stamps into its commit entry (``_stamped_physical_types``
+    reads it back)."""
+    from pyspark.sql.types import StructField, StructType
+
+    mapping, _dropped = _column_mapping_state(table_path, store=store)
+    return json.dumps(
+        StructType(
+            [
+                StructField(mapping.get(f.name, f.name), f.dataType, True)
+                for f in df.schema.fields
+            ]
+        ).jsonValue()
+    )
 
 
 def _layout_grouped_parquet(
@@ -1436,6 +1459,7 @@ def _layout_grouped_parquet(
     with_rowpos: bool = False,
     pin_schema: bool = True,
     known_types: "dict | None" = None,
+    pinned_schema=None,
 ):
     """Read ``files`` as one relation across partition-layout groups.
 
@@ -1470,6 +1494,46 @@ def _layout_grouped_parquet(
         groups.setdefault(_file_layout(f), []).append(f)
     grouped = sorted(groups.items())
     rd = make_reader
+    if pinned_schema is not None and len(grouped) > 1:
+        # type-widened read over MIXED layouts (widening and partition
+        # evolution composed, in either order): the wide-schema stamp
+        # carries data columns of ONE spec's view, but a column
+        # path-encoded in one layout is footer-stored in another — a
+        # group reading it as data under a pinned schema that omits it
+        # drops the column and the cross-group union fails with
+        # NUM_COLUMNS_MISMATCH (ADVICE r7 high). Augment the pinned
+        # schema ONCE with every path-encoded column it omits, typed
+        # from the set_partitioning stamp (_stamped_physical_types):
+        # groups that path-encode the column cast its raw path string
+        # to the schema type, groups that store it read the footer,
+        # groups that predate it null-fill — every group resolves the
+        # same logical column set.
+        from pyspark.sql.types import StructField, StructType
+
+        all_enc: set = set()
+        for key, _gf in grouped:
+            all_enc |= set(key)
+        all_enc.discard(_COMMIT_COL)
+        have = {f.name for f in pinned_schema.fields}
+        missing = sorted(all_enc - have)
+        if missing:
+            untyped = [c for c in missing if c not in (known_types or {})]
+            if untyped:
+                raise ValueError(
+                    f"cannot reconstruct types for path-encoded columns "
+                    f"{untyped} in {table_path}: no set_partitioning "
+                    "schema stamp covers them"
+                )
+            pinned_schema = StructType(
+                list(pinned_schema.fields)
+                + [StructField(c, known_types[c], True) for c in missing]
+            )
+        eff = pinned_schema
+
+        def rd():
+            # a second .schema() call overrides the one make_reader baked
+            return make_reader().schema(eff)
+
     needs_pin = pin_schema and (
         len(grouped) > 1
         or (known_types and any(c in known_types for c in grouped[0][0]))
@@ -1702,7 +1766,8 @@ def _table_schema(
     # class every snapshot read already pays.
     df = _layout_grouped_parquet(
         make_reader, table_path, files, pin_schema=ws is None,
-        known_types=_evolution_physical_types(table_path, store),
+        known_types=_stamped_physical_types(table_path, store),
+        pinned_schema=ws,
     ).drop(_COMMIT_COL)
     mapping, dropped = _column_mapping_state(table_path, store=store)
     if mapping or dropped:
@@ -1715,15 +1780,19 @@ def _append_schema_state(
     table_path: str,
     store: "LogStore | None",
     merge_schema: bool,
-    pb: list[str],
 ) -> "tuple[bool, str | None]":
     """Append-time schema validation, widening-aware: (schemaEvolved
     flag, wideSchemaJson to stamp or None). A stamp is produced when
     this append widens a type, OR when widening is already active and
     the column set changes (the union read schema must learn the new
     columns — the newest stamp since the last full rewrite is the
-    authoritative snapshot schema). Stored under PHYSICAL names, data
-    columns only (partition columns come from directory inference)."""
+    authoritative snapshot schema). Stored under PHYSICAL names,
+    PARTITION COLUMNS INCLUDED: an explicit reader schema casts raw
+    path strings to the declared type, whereas leaving them to
+    directory inference misreports a string column whose values look
+    numeric ("ds=1" → int), and omitting them wedges mixed-layout
+    reads where another layout group stores them as data
+    (ADVICE r7 high)."""
     if not merge_schema:
         _check_schema(df, table_path, store)
         return False, None
@@ -1740,7 +1809,6 @@ def _append_schema_state(
         [
             StructField(mapping.get(f.name, f.name), f.dataType, True)
             for f in union.fields
-            if f.name not in pb
         ]
     )
     return evolved, phys.json()
@@ -1830,7 +1898,8 @@ def snapshot(
     df = _layout_grouped_parquet(
         make_reader, table_path, files,
         with_rowpos=bool(dvs), pin_schema=ws is None,
-        known_types=_evolution_physical_types(table_path, store),
+        known_types=_stamped_physical_types(table_path, store, upto=v),
+        pinned_schema=ws,
     )
     if dvs:
         # merge-on-read: subtract DV-marked positions (anti-join on the
@@ -2380,8 +2449,9 @@ def append(
     _check_writer_features(table_path, store)
     df = _apply_generated(df, table_path, store)
     pb = _resolve_partition_by(table_path, partition_by, store)
-    evolved, wide_json = _append_schema_state(df, table_path, store, merge_schema, pb)
+    evolved, wide_json = _append_schema_state(df, table_path, store, merge_schema)
     stats_cols = _effective_stats_cols(table_path, stats_cols, df, store, pb)
+    phys_json = _physical_schema_json(df, table_path, store)
     adds, sub = _write_data_files(df, table_path, pb, store)
     try:
         _validate_constraints(df.sparkSession, table_path, adds, store)
@@ -2392,6 +2462,10 @@ def append(
         )
         for _ in range(max_retries):
             entry = _entry("append", adds, [], pb, meta)
+            # physical-type authority for readers: path-encoded columns
+            # have no footer, and directory inference corrupts a string
+            # partition value that looks numeric ("ds=01")
+            entry["physicalSchemaJson"] = phys_json
             if evolved:
                 entry["schemaEvolved"] = True
             if wide_json:
@@ -2403,7 +2477,7 @@ def append(
             if _try_commit(table_path, v, entry, store):
                 return v
             # lost the race: someone committed — re-validate against them
-            ev2, wj2 = _append_schema_state(df, table_path, store, merge_schema, pb)
+            ev2, wj2 = _append_schema_state(df, table_path, store, merge_schema)
             evolved = ev2 or evolved
             wide_json = wj2 or wide_json
             pb_now = _current_partitioning(table_path, store)
@@ -2454,6 +2528,7 @@ def rewrite(
     if enforce_schema:
         _check_schema(df, table_path, store)
     stats_cols = _effective_stats_cols(table_path, stats_cols, df, store, pb)
+    phys_json = _physical_schema_json(df, table_path, store)
     adds, sub = _write_data_files(df, table_path, pb, store)
     try:
         _validate_constraints(df.sparkSession, table_path, adds, store)
@@ -2550,7 +2625,7 @@ def set_partitioning(
                 # path-encoded its type can no longer be read from any
                 # footer, and directory inference guesses ("bucket=1"
                 # for a string column infers int) — readers seed their
-                # schema from this stamp (_evolution_physical_types)
+                # schema from this stamp (_stamped_physical_types)
                 "physicalSchemaJson": json.dumps(
                     StructType(
                         [
@@ -3148,7 +3223,7 @@ def clone_table(
     _parallel_file_ops(_link_one, files + dvs)
     pb = _current_partitioning(src_path, store, upto=v)
     meta = {"cloneSource": os.path.abspath(src_path), "cloneSourceVersion": v}
-    src_types = _evolution_physical_types(src_path, store, upto=v)
+    src_types = _stamped_physical_types(src_path, store, upto=v)
     if src_types is not None:
         # a partition-evolved source's linked files may path-encode
         # columns whose types no footer records; the clone's fresh log
@@ -3474,7 +3549,8 @@ def _read_files(
     df = _layout_grouped_parquet(
         make_reader, table_path, files,
         with_rowpos=bool(dvs) or keep_rowpos, pin_schema=ws is None,
-        known_types=_evolution_physical_types(table_path, store),
+        known_types=_stamped_physical_types(table_path, store),
+        pinned_schema=ws,
     )
     if dvs or keep_rowpos:
         if dvs:
@@ -3632,13 +3708,15 @@ def _commit_delta_is_disjoint(
         if v <= lo or v > hi:
             continue
         e = _load_entry(table_path, v, store) or {}
-        if e.get("op") in (
-            "set_constraint", "drop_constraint", "set_generated",
-            "drop_generated", "rename_column", "drop_column", "restore",
-        ):
-            # raced-in table metadata (a constraint our written values
-            # were never validated against, a mapping change, a
-            # rollback): always take the slow path
+        if e.get("op") in _METADATA_OPS + ("restore",):
+            # raced-in table metadata (a constraint our values were
+            # never validated against, a mapping change, a partition
+            # spec our files predate, a stats/bloom declaration our
+            # adds don't carry, a rollback): always take the slow path.
+            # Derived from _METADATA_OPS so a NEW metadata op forces
+            # the slow path by default (ADVICE r7: the hand-maintained
+            # literal list silently omitted set_partitioning and
+            # set_stats_columns)
             return False
         w_adds += e.get("add", [])
         w_removes |= set(e.get("remove", []))

@@ -463,7 +463,7 @@ class TxnTableDataSource(DataSource):
         # Types: the log's partition-evolution stamp when present, else
         # a conservative scan of the observed directory values.
         from wikistream_lakehouse_spark.lakehouse.txn import (
-            _evolution_physical_types,
+            _stamped_physical_types,
             _partition_values,
         )
 
@@ -480,7 +480,7 @@ class TxnTableDataSource(DataSource):
             c for c in order if c not in {f.name for f in sch.fields}
         ]
         if missing_cols:
-            stamped = _evolution_physical_types(path) or {}
+            stamped = _stamped_physical_types(path) or {}
             sch = StructType(
                 list(sch.fields)
                 + [

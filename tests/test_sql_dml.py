@@ -154,3 +154,105 @@ def test_dml_composes_with_history_and_cdf(spark, reg):
     cdf = txn.table_changes_cdf(spark, reg, 0, txn.current_version(reg))
     kinds = {r["_change_type"] for r in cdf.select("_change_type").collect()}
     assert kinds == {"delete", "insert"}
+
+
+# --------------------------------------------------------------------------
+# Conditional MERGE grammar (VERDICT r7 next #1): WHEN clause parsing
+# routes to merge_builder; the exact upsert-all shorthand keeps its
+# transactional_upsert route.
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def merge_pair(spark, tmp_path):
+    t = str(tmp_path / "mt")
+    txn.append(_kv(spark, 0, 10), t)
+    catalog.register_table(spark, "m_t", t)
+    spark.createDataFrame(
+        [
+            (2, -2.0, "D"),
+            (3, -3.0, "U"),
+            (11, -11.0, "U"),
+        ],
+        "k long, v double, op string",
+    ).createOrReplaceTempView("m_src")
+    yield t
+    catalog.unregister_table(spark, "m_t")
+    spark.catalog.dropTempView("m_src")
+
+
+def test_merge_conditional_clauses_sql(spark, merge_pair):
+    v = catalog.sql_dml(
+        spark,
+        """MERGE INTO m_t AS t USING m_src AS s ON t.k = s.k
+           WHEN MATCHED AND s.op = 'D' THEN DELETE
+           WHEN MATCHED THEN UPDATE SET v = s.v, tag = 'upd'
+           WHEN NOT MATCHED AND s.op <> 'D' THEN
+               INSERT (k, v, tag) VALUES (s.k, s.v, 'new')
+           WHEN NOT MATCHED BY SOURCE AND t.k >= 8 THEN DELETE""",
+    )
+    assert v == txn.current_version(merge_pair)
+    rows = {
+        (r.k, r.v, r.tag) for r in spark.table("m_t").collect()
+    }
+    expected = (
+        {(k, k * 2.0, str(k % 3)) for k in range(10) if k not in (2, 3, 8, 9)}
+        | {(3, -3.0, "upd"), (11, -11.0, "new")}
+    )
+    assert rows == expected
+
+
+def test_merge_update_set_star_and_insert_star_sql(spark, merge_pair):
+    """The * forms with a condition route through the builder (not the
+    shorthand path) and take source values column-by-column."""
+    catalog.sql_dml(
+        spark,
+        """MERGE INTO m_t AS t USING m_src AS s ON t.k = s.k
+           WHEN MATCHED AND s.op = 'U' THEN UPDATE SET *
+           WHEN NOT MATCHED THEN INSERT *""",
+    )
+    rows = {(r.k, r.v) for r in spark.table("m_t").collect()}
+    assert (3, -3.0) in rows            # conditionally updated
+    assert (2, 4.0) in rows             # op='D': condition false, kept
+    assert (11, -11.0) in rows          # inserted
+    # m_src has no 'tag': UPDATE SET * keeps target tag, INSERT * nulls
+    tag11 = spark.table("m_t").filter("k = 11").first().tag
+    assert tag11 is None
+
+
+def test_merge_shorthand_still_routes_to_upsert(spark, merge_pair, monkeypatch):
+    calls = []
+    real = txn.transactional_upsert
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(txn, "transactional_upsert", spy)
+    spark.createDataFrame(
+        [(1, -1.0, "z")], "k long, v double, tag string"
+    ).createOrReplaceTempView("m_src2")
+    catalog.sql_dml(
+        spark,
+        "MERGE INTO m_t AS t USING m_src2 AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *",
+    )
+    assert calls == [1]
+    assert spark.table("m_t").filter("k = 1").first().v == -1.0
+    spark.catalog.dropTempView("m_src2")
+
+
+def test_merge_bad_when_clause_refused(spark, merge_pair):
+    with pytest.raises(ValueError, match="unparseable WHEN clause"):
+        catalog.sql_dml(
+            spark,
+            "MERGE INTO m_t USING m_src ON m_t.k = m_src.k "
+            "WHEN SORT OF MATCHED THEN UPDATE SET *",
+        )
+    with pytest.raises(ValueError, match="arity"):
+        catalog.sql_dml(
+            spark,
+            "MERGE INTO m_t USING m_src ON m_t.k = m_src.k "
+            "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k)",
+        )

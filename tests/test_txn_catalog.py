@@ -107,3 +107,41 @@ def test_register_respects_column_mapping(spark, t):
         "SELECT key FROM mapped WHERE key = 7"
     ).collect()
     assert len(out) == 1
+
+
+def test_bindings_are_per_session_and_die_with_the_session(spark, t):
+    """The binding registry holds sessions WEAKLY (ADVICE r7: an
+    id(spark)-keyed dict let CPython reuse a dead session's id and
+    resurrect its bindings for a stranger). A sibling session sees no
+    bindings it never registered, and a garbage-collected session's
+    entry disappears from the registry entirely."""
+    import gc
+
+    catalog.register_table(spark, "weak_t", t)
+    assert catalog.registered_version(spark, "weak_t") >= 0
+    sibling = spark.newSession()
+    try:
+        with pytest.raises(ValueError, match="not a registered"):
+            catalog.registered_version(sibling, "weak_t")
+        catalog.register_table(sibling, "weak_t", t)
+        n_before = len(catalog._BINDINGS)
+        assert n_before >= 2
+    finally:
+        # pyspark retains the newest session in two places: the
+        # class-wide active-session slot and the RDD.toDF monkey-patch
+        # closure (replaced only by the NEXT session's constructor).
+        # Clear both — the lifecycle a notebook server goes through
+        # when it tears one session down and opens another.
+        from pyspark.sql import SparkSession
+
+        del sibling
+        SparkSession._activeSession = spark
+        SparkSession._instantiatedSession = spark
+        spark.newSession()  # displaces the toDF closure cell
+        gc.collect()
+    assert len(catalog._BINDINGS) < n_before
+    # the surviving session's binding is untouched
+    assert catalog.registered_version(spark, "weak_t") >= 0
+    catalog.unregister_table(spark, "weak_t")
+    with pytest.raises(ValueError, match="not a registered"):
+        catalog.registered_version(spark, "weak_t")

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import re
+import weakref
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,13 +39,19 @@ class _Binding:
     store: "txn.LogStore | None"
 
 
-#: (id(sparkSession), name) → binding. Keyed per session: temp views
-#: are session-scoped, so the registry must be too.
-_BINDINGS: dict[tuple[int, str], _Binding] = {}
+#: session → {name → binding}. Keyed per session object: temp views
+#: are session-scoped, so the registry must be too. A WEAK key (not
+#: ``id(spark)``): CPython reuses a garbage-collected session's id, so
+#: an int key could silently resurrect a dead session's bindings for a
+#: new session that never registered them (ADVICE r7 low #4) — the
+#: weak entry dies with the session instead, and nothing accumulates.
+_BINDINGS: "weakref.WeakKeyDictionary[SparkSession, dict[str, _Binding]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
-def _key(spark: SparkSession, name: str) -> tuple[int, str]:
-    return (id(spark), name)
+def _session_bindings(spark: SparkSession) -> "dict[str, _Binding]":
+    return _BINDINGS.setdefault(spark, {})
 
 
 def register_table(
@@ -69,7 +76,7 @@ def register_table(
         raise ValueError(f"no committed data in {path}")
     df = txn.read_table(spark, path, version=v, store=store)
     df.createOrReplaceTempView(name)
-    _BINDINGS[_key(spark, name)] = _Binding(
+    _session_bindings(spark)[name] = _Binding(
         path=path, pinned=pinned, version=v, store=store
     )
     return v
@@ -80,7 +87,7 @@ def refresh_table(spark: SparkSession, name: str) -> int:
     commits become visible to subsequent SQL); returns the now-bound
     version. A version-pinned binding is immutable: refresh is a no-op
     returning its pinned version."""
-    b = _BINDINGS.get(_key(spark, name))
+    b = _session_bindings(spark).get(name)
     if b is None:
         raise ValueError(f"{name!r} is not a registered txn table")
     if b.pinned:
@@ -88,7 +95,7 @@ def refresh_table(spark: SparkSession, name: str) -> int:
     v = txn.current_version(b.path, b.store)
     df = txn.read_table(spark, b.path, version=v, store=b.store)
     df.createOrReplaceTempView(name)
-    _BINDINGS[_key(spark, name)] = _Binding(
+    _session_bindings(spark)[name] = _Binding(
         path=b.path, pinned=False, version=v, store=b.store
     )
     return v
@@ -96,20 +103,20 @@ def refresh_table(spark: SparkSession, name: str) -> int:
 
 def unregister_table(spark: SparkSession, name: str) -> None:
     """Drop the SQL binding (the table itself is untouched)."""
-    _BINDINGS.pop(_key(spark, name), None)
+    _session_bindings(spark).pop(name, None)
     spark.catalog.dropTempView(name)
 
 
 def registered_version(spark: SparkSession, name: str) -> int:
     """The version the SQL name currently serves."""
-    b = _BINDINGS.get(_key(spark, name))
+    b = _session_bindings(spark).get(name)
     if b is None:
         raise ValueError(f"{name!r} is not a registered txn table")
     return b.version
 
 
 def _resolve_path(spark: SparkSession, name_or_path: str) -> "tuple[str, txn.LogStore | None]":
-    b = _BINDINGS.get(_key(spark, name_or_path))
+    b = _session_bindings(spark).get(name_or_path)
     if b is not None:
         return b.path, b.store
     return name_or_path, None
@@ -138,9 +145,23 @@ _MERGE_RE = re.compile(
     rf"^\s*MERGE\s+INTO\s+({_IDENT})(?:\s+AS\s+({_IDENT}))?"
     rf"\s+USING\s+({_IDENT})(?:\s+AS\s+({_IDENT}))?"
     rf"\s+ON\s+(.+?)"
-    rf"\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*"
-    rf"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$",
+    rf"(?=\s+WHEN\s+)(.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
+)
+_WHEN_MATCHED_RE = re.compile(
+    r"(?is)^MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+"
+    r"(UPDATE\s+SET\s+.+|DELETE)\s*$"
+)
+_WHEN_NOT_BY_SOURCE_RE = re.compile(
+    r"(?is)^NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+?))?\s+THEN\s+"
+    r"(UPDATE\s+SET\s+.+|DELETE)\s*$"
+)
+_WHEN_NOT_MATCHED_RE = re.compile(
+    r"(?is)^NOT\s+MATCHED(?:\s+BY\s+TARGET)?(?:\s+AND\s+(.+?))?\s+THEN\s+"
+    r"INSERT\s+(.+)$"
+)
+_INSERT_BODY_RE = re.compile(
+    r"(?is)^\(\s*(.+?)\s*\)\s*VALUES\s*\(\s*(.+?)\s*\)\s*$"
 )
 _ASSIGN_RE = re.compile(rf"^\s*({_IDENT})\s*=\s*(\S.*?)\s*$", re.DOTALL)
 _EQ_RE = re.compile(
@@ -151,10 +172,13 @@ _DML_GRAMMAR = """supported DML grammar (registered txn names only):
   DELETE FROM t WHERE <predicate>
   UPDATE t SET col = <expr>[, ...] WHERE <predicate>
   INSERT INTO t [(col, ...)] SELECT ... | VALUES (...), ...
-  MERGE INTO t [AS a] USING s [AS b] ON a.k = b.k [AND ...]
-      WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+  MERGE INTO t [AS a] USING s [AS b] ON <condition>
+      WHEN MATCHED [AND <cond>] THEN UPDATE SET * | UPDATE SET c=e,... | DELETE
+      WHEN NOT MATCHED [AND <cond>] THEN INSERT * | INSERT (c,...) VALUES (e,...)
+      WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE | UPDATE SET c=e,...
+    (clauses evaluate first-match-wins, in statement order)
 Reads (SELECT ...) go straight to spark.sql(); richer writes use the
-txn API directly (txn.delete_where / update_where / transactional_upsert)."""
+txn API directly (txn.delete_where / update_where / merge_builder.merge)."""
 
 
 def _split_top_level(s: str) -> list[str]:
@@ -193,7 +217,7 @@ def _split_top_level(s: str) -> list[str]:
 
 
 def _writable_binding(spark: SparkSession, name: str) -> _Binding:
-    b = _BINDINGS.get(_key(spark, name))
+    b = _session_bindings(spark).get(name)
     if b is None:
         raise ValueError(
             f"{name!r} is not a registered txn table — register_table() "
@@ -249,6 +273,7 @@ def sql_dml(
     spark: SparkSession,
     statement: str,
     delete_mode: str = "cow",
+    merge_mode: str = "mor",
 ) -> "int | None":
     """Route one DML statement against a REGISTERED txn-table name to
     the transactional engine — the write half of the analyst SQL
@@ -263,9 +288,14 @@ def sql_dml(
       (the query body is evaluated by ``spark.sql`` so it can read any
       registered view; explicit column lists bind positionally and
       null-fill the rest),
-    * ``MERGE INTO t USING s ON t.k = s.k … UPDATE SET * / INSERT *``
-      (the Delta upsert-all shorthand) → ``txn.transactional_upsert``
-      keyed on the equi-join columns.
+    * ``MERGE INTO t USING s ON … WHEN …`` → the full conditional
+      clause set (``WHEN MATCHED [AND c] THEN UPDATE SET …/DELETE``,
+      ``WHEN NOT MATCHED [AND c] THEN INSERT …``, ``WHEN NOT MATCHED
+      BY SOURCE [AND c] THEN UPDATE/DELETE``) routes to
+      ``merge_builder.merge`` (``merge_mode`` picks MoR vs CoW); the
+      exact upsert-all shorthand (``UPDATE SET * / INSERT *``, no
+      conditions) keeps its original ``txn.transactional_upsert``
+      route.
 
     The target must be a latest-bound registration (version-pinned
     bindings are read-only); after the commit the binding auto-
@@ -311,34 +341,151 @@ def sql_dml(
         return v
     m = _MERGE_RE.match(statement)
     if m:
-        name, t_alias, src, s_alias, cond = m.groups()
-        t_names = {name.lower(), (t_alias or name).lower()}
-        s_names = {src.lower(), (s_alias or src).lower()}
-        keys = []
-        for clause in re.split(r"\s+AND\s+", cond, flags=re.IGNORECASE):
-            em = _EQ_RE.match(clause)
-            if not em:
-                raise ValueError(
-                    f"MERGE ON supports only conjunctions of "
-                    f"alias.col = alias.col equalities; got {clause!r}\n"
-                    f"{_DML_GRAMMAR}"
-                )
-            qa, ca, qb, cb = em.groups()
-            sides = {qa.lower(): ca, qb.lower(): cb}
-            t_side = [c for q, c in sides.items() if q in t_names]
-            s_side = [c for q, c in sides.items() if q in s_names]
-            if len(t_side) != 1 or len(s_side) != 1 or ca != cb:
-                raise ValueError(
-                    f"MERGE ON clause {clause!r} must equate the same "
-                    "column across the two tables (upsert-all shorthand)"
-                )
-            keys.append(t_side[0])
+        name, t_alias, src, s_alias, cond, when_tail = m.groups()
+        clauses = _parse_when_clauses(when_tail)
         b = _writable_binding(spark, name)
         source = spark.table(src)
-        v = txn.transactional_upsert(spark, b.path, source, keys, store=b.store)
+        if _is_upsert_all_shorthand(clauses):
+            # the r7 shorthand keeps its original engine route (CoW
+            # set-algebra rewrite): same-named equi keys required
+            keys = _upsert_keys(name, t_alias, src, s_alias, cond)
+            v = txn.transactional_upsert(
+                spark, b.path, source, keys, store=b.store
+            )
+        else:
+            from wikistream_lakehouse_spark.lakehouse.merge_builder import (
+                merge as _merge,
+            )
+
+            builder = _merge(
+                b.path,
+                source,
+                on=cond,
+                target_alias=t_alias or name,
+                source_alias=s_alias or src,
+                store=b.store,
+            )
+            for side, kind, c_cond, assigns in clauses:
+                if side == "matched" and kind == "update":
+                    builder.when_matched_update(c_cond, assigns)
+                elif side == "matched":
+                    builder.when_matched_delete(c_cond)
+                elif side == "not_matched":
+                    builder.when_not_matched_insert(c_cond, assigns)
+                elif kind == "update":
+                    builder.when_not_matched_by_source_update(c_cond, assigns)
+                else:
+                    builder.when_not_matched_by_source_delete(c_cond)
+            v = builder.execute(spark, mode=merge_mode)
         refresh_table(spark, name)
         return v
     raise ValueError(f"unsupported DML statement\n{_DML_GRAMMAR}")
+
+
+def _parse_set_list(set_sql: str) -> "dict[str, str]":
+    assigns = {}
+    for part in _split_top_level(set_sql):
+        am = _ASSIGN_RE.match(part)
+        if not am:
+            raise ValueError(
+                f"unparseable SET assignment {part!r}\n{_DML_GRAMMAR}"
+            )
+        assigns[am.group(1)] = am.group(2)
+    return assigns
+
+
+def _parse_when_clauses(tail: str):
+    """Tokenize the WHEN-clause tail into (side, kind, condition,
+    assignments) tuples in statement order; assignments is None for the
+    * forms and DELETE."""
+    out = []
+    tail = re.sub(r"(?is)^\s*WHEN\s+", "", tail.strip())
+    for raw in re.split(r"(?i)\s+WHEN\s+", tail):
+        raw = raw.strip()
+        if not raw:
+            continue
+        bm = _WHEN_NOT_BY_SOURCE_RE.match(raw)
+        nm = None if bm else _WHEN_NOT_MATCHED_RE.match(raw)
+        mm = None if (bm or nm) else _WHEN_MATCHED_RE.match(raw)
+        if bm:
+            c_cond, action = bm.groups()
+            if action.strip().upper() == "DELETE":
+                out.append(("by_source", "delete", c_cond, None))
+            else:
+                set_sql = re.sub(r"(?is)^UPDATE\s+SET\s+", "", action)
+                out.append(
+                    ("by_source", "update", c_cond, _parse_set_list(set_sql))
+                )
+        elif nm:
+            c_cond, body = nm.groups()
+            body = body.strip().rstrip(";").strip()
+            if body == "*":
+                out.append(("not_matched", "insert", c_cond, None))
+            else:
+                ib = _INSERT_BODY_RE.match(body)
+                if not ib:
+                    raise ValueError(
+                        f"unparseable INSERT body {body!r}\n{_DML_GRAMMAR}"
+                    )
+                cols = [c.strip() for c in _split_top_level(ib.group(1))]
+                vals = _split_top_level(ib.group(2))
+                if len(cols) != len(vals):
+                    raise ValueError(
+                        f"INSERT arity mismatch: {len(vals)} values for "
+                        f"columns {cols}"
+                    )
+                out.append(
+                    ("not_matched", "insert", c_cond, dict(zip(cols, vals)))
+                )
+        elif mm:
+            c_cond, action = mm.groups()
+            if action.strip().upper() == "DELETE":
+                out.append(("matched", "delete", c_cond, None))
+            else:
+                set_sql = re.sub(r"(?is)^UPDATE\s+SET\s+", "", action).strip()
+                if set_sql.rstrip(";").strip() == "*":
+                    out.append(("matched", "update", c_cond, None))
+                else:
+                    out.append(
+                        ("matched", "update", c_cond, _parse_set_list(set_sql))
+                    )
+        else:
+            raise ValueError(
+                f"unparseable WHEN clause {('WHEN ' + raw)!r}\n{_DML_GRAMMAR}"
+            )
+    return out
+
+
+def _is_upsert_all_shorthand(clauses) -> bool:
+    return clauses == [
+        ("matched", "update", None, None),
+        ("not_matched", "insert", None, None),
+    ]
+
+
+def _upsert_keys(name, t_alias, src, s_alias, cond) -> list:
+    t_names = {name.lower(), (t_alias or name).lower()}
+    s_names = {src.lower(), (s_alias or src).lower()}
+    keys = []
+    for clause in re.split(r"\s+AND\s+", cond, flags=re.IGNORECASE):
+        em = _EQ_RE.match(clause)
+        if not em:
+            raise ValueError(
+                f"MERGE ON supports only conjunctions of "
+                f"alias.col = alias.col equalities; got {clause!r}\n"
+                f"{_DML_GRAMMAR}"
+            )
+        qa, ca, qb, cb = em.groups()
+        sides = {qa.lower(): ca, qb.lower(): cb}
+        t_side = [c for q, c in sides.items() if q in t_names]
+        s_side = [c for q, c in sides.items() if q in s_names]
+        if len(t_side) != 1 or len(s_side) != 1 or ca != cb:
+            raise ValueError(
+                f"MERGE ON clause {clause!r} must equate the same "
+                "column across the two tables (upsert-all shorthand)"
+            )
+        keys.append(t_side[0])
+    return keys
 
 
 def history_df(

@@ -4,11 +4,14 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Execution is measured with the noop sink (full plan runs, no driver
-collect skew) after a tiny session warmup.  Variance protocol (VERDICT r2
-next-round #4): the whole sweep repeats $SPARK_GRAFT_BENCH_RUNS times
-(default 3); per-query time is the across-sweep MEDIAN, `value` the sum
-of medians, and `spread` summarizes per-query (max - min) across sweeps
-so host-load noise is visible instead of being read as a regression.
+collect skew).  Variance protocol (VERDICT r2 #4, tightened r8 per
+VERDICT r7 #5): one UNTIMED full warm-up sweep first (JVM JIT, parquet
+footer and catalyst caches), then the timed sweep repeats
+$SPARK_GRAFT_BENCH_RUNS times (default 5); per-query time is the
+across-sweep MEDIAN, `value` the sum of medians, and `spread` reports
+the median per-query IQR and range so host-load noise is read as noise
+instead of as a regression (r7's three phantom regressions were all
+unchanged-code queries with ranges ~= their medians).
 """
 
 from __future__ import annotations
@@ -48,21 +51,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = all_queries()
-    # warmup: JVM + parquet footer caches, one tiny job
-    qs["daily_top_titles"].build(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
 
     # Sweep-outer repetition (not per-query back-to-back) so each sample
     # sees the same cache state and inter-run host drift is captured.
+    # Sweep 0 is the UNTIMED warm-up (VERDICT r7 #5): every query's plan
+    # compiles, every footer is read, the JIT warms — the timed sweeps
+    # then measure steady state.
     try:
-        n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+        n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
     except ValueError:
-        print("bench: bad SPARK_GRAFT_BENCH_RUNS, using 3", file=sys.stderr)
-        n_runs = 3
+        print("bench: bad SPARK_GRAFT_BENCH_RUNS, using 5", file=sys.stderr)
+        n_runs = 5
     samples: dict[str, list[float]] = {name: [] for name in qs}
     errors: dict[str, str] = {}
-    for _ in range(n_runs):
+    for sweep in range(n_runs + 1):
+        warmup = sweep == 0
         for name in sorted(qs):
             if name in errors:
                 continue
@@ -72,7 +75,8 @@ def main() -> None:
                 df = qs[name].build(spark, sf_dir)
                 t0 = time.perf_counter()
                 df.write.format("noop").mode("overwrite").save()
-                samples[name].append(time.perf_counter() - t0)
+                if not warmup:
+                    samples[name].append(time.perf_counter() - t0)
             except Exception as exc:  # noqa: BLE001 — record, keep sweeping
                 errors[name] = f"{type(exc).__name__}: {exc}"[:200]
                 samples.pop(name, None)
@@ -83,16 +87,31 @@ def main() -> None:
         mid = len(xs) // 2
         return xs[mid] if len(xs) % 2 else (xs[mid - 1] + xs[mid]) / 2
 
+    def quantile(xs: list[float], q: float) -> float:
+        xs = sorted(xs)
+        if len(xs) == 1:
+            return xs[0]
+        pos = q * (len(xs) - 1)
+        lo = int(pos)
+        hi = min(lo + 1, len(xs) - 1)
+        return xs[lo] + (xs[hi] - xs[lo]) * (pos - lo)
+
+    def iqr(xs: list[float]) -> float:
+        return quantile(xs, 0.75) - quantile(xs, 0.25)
+
     # 2dp: keeps the whole payload line under the driver's 2000-byte
     # stdout tail capture even as the query set grows
     timings = {n: round(median(ts), 2) for n, ts in samples.items() if ts}
     spreads = sorted(
         max(ts) - min(ts) for ts in samples.values() if ts
     ) or [0.0]
+    iqrs = sorted(iqr(ts) for ts in samples.values() if ts) or [0.0]
     spread = {
         "runs": n_runs,
         "per_query_range_p50": round(median(spreads), 2),
         "per_query_range_max": round(spreads[-1], 2),
+        "per_query_iqr_p50": round(median(iqrs), 3),
+        "per_query_iqr_max": round(iqrs[-1], 3),
     }
 
     total = round(sum(timings.values()), 4)
@@ -113,6 +132,9 @@ def main() -> None:
             n: {
                 "median": round(median(ts), 4),
                 "range": round(max(ts) - min(ts), 4),
+                # regression gates should read this: a round-over-round
+                # delta inside ~2x the IQR is noise, not drift
+                "iqr": round(iqr(ts), 4),
             }
             for n, ts in sorted(samples.items())
             if ts

@@ -1,12 +1,16 @@
-"""Registry tier discipline (VERDICT r2 next-round #9).
+"""Registry tier discipline (VERDICT r2 next-round #9; rotation
+policy added r8 per VERDICT r7 #2).
 
 The correctness driver scores only the FIRST 50 entries of
 ``all_queries()``; this test pins the ordering contract so a future
-registration can't silently displace a scored query:
+registration can't silently displace the rotation:
 
-  * the full wiki reference-parity family leads (flagship first),
-  * no rows-only (``oracle is None``) query appears in the window,
-  * no ``extra``-tagged or showcase query appears in the window,
+  * the flagship ``daily_top_titles`` leads (``entry()`` serves it),
+  * the window is entirely oracle-backed,
+  * ROTATION: no never-driver-scored oracle query sits past the window
+    while a previously-scored one occupies a slot inside it — each
+    round's window spends its slots on queries that have never had a
+    hard driver-side CORRECTNESS row,
   * names are unique and every entry round-trips through
     ``__spark_entry__``'s queries()/oracle_sql() views.
 """
@@ -18,43 +22,37 @@ from wikistream_lakehouse_spark.queries import all_queries
 SCORED_WINDOW = 50
 
 
-def test_scored_window_has_wiki_family_first_and_no_weak_tiers():
+def test_scored_window_rotation_discipline():
+    from wikistream_lakehouse_spark.queries.registry import _DRIVER_SCORED
+
     qs = all_queries()
     names = list(qs)
     window = names[:SCORED_WINDOW]
 
     assert names[0] == "daily_top_titles", "flagship must lead"
 
-    wiki_family = [n for n, q in qs.items() if q.build.__module__.endswith(".wiki")]
-    assert wiki_family, "wiki family must exist"
-    missing = [n for n in wiki_family if n not in window]
-    assert not missing, f"wiki family pushed past scored window: {missing}"
-    # the family is a contiguous leading block
-    assert window[: len(wiki_family)] == wiki_family
-
     for n in window:
-        q = qs[n]
-        assert q.oracle is not None, f"rows-only query {n!r} inside scored window"
-        assert "extra" not in q.tags, f"'extra'-tagged {n!r} inside scored window"
-        assert not n.endswith("_showcase"), f"showcase {n!r} inside scored window"
+        assert qs[n].oracle is not None, (
+            f"rows-only query {n!r} inside scored window"
+        )
 
-    # The converse guarantee (ADVICE r3): every scored-TIER query fits
-    # INSIDE the window. Without this, registering one more plain
-    # oracle-backed query silently pushes an existing scored query past
-    # index 50 while every per-entry assertion above still passes.
-    scored_tier = [
-        n
-        for n, q in qs.items()
-        if q.oracle is not None
-        and "extra" not in q.tags
-        and not n.endswith("_showcase")
+    # ROTATION (VERDICT r7 #2): slots go to never-driver-scored oracle
+    # queries first. If any never-scored query sits PAST the window, no
+    # previously-scored one (other than the flagship) may sit inside.
+    never = [
+        n for n, q in qs.items()
+        if q.oracle is not None and n not in _DRIVER_SCORED
     ]
-    assert len(scored_tier) <= SCORED_WINDOW, (
-        f"{len(scored_tier)} scored-tier queries for a {SCORED_WINDOW}-entry "
-        f"window — these would be silently displaced: "
-        f"{[n for n in scored_tier if n not in window]}. Tag new "
-        "oracle-backed queries 'extra' once the window is full."
-    )
+    displaced = [n for n in never if n not in window]
+    if displaced:
+        occupying = [
+            n for n in window[1:] if n in _DRIVER_SCORED
+        ]
+        assert not occupying, (
+            f"never-scored {displaced} pushed past the window while "
+            f"previously-scored {occupying} occupy slots — rotate "
+            "_DRIVER_SCORED (append this round's newly-scored names)"
+        )
 
 
 def test_rows_only_queries_sort_last():

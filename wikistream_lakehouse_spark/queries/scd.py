@@ -1,0 +1,105 @@
+"""SCD/CDC serving-table maintenance as a scored query (VERDICT r7
+next #1): the conditional MERGE builder drives a customer serving table
+through the full clause set — conditional DELETE of tombstoned keys,
+conditional UPDATE of live keys, and BY-SOURCE expiry of keys absent
+from the change batch — and the final table must equal the pure-SQL
+statement of the same semantics (the DuckDB oracle).
+
+Reference parity: the reference's serving upsert
+(``upsert_athena_aggregates.py:103-109``) is the unconditional
+update-or-insert loop into Postgres; a real CDC consumer also needs
+the conditional forms exercised here (drop tombstones, expire
+no-longer-present keys), which the reference cannot express.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wikistream_lakehouse_spark.queries.registry import register
+from wikistream_lakehouse_spark.tables import table
+
+
+@register(
+    "scd_serving_merge",
+    oracle="""
+        WITH src AS (
+            SELECT o_custkey AS k,
+                   CAST(count(*) AS BIGINT) AS n_open,
+                   CASE WHEN count(*) = 1 THEN 'D' ELSE 'U' END AS op
+            FROM orders
+            WHERE o_orderstatus = 'O'
+            GROUP BY o_custkey
+        )
+        SELECT c.c_custkey AS custkey,
+               CASE WHEN s.k IS NOT NULL
+                    THEN CAST(s.n_open AS DOUBLE)
+                    ELSE c.c_acctbal END AS acctbal,
+               CASE WHEN s.k IS NOT NULL THEN 'ACTIVE'
+                    WHEN c.c_acctbal < 0 THEN 'DORMANT'
+                    ELSE c.c_mktsegment END AS segment
+        FROM customer c
+        LEFT JOIN src s ON c.c_custkey = s.k
+        WHERE NOT (s.k IS NOT NULL AND s.op = 'D')
+        ORDER BY custkey
+    """,
+    tags=("merge", "scd", "K5"),
+)
+def scd_serving_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One CDC batch against a customer serving table, every clause
+    kind in a single conditional MERGE:
+
+    * source = per-customer open-order counts (``op='D'`` tombstones a
+      single-open-order customer, ``op='U'`` refreshes the rest),
+    * ``WHEN MATCHED AND s.op='D' THEN DELETE``,
+    * ``WHEN MATCHED THEN UPDATE SET acctbal=…, segment='ACTIVE'``,
+    * ``WHEN NOT MATCHED BY SOURCE AND t.acctbal < 0 THEN UPDATE
+      SET segment='DORMANT'`` (expire debtors the batch no longer
+      mentions).
+
+    MoR execution: the merge appends replacements + marks old positions
+    dead via deletion vectors — O(delta) writes on a table of any size;
+    probe reads are pruned to candidate files by the logged key stats.
+    The returned frame is the post-merge serving table, compared
+    value-by-value against the oracle's pure-SQL statement of the same
+    semantics."""
+    from wikistream_lakehouse_spark.lakehouse import txn
+    from wikistream_lakehouse_spark.lakehouse.merge_builder import merge
+
+    target = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    src = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("n_open"))
+        .withColumn(
+            "op", F.when(F.col("n_open") == 1, "D").otherwise("U")
+        )
+    )
+    # a fresh target per call keeps the driver's double-run determinism
+    # probe trivially exact (the merge is idempotent anyway; this also
+    # avoids cross-sf cache coupling)
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="wsls_scd_"), "serving_customers"
+    )
+    txn.append(target, path, stats_cols=["custkey"])
+    (
+        merge(path, src, on=["custkey"])
+        .when_matched_delete(condition="s.op = 'D'")
+        .when_matched_update(
+            set_={"acctbal": "CAST(s.n_open AS DOUBLE)", "segment": "'ACTIVE'"}
+        )
+        .when_not_matched_by_source_update(
+            condition="t.acctbal < 0", set_={"segment": "'DORMANT'"}
+        )
+        .execute(spark)
+    )
+    return txn.read_table(spark, path).orderBy("custkey")

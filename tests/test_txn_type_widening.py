@@ -219,3 +219,84 @@ def test_stream_source_widens_mixed_batches(spark, t, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.schema["k"].dataType.simpleString() == "bigint"
     assert out.count() == 20 and out.filter("k = 5").count() == 1
+
+
+# --------------------------------------------------------------------------
+# Decimal widening (VERDICT r7 next #4): precision/scale-up across all
+# three parquet physical encodings, same typeWidening gate, composition
+# with CDF / time travel / compact, narrowing still refused.
+# --------------------------------------------------------------------------
+
+
+def _money(spark, lo, hi, dectype):
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") + 0.25).cast(dectype).alias("price"),
+        )
+        .coalesce(1)
+    )
+
+
+def test_decimal_precision_and_scale_widening(spark, tmp_path):
+    """decimal(10,2) -> decimal(20,4): crosses the int64->binary
+    physical class AND scales up; old rows rescale losslessly, time
+    travel keeps the narrow type, CDF spans the boundary, compact
+    normalizes."""
+    from decimal import Decimal
+
+    t = str(tmp_path / "t")
+    txn.append(_money(spark, 0, 10, "decimal(10,2)"), t)
+    txn.append(_money(spark, 10, 20, "decimal(20,4)"), t, merge_schema=True)
+    df = txn.read_table(spark, t)
+    assert dict(df.dtypes)["price"] == "decimal(20,4)"
+    assert df.count() == 20
+    assert df.filter("k = 3").first().price == Decimal("3.2500")
+    # time travel: the pre-widening snapshot keeps decimal(10,2)
+    old = txn.read_table(spark, t, version=0)
+    assert dict(old.dtypes)["price"] == "decimal(10,2)"
+    assert old.first().price is not None
+    # CDF across the widening delivers both eras at the union type
+    cdf = txn.table_changes_cdf(spark, t, -1)
+    assert cdf.count() == 20
+    # a narrow LATE append is absorbed (rescaled at read)
+    txn.append(_money(spark, 20, 25, "decimal(10,2)"), t, merge_schema=True)
+    df2 = txn.read_table(spark, t)
+    assert df2.count() == 25 and dict(df2.dtypes)["price"] == "decimal(20,4)"
+    assert df2.filter("k = 22").first().price == Decimal("22.2500")
+    # compact normalizes every file to the wide type and clears the flag
+    txn.compact(spark, t)
+    df3 = txn.read_table(spark, t)
+    assert dict(df3.dtypes)["price"] == "decimal(20,4)"
+    assert txn._wide_schema(t) is None
+    assert df3.count() == 25
+
+
+def test_decimal_narrower_absorbed_cross_shrink_refused(spark, tmp_path):
+    from decimal import Decimal
+
+    t = str(tmp_path / "t")
+    txn.append(_money(spark, 0, 10, "decimal(12,4)"), t)
+    # a NARROWER append is absorbed (the table's own type is the wider
+    # one — same contract as the int lattice's narrow-late-append)
+    txn.append(_money(spark, 10, 20, "decimal(10,4)"), t, merge_schema=True)
+    df = txn.read_table(spark, t)
+    assert dict(df.dtypes)["price"] == "decimal(12,4)"
+    assert df.filter("k = 15").first().price == Decimal("15.2500")
+    # integral-digit shrink disguised as a precision bump: (12,4) has 8
+    # integral digits, (13,6) only 7 — neither widens to the other
+    with pytest.raises(ValueError, match="WIDEN"):
+        txn.append(
+            _money(spark, 10, 20, "decimal(13,6)"), t, merge_schema=True
+        )
+    # strict mode refuses even a legal widening
+    with pytest.raises(ValueError, match="mismatch"):
+        txn.append(_money(spark, 20, 30, "decimal(14,4)"), t)
+
+
+def test_decimal_widening_gated_by_reader_feature(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txn.append(_money(spark, 0, 5, "decimal(10,2)"), t)
+    txn.append(_money(spark, 5, 10, "decimal(12,2)"), t, merge_schema=True)
+    assert "typeWidening" in txn.writer_features(t)

@@ -63,7 +63,32 @@ DEFAULT_QUERIES = [
 ]
 
 
-def time_sweep(sf_dir: str, names: list[str], runs: int) -> dict[str, float]:
+def dedup_work_metrics(spark, sf_dir: str) -> dict:
+    """Deterministic work metrics behind the noisiest wall-clock ratios
+    (VERDICT r7 next #6): the MinHash band join's bucket occupancy and
+    candidate volume are a pure function of (corpus, hash params), so
+    they must be IDENTICAL across captures — they are the stable metric;
+    the wall-clock spread around them is host noise."""
+    from wikistream_lakehouse_spark.operators.minhash import (
+        exploded_shingle_hashes,
+        lsh_band_stats,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from wikistream_lakehouse_spark.tables import table
+
+    d = table(spark, sf_dir, "documents")
+    ex = exploded_shingle_hashes(d, "text", "doc_id", distinct=False)
+    sig = minhash_signatures(ex, "doc_id").persist()
+    stats = lsh_band_stats(sig).collect()[0].asDict()
+    stats["distinct_candidate_pairs"] = lsh_candidate_pairs(sig).count()
+    sig.unpersist()
+    return {k: int(v) for k, v in stats.items()}
+
+
+def time_sweep(
+    sf_dir: str, names: list[str], runs: int
+) -> "tuple[dict[str, float], dict]":
     from wikistream_lakehouse_spark.queries import all_queries
     from wikistream_lakehouse_spark.session import get_spark
 
@@ -88,6 +113,11 @@ def time_sweep(sf_dir: str, names: list[str], runs: int) -> dict[str, float]:
             except Exception as exc:  # noqa: BLE001
                 print(f"{sf_dir}: {n} FAILED: {exc}", file=sys.stderr)
                 samples[n].append(float("nan"))
+    work = (
+        dedup_work_metrics(spark, sf_dir)
+        if "minhash_near_dups" in names
+        else {}
+    )
     spark.stop()
 
     def median(xs: list[float]) -> float:
@@ -97,7 +127,7 @@ def time_sweep(sf_dir: str, names: list[str], runs: int) -> dict[str, float]:
 
     # median-of-N: the same protocol as bench.py (VERDICT r4 #4 asked to
     # unify — best-of-N reported slightly optimistic ratios)
-    return {n: median(ts) for n, ts in samples.items()}
+    return {n: median(ts) for n, ts in samples.items()}, work
 
 
 def main() -> None:
@@ -109,8 +139,8 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(REPO, ".localdata/scaling_raw.json"))
     args = ap.parse_args()
 
-    small = time_sweep(args.small, args.queries, args.runs)
-    big = time_sweep(args.big, args.queries, args.runs)
+    small, small_work = time_sweep(args.small, args.queries, args.runs)
+    big, big_work = time_sweep(args.big, args.queries, args.runs)
     rows = []
     for n in args.queries:
         s, b = small[n], big[n]
@@ -127,6 +157,9 @@ def main() -> None:
         "big_dir": args.big,
         "runs_per_sf": args.runs,
         "rows": rows,
+        # deterministic band-join work metrics: identical across captures
+        # on the same corpus by construction; compare THESE, not seconds
+        "minhash_work": {"small": small_work, "big": big_work},
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:

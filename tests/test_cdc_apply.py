@@ -1,0 +1,200 @@
+"""Streaming CDC apply (streaming/cdc_apply.py): latest-per-key collapse,
+cross-batch sequence guarding, tombstoned deletes that survive
+out-of-order arrival, exactly-once replay identity, and the purge
+retention trade — APPLY CHANGES INTO semantics on the txn table."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikistream_lakehouse_spark.lakehouse import txn
+from wikistream_lakehouse_spark.streaming.cdc_apply import (
+    DELETED_COL,
+    _apply_batch,
+    _prepared,
+    apply_changes,
+    cdc_snapshot,
+    collapse_latest,
+    purge_tombstones,
+)
+
+SCHEMA = "k long, v string, seq long, op string"
+
+
+def _write_batch_file(spark, src_dir, rows, mtime):
+    """One parquet file = one micro-batch (maxFilesPerTrigger=1); mtime
+    ordering fixes the batch order the file source discovers."""
+    os.makedirs(src_dir, exist_ok=True)
+    n_before = len([f for f in os.listdir(src_dir) if f.startswith("b")])
+    sub = os.path.join(src_dir, f"b{n_before}")
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.parquet(sub)
+    for root, _dirs, files in os.walk(src_dir):
+        for f in files:
+            p = os.path.join(root, f)
+            if f"b{n_before}" in root:
+                os.utime(p, (mtime, mtime))
+    os.utime(sub, (mtime, mtime))
+
+
+def _run(spark, src_dir, table, ckpt, app_id="cdc-test"):
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(os.path.join(src_dir, "*"))
+    )
+    q = apply_changes(
+        stream,
+        str(table),
+        keys=["k"],
+        sequence_by="seq",
+        checkpoint=str(ckpt),
+        app_id=app_id,
+        apply_as_delete="op = 'D'",
+        except_columns=("op",),
+        available_now=True,
+    )
+    q.awaitTermination(300)
+
+
+def test_collapse_latest_picks_highest_sequence_deterministically(spark):
+    rows = [
+        (1, "a", 10, "U"),
+        (1, "b", 12, "U"),
+        (1, "c", 11, "U"),
+        (2, "x", 5, "U"),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r.k: (r.v, r.seq) for r in collapse_latest(df, ["k"], "seq").collect()}
+    assert got == {1: ("b", 12), 2: ("x", 5)}
+    # exact-tie: the winner is a deterministic function of row content,
+    # so two independent collapses (a replay) agree
+    ties = spark.createDataFrame(
+        [(1, "p", 7, "U"), (1, "q", 7, "U")], SCHEMA
+    )
+    w1 = collapse_latest(ties, ["k"], "seq").collect()[0].v
+    w2 = collapse_latest(ties, ["k"], "seq").collect()[0].v
+    assert w1 == w2
+
+
+def test_apply_changes_end_to_end_out_of_order_and_deletes(spark, tmp_path):
+    src, table, ckpt = tmp_path / "src", tmp_path / "t", tmp_path / "ckpt"
+    # batch 0: initial keys; k=1 arrives three times out of order
+    _write_batch_file(
+        spark,
+        str(src),
+        [
+            (1, "a0", 10, "U"),
+            (1, "a1", 11, "U"),
+            (1, "stale", 9, "U"),
+            (2, "b0", 10, "U"),
+            (3, "c0", 10, "U"),
+            (4, "d0", 10, "U"),
+        ],
+        mtime=1_000,
+    )
+    # batch 1: delete k=2, newer update k=3, STALE update k=4, new k=5
+    _write_batch_file(
+        spark,
+        str(src),
+        [
+            (2, None, 20, "D"),
+            (3, "c1", 20, "U"),
+            (4, "old", 5, "U"),
+            (5, "e0", 20, "U"),
+        ],
+        mtime=2_000,
+    )
+    # batch 2: update OLDER than k=2's delete — must not resurrect
+    _write_batch_file(spark, str(src), [(2, "zombie", 15, "U")], mtime=3_000)
+    _run(spark, str(src), table, ckpt)
+
+    live = {r.k: (r.v, r.seq) for r in cdc_snapshot(spark, str(table)).collect()}
+    assert live == {1: ("a1", 11), 3: ("c1", 20), 4: ("d0", 10), 5: ("e0", 20)}
+    # the tombstone is retained with the delete's sequence, op not stored
+    full = txn.read_table(spark, str(table))
+    assert "op" not in full.columns
+    dead = full.filter(F.col(DELETED_COL)).collect()
+    assert [(r.k, r.seq) for r in dead] == [(2, 20)]
+
+
+def test_replay_after_lost_checkpoint_commits_nothing(spark, tmp_path):
+    src, table = tmp_path / "src", tmp_path / "t"
+    _write_batch_file(
+        spark, str(src), [(1, "a", 1, "U"), (2, "b", 1, "U")], mtime=1_000
+    )
+    _write_batch_file(
+        spark, str(src), [(1, "a2", 2, "U"), (2, None, 3, "D")], mtime=2_000
+    )
+    _run(spark, str(src), table, tmp_path / "ck1")
+    v_before = txn.current_version(str(table))
+    rows_before = sorted(
+        (r.k, r.v, r.seq) for r in txn.read_table(spark, str(table)).collect()
+    )
+    # checkpoint lost → every batch replays with the same ids + content:
+    # the commit-log identity recognizes each and commits NOTHING new
+    _run(spark, str(src), table, tmp_path / "ck2")
+    assert txn.current_version(str(table)) == v_before
+    assert (
+        sorted(
+            (r.k, r.v, r.seq)
+            for r in txn.read_table(spark, str(table)).collect()
+        )
+        == rows_before
+    )
+
+
+def test_checkpoint_reset_over_new_data_refuses(spark, tmp_path):
+    src1, table = tmp_path / "src1", tmp_path / "t"
+    _write_batch_file(spark, str(src1), [(1, "a", 1, "U")], mtime=1_000)
+    _run(spark, str(src1), table, tmp_path / "ck1")
+    # new checkpoint, same app_id, DIFFERENT batch-0 content
+    src2 = tmp_path / "src2"
+    _write_batch_file(spark, str(src2), [(9, "z", 9, "U")], mtime=1_000)
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException, match="DIFFERENT content"):
+        _run(spark, str(src2), table, tmp_path / "ck2")
+
+
+def test_purge_tombstones_and_the_documented_resurrection_hazard(
+    spark, tmp_path
+):
+    table = str(tmp_path / "t")
+
+    def apply_rows(rows):
+        batch = spark.createDataFrame(rows, SCHEMA)
+        prepared = _prepared(batch, ["k"], "seq", "op = 'D'", ("op",))
+        return _apply_batch(prepared, table, ["k"], "seq")
+
+    apply_rows([(1, "a", 10, "U"), (2, "b", 10, "U")])
+    apply_rows([(2, None, 20, "D")])
+    # stale post-delete change: blocked while the tombstone exists
+    apply_rows([(2, "zombie", 15, "U")])
+    assert {r.k for r in cdc_snapshot(spark, table).collect()} == {1}
+
+    purge_tombstones(spark, table, "seq", horizon=20)
+    assert txn.read_table(spark, table).filter(F.col(DELETED_COL)).count() == 0
+    # after the purge the horizon contract is the ONLY protection: the
+    # same stale change now resurrects the key (the documented trade —
+    # purge only past the out-of-order horizon)
+    apply_rows([(2, "zombie", 15, "U")])
+    assert {r.k for r in cdc_snapshot(spark, table).collect()} == {1, 2}
+
+
+def test_partial_purge_keeps_young_tombstones(spark, tmp_path):
+    table = str(tmp_path / "t")
+
+    def apply_rows(rows):
+        batch = spark.createDataFrame(rows, SCHEMA)
+        prepared = _prepared(batch, ["k"], "seq", "op = 'D'", ("op",))
+        return _apply_batch(prepared, table, ["k"], "seq")
+
+    apply_rows([(1, "a", 10, "U"), (2, "b", 10, "U")])
+    apply_rows([(1, None, 15, "D"), (2, None, 30, "D")])
+    purge_tombstones(spark, table, "seq", horizon=20)
+    dead = txn.read_table(spark, table).filter(F.col(DELETED_COL))
+    assert [(r.k, r.seq) for r in dead.collect()] == [(2, 30)]

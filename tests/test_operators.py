@@ -58,6 +58,36 @@ def test_minhash_recall_and_precision(spark, sf_dir):
     assert all(j >= 0.35 for j in got.values())
 
 
+def test_lsh_band_stats_deterministic_and_consistent(spark, sf_dir):
+    """The band-join work metric (VERDICT r7 next #6) is a pure function
+    of (corpus, hash params): two independent computations must agree
+    EXACTLY, and its raw kept-pair count must upper-bound the distinct
+    candidate-pair count the join actually emits. This is the invariant
+    that lets SCALING.md treat candidate volume as the stable metric
+    behind the noisy band-join wall-clock ratio."""
+    from wikistream_lakehouse_spark.operators.minhash import (
+        exploded_shingle_hashes,
+        lsh_band_stats,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    ex = exploded_shingle_hashes(d, "text", "doc_id", distinct=False)
+    sig = minhash_signatures(ex, "doc_id")
+    s1 = lsh_band_stats(sig).collect()[0].asDict()
+    s2 = lsh_band_stats(sig).collect()[0].asDict()
+    assert s1 == s2, "work metric must be capture-invariant"
+    n_docs = d.filter(F.size(tokens(F.col("text"))) >= 3).count()
+    assert s1["n_docs"] == n_docs  # band 0 counts every shingled doc once
+    assert s1["max_bucket_size"] <= n_docs
+    distinct_pairs = lsh_candidate_pairs(sig).count()
+    # kept raw pairs (Σ n·(n−1)/2 over uncapped buckets, all 8 bands)
+    # bound the distinct pairs the join emits after dedup
+    assert 0 < distinct_pairs <= s1["raw_pairs_kept"]
+    assert s1["raw_pairs_dropped"] == 0 or s1["capped_buckets"] > 0
+
+
 def test_simhash_identical_docs_have_zero_distance(spark):
     rows = [
         (1, "the quick brown fox jumps over the lazy dog again and again"),

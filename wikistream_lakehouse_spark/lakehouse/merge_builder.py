@@ -284,19 +284,27 @@ class MergeBuilder:
     # -- execution -------------------------------------------------
 
     def execute(
-        self, spark: SparkSession, max_retries: int = 5, mode: str = "mor"
+        self,
+        spark: SparkSession,
+        max_retries: int = 5,
+        mode: str = "mor",
+        extra_meta: "dict | None" = None,
     ) -> "int | None":
         """Run the merge; returns the committed version, or None when no
         clause touched any row (no commit). ``mode="mor"`` (default)
         appends + deletion-vectors (O(delta) writes, CDF-recoverable);
-        ``mode="cow"`` rewrites candidate files."""
+        ``mode="cow"`` rewrites candidate files. ``extra_meta`` is
+        merged into the commit's meta dict — the hook idempotent
+        producers (streaming CDC apply) use to stamp their
+        (app_id, batch_id, fingerprint) replay identity."""
         if mode not in ("mor", "cow"):
             raise ValueError(f"mode must be 'mor' or 'cow', got {mode!r}")
         if not self._clauses:
             raise ValueError("merge has no WHEN clauses")
         path, store = self._path, self._store
         txn._check_writer_features(path, store)
-        meta = {"mergeClauses": [c.describe() for c in self._clauses],
+        meta = {**(extra_meta or {}),
+                "mergeClauses": [c.describe() for c in self._clauses],
                 "mergeOn": self._join_cond()}
         for _ in range(max_retries):
             base = txn.current_version(path, store)

@@ -104,15 +104,12 @@ def minhash_signatures(
     )
 
 
-def lsh_candidate_pairs(
-    sig: DataFrame,
-    id_col: str = "doc_id",
-    n_hashes: int = 32,
-    n_bands: int = 8,
-    max_bucket: int = 200,
+def _banded(
+    sig: DataFrame, id_col: str, n_hashes: int, n_bands: int
 ) -> DataFrame:
-    """Band the signature and self-join buckets → candidate pairs
-    (id_a < id_b, distinct). Expects (id, minhash) from minhash_signatures."""
+    """(doc, band_id, band_hash) — one row per (document, band). Shared
+    by the candidate join and the work-metric stats so the two can never
+    disagree about what a bucket is."""
     rows = n_hashes // n_bands
     bands = F.array(
         *[
@@ -125,9 +122,21 @@ def lsh_candidate_pairs(
             for b in range(n_bands)
         ]
     )
-    banded = sig.select(
+    return sig.select(
         F.col(id_col).alias("doc"), F.explode(bands).alias("band")
     ).select("doc", "band.band_id", "band.band_hash")
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """Band the signature and self-join buckets → candidate pairs
+    (id_a < id_b, distinct). Expects (id, minhash) from minhash_signatures."""
+    banded = _banded(sig, id_col, n_hashes, n_bands)
     # degenerate-bucket guard: identical boilerplate can collapse huge doc
     # counts into one bucket → quadratic pair blowup; cap and let exact
     # dedup (fingerprint grouping) own those groups. Window count rides the
@@ -145,6 +154,41 @@ def lsh_candidate_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+    )
+
+
+def lsh_band_stats(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """One-row work metric for the band join — the STABLE number behind
+    the noisy wall-clock ratio SCALING.md tracks (VERDICT r7 next #6).
+
+    Deterministic function of (data, hash params): xxhash64 is seeded
+    and data-dependent only, so two captures on the same corpus MUST
+    agree exactly; a changed ``raw_pairs_kept`` between captures means
+    the workload changed, a changed wall-clock alone means host noise.
+
+    Columns: n_docs, n_buckets, max_bucket_size, capped_buckets (buckets
+    over ``max_bucket`` that the guard drops), raw_pairs_kept /
+    raw_pairs_dropped (Σ n·(n−1)/2 over kept / capped buckets — the join
+    fan-out the executors actually pay, pre-distinct).
+    """
+    occ = _banded(sig, id_col, n_hashes, n_bands).groupBy(
+        "band_id", "band_hash"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    pairs = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    kept = F.col("n") <= max_bucket
+    return occ.agg(
+        F.sum(F.when(F.col("band_id") == 0, F.col("n")).otherwise(0)).alias("n_docs"),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").alias("max_bucket_size"),
+        F.sum(F.when(~kept, 1).otherwise(0)).alias("capped_buckets"),
+        F.sum(F.when(kept, pairs).otherwise(0)).alias("raw_pairs_kept"),
+        F.sum(F.when(~kept, pairs).otherwise(0)).alias("raw_pairs_dropped"),
     )
 
 

@@ -103,3 +103,70 @@ def scd_serving_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .execute(spark)
     )
     return txn.read_table(spark, path).orderBy("custkey")
+
+
+@register(
+    "cdc_apply_latest_state",
+    oracle="""
+        WITH changes AS (
+            SELECT o_custkey AS k,
+                   CAST(o_totalprice AS DOUBLE) AS val,
+                   o_orderkey AS seq,
+                   CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+            FROM orders
+        ), latest AS (
+            SELECT k, val, seq, op,
+                   row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+            FROM changes
+        )
+        SELECT c.c_custkey AS custkey,
+               coalesce(l.val, CAST(c.c_acctbal AS DOUBLE)) AS val,
+               coalesce(l.seq, CAST(0 AS BIGINT)) AS seq
+        FROM customer c
+        LEFT JOIN (SELECT * FROM latest WHERE rn = 1) l ON c.c_custkey = l.k
+        WHERE coalesce(l.op, 'U') <> 'D'
+        ORDER BY custkey
+    """,
+    tags=("cdc", "streaming", "K5", "T2"),
+)
+def cdc_apply_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY CHANGES INTO as a scored query (streaming/cdc_apply.py
+    batch kernel): a customer base state (sequence 0) takes the orders
+    table as a CDC stream — sequence = o_orderkey, tombstone when the
+    order is 'F' — applied in TWO batches deliberately ordered so
+    roughly half of all changes arrive out of order across the batch
+    boundary (even orderkeys first, then odd). The sequence-guarded
+    merge + tombstone retention must converge to exactly the one-shot
+    latest-per-key statement the oracle computes; the batch split, the
+    arrival order, and the delete/re-insert interleavings must all be
+    invisible in the final state. Reference anchor: this is the ordered,
+    delete-aware form of ``upsert_athena_aggregates.py:103-109``'s
+    unconditional serving upsert."""
+    from wikistream_lakehouse_spark.streaming.cdc_apply import (
+        _apply_batch,
+        _prepared,
+        cdc_snapshot,
+    )
+
+    changes = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").cast("double").alias("val"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderstatus") == "F", "D").otherwise("U").alias("op"),
+    )
+    base = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_acctbal").cast("double").alias("val"),
+        F.lit(0).cast("long").alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="wsls_cdc_"), "serving")
+
+    def apply_rows(df: DataFrame) -> None:
+        prepared = _prepared(df, ["custkey"], "seq", "op = 'D'", ("op",))
+        _apply_batch(prepared, path, ["custkey"], "seq")
+
+    apply_rows(base)
+    apply_rows(changes.filter(F.col("seq") % 2 == 0))
+    apply_rows(changes.filter(F.col("seq") % 2 == 1))
+    return cdc_snapshot(spark, path).orderBy("custkey")

@@ -170,3 +170,71 @@ def cdc_apply_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_rows(changes.filter(F.col("seq") % 2 == 0))
     apply_rows(changes.filter(F.col("seq") % 2 == 1))
     return cdc_snapshot(spark, path).orderBy("custkey")
+
+
+@register(
+    "scd2_history_splice",
+    oracle="""
+        WITH changes AS (
+            SELECT o_custkey AS custkey,
+                   CAST(o_totalprice AS DOUBLE) AS val,
+                   o_orderkey AS seq,
+                   o_orderstatus = 'F' AS is_deleted
+            FROM orders
+        )
+        SELECT custkey, val, is_deleted,
+               seq AS start_seq,
+               lead(seq) OVER (PARTITION BY custkey ORDER BY seq) AS end_seq,
+               lead(seq) OVER (PARTITION BY custkey ORDER BY seq) IS NULL
+                   AS is_current
+        FROM changes
+        ORDER BY custkey, start_seq
+    """,
+    tags=("cdc", "scd2", "K5", "T2"),
+)
+def scd2_history_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 apply as a scored query: the orders table is a CDC
+    stream (sequence = o_orderkey, tombstone versions where the order
+    is 'F'), applied in THREE batches in scrambled order (seq % 3 ==
+    2, 0, 1) so most versions arrive out of order relative to their
+    neighbors. The recompute-and-splice fold must produce exactly the
+    one-shot windowed history the oracle states — per key, every
+    version's validity range [start_seq, end_seq) knit in sequence
+    order regardless of arrival order, tombstones included as closed
+    spans."""
+    from wikistream_lakehouse_spark.streaming.cdc_apply import (
+        DELETED_COL,
+        SCD2_CURRENT,
+        SCD2_END,
+        SCD2_START,
+        _apply_batch_scd2,
+        _scd2_versions,
+    )
+
+    changes = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").cast("double").alias("val"),
+        F.col("o_orderkey").alias("seq"),
+        (F.col("o_orderstatus") == "F").alias("op_delete"),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="wsls_scd2_"), "history")
+    for residue in (2, 0, 1):
+        batch = changes.filter(F.col("seq") % 3 == residue)
+        versions = _scd2_versions(
+            batch, ["custkey"], "seq", "op_delete", ("op_delete",)
+        )
+        _apply_batch_scd2(versions, path, ["custkey"])
+    from wikistream_lakehouse_spark.lakehouse import txn as _txn
+
+    return (
+        _txn.read_table(spark, path)
+        .select(
+            "custkey",
+            "val",
+            F.col(DELETED_COL).alias("is_deleted"),
+            F.col(SCD2_START).alias("start_seq"),
+            F.col(SCD2_END).alias("end_seq"),
+            F.col(SCD2_CURRENT).alias("is_current"),
+        )
+        .orderBy("custkey", "start_seq")
+    )

@@ -126,6 +126,71 @@ def _apply_batch(
     )
 
 
+def _exactly_once(
+    prepared: DataFrame,
+    table_path: str,
+    app_id: str,
+    batch_id: int,
+    apply_fn,
+    checkpoint_every: int,
+    store: "txn.LogStore | None",
+) -> None:
+    """Replay-identity wrapper shared by both apply modes: fingerprint
+    the prepared batch, skip a true replay, refuse a checkpoint reset
+    over different content, stamp the identity into the commit via
+    ``apply_fn(prepared, extra_meta)``, checkpoint the log on cadence."""
+    n_rows, fp = prepared.agg(
+        F.count(F.lit(1)),
+        F.sum(
+            F.xxhash64(*[F.col(c) for c in prepared.columns]).cast(
+                "decimal(38,0)"
+            )
+        ),
+    ).first()
+    fingerprint = str(fp)
+    for m in txn.committed_meta(table_path, store):
+        if (m.get("app_id"), m.get("batch_id")) != (app_id, batch_id):
+            continue
+        if m.get("fingerprint", fingerprint) == fingerprint:
+            return  # true replay of a committed batch
+        raise ValueError(
+            f"batch {batch_id} of app_id={app_id!r} already "
+            f"committed with DIFFERENT content (committed "
+            f"{m.get('rows')} rows, incoming {n_rows}) — "
+            "checkpoint reset over new data; use a fresh app_id "
+            "(the Delta txn appId contract)."
+        )
+    version = apply_fn(
+        prepared,
+        {
+            "app_id": app_id,
+            "batch_id": batch_id,
+            "rows": n_rows,
+            "fingerprint": fingerprint,
+        },
+    )
+    if (
+        version is not None
+        and checkpoint_every
+        and version > 0
+        and version % checkpoint_every == 0
+    ):
+        txn.checkpoint(table_path, store=store)
+
+
+def _cdc_writer(changes, write_batch, checkpoint, trigger_secs, available_now):
+    writer = (
+        changes.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
+    return writer.start()
+
+
 def apply_changes(
     changes: DataFrame,
     table_path: str,
@@ -158,60 +223,24 @@ def apply_changes(
             batch_df, keys, sequence_by, apply_as_delete, except_columns
         ).persist()
         try:
-            n_rows, fp = prepared.agg(
-                F.count(F.lit(1)),
-                F.sum(
-                    F.xxhash64(*[F.col(c) for c in prepared.columns]).cast(
-                        "decimal(38,0)"
-                    )
-                ),
-            ).first()
-            fingerprint = str(fp)
-            for m in txn.committed_meta(table_path, store):
-                if (m.get("app_id"), m.get("batch_id")) != (app_id, batch_id):
-                    continue
-                if m.get("fingerprint", fingerprint) == fingerprint:
-                    return  # true replay of a committed batch
-                raise ValueError(
-                    f"batch {batch_id} of app_id={app_id!r} already "
-                    f"committed with DIFFERENT content (committed "
-                    f"{m.get('rows')} rows, incoming {n_rows}) — "
-                    "checkpoint reset over new data; use a fresh app_id "
-                    "(the Delta txn appId contract)."
-                )
-            version = _apply_batch(
+            _exactly_once(
                 prepared,
                 table_path,
-                keys,
-                sequence_by,
-                extra_meta={
-                    "app_id": app_id,
-                    "batch_id": batch_id,
-                    "rows": n_rows,
-                    "fingerprint": fingerprint,
-                },
-                store=store,
+                app_id,
+                batch_id,
+                lambda df, meta: _apply_batch(
+                    df, table_path, keys, sequence_by,
+                    extra_meta=meta, store=store,
+                ),
+                checkpoint_every,
+                store,
             )
-            if (
-                version is not None
-                and checkpoint_every
-                and version > 0
-                and version % checkpoint_every == 0
-            ):
-                txn.checkpoint(table_path, store=store)
         finally:
             prepared.unpersist()
 
-    writer = (
-        changes.writeStream.foreachBatch(write_batch)
-        .outputMode("update")
-        .option("checkpointLocation", checkpoint)
+    return _cdc_writer(
+        changes, write_batch, checkpoint, trigger_secs, available_now
     )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    else:
-        writer = writer.trigger(processingTime=f"{trigger_secs} seconds")
-    return writer.start()
 
 
 def cdc_snapshot(
@@ -244,3 +273,185 @@ def purge_tombstones(
         h = repr(horizon) if isinstance(horizon, str) else str(horizon)
         pred = f"{DELETED_COL} AND {sequence_by} <= {h}"
     return txn.delete_where(spark, table_path, pred, store=store, mode="mor")
+
+
+# --------------------------------------------------------------------------
+# SCD Type 2: full history with sequence-range splicing
+# --------------------------------------------------------------------------
+
+#: SCD2 bookkeeping columns stored in the history table.
+SCD2_START = "__start_seq"
+SCD2_END = "__end_seq"
+SCD2_CURRENT = "__current"
+
+
+def _scd2_versions(
+    batch: DataFrame,
+    keys: "list[str]",
+    sequence_by: str,
+    apply_as_delete: "str | None",
+    except_columns: "tuple[str, ...]",
+) -> DataFrame:
+    """Change rows → version rows (keys, payload, ``__deleted``,
+    ``__start_seq``). Unlike Type 1, NOTHING collapses: every change is
+    a history version. A delete becomes a tombstone VERSION — it closes
+    the prior version's range and occupies its own, so as-of reads
+    inside the deleted span correctly see no row."""
+    missing = [c for c in (*keys, sequence_by) if c not in batch.columns]
+    if missing:
+        raise ValueError(f"change stream lacks required columns {missing}")
+    deleted = (
+        F.coalesce(F.expr(apply_as_delete).cast("boolean"), F.lit(False))
+        if apply_as_delete
+        else F.lit(False)
+    )
+    drop = [c for c in except_columns if c not in keys]
+    return (
+        batch.withColumn(DELETED_COL, deleted)
+        .withColumn(SCD2_START, F.col(sequence_by))
+        .drop(sequence_by, *drop)
+    )
+
+
+def _scd2_fold(versions: DataFrame, keys: "list[str]") -> DataFrame:
+    """Recompute the spliced history from ALL known versions of each
+    key: dedup exact (key, start) collisions deterministically, then one
+    per-key window pass assigns each version the next version's start as
+    its end — so a late-arriving middle version SPLICES in and the
+    ranges re-knit around it. Recompute-from-versions is what makes
+    out-of-order SCD2 simple: there is no positional surgery, just a
+    deterministic fold over the set of versions seen so far."""
+    dedup_w = Window.partitionBy(*keys, SCD2_START).orderBy(
+        F.xxhash64(*[F.col(c) for c in versions.columns]).desc()
+    )
+    uniq = (
+        versions.withColumn("__rn", F.row_number().over(dedup_w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    splice_w = Window.partitionBy(*keys).orderBy(F.col(SCD2_START).asc())
+    return uniq.withColumn(
+        SCD2_END, F.lead(SCD2_START).over(splice_w)
+    ).withColumn(SCD2_CURRENT, F.col(SCD2_END).isNull())
+
+
+def _apply_batch_scd2(
+    batch: DataFrame,
+    table_path: str,
+    keys: "list[str]",
+    extra_meta: "dict | None" = None,
+    store: "txn.LogStore | None" = None,
+) -> "int | None":
+    """One version-rows batch into the history table. Touched keys'
+    existing history is re-read (candidate-file-pruned, the same probe
+    the MoR merge uses), unioned with the new versions, re-spliced, and
+    swapped in via ONE atomic MoR commit (new files + deletion vector
+    over the old rows) — O(batch + touched-key history), never O(table).
+    Single-writer per table assumed (one streaming sink), like every
+    foreachBatch CDC consumer."""
+    spark = batch.sparkSession
+    base = txn.current_version(table_path, store)
+    if base < 0:
+        return txn.append(
+            _scd2_fold(batch, keys),
+            table_path,
+            meta=extra_meta,
+            store=store,
+            stats_cols=keys,
+        )
+    touched = batch.select(*keys).distinct()
+    files, dvs = txn._replay_state(table_path, base, store)
+    probe = txn._candidate_merge_files(
+        table_path, files, touched, keys, base, store
+    )
+    versions = batch
+    if probe:
+        existing = (
+            txn._read_files(spark, table_path, probe, store, dvs=dvs)
+            .join(touched, keys, "left_semi")
+            .drop(SCD2_END, SCD2_CURRENT)
+        )
+        versions = existing.unionByName(batch)
+    history = _scd2_fold(versions, keys)
+    return txn.merge_on_read_upsert(
+        spark, table_path, history, keys, meta=extra_meta, store=store
+    )
+
+
+def apply_changes_scd2(
+    changes: DataFrame,
+    table_path: str,
+    keys: "list[str]",
+    sequence_by: str,
+    checkpoint: str,
+    app_id: str = "cdc-scd2",
+    apply_as_delete: "str | None" = None,
+    except_columns: "tuple[str, ...]" = (),
+    trigger_secs: int = 10,
+    available_now: bool = False,
+    checkpoint_every: int = 16,
+    store: "txn.LogStore | None" = None,
+) -> StreamingQuery:
+    """``APPLY CHANGES … STORED AS SCD TYPE 2``: maintain the FULL
+    change history — one row per (key, version) with
+    ``[__start_seq, __end_seq)`` validity, ``__current`` on the open
+    version — instead of Type 1's latest-state row. Out-of-order
+    arrivals splice into the correct historical position (the fold
+    recomputes each touched key's ranges from its version set), deletes
+    are tombstone versions, and the same (app_id, batch_id,
+    fingerprint) identity makes replays no-ops. Query the result with
+    ``scd2_current`` / ``scd2_as_of``."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        prepared = _scd2_versions(
+            batch_df, keys, sequence_by, apply_as_delete, except_columns
+        ).persist()
+        try:
+            _exactly_once(
+                prepared,
+                table_path,
+                app_id,
+                batch_id,
+                lambda df, meta: _apply_batch_scd2(
+                    df, table_path, keys, extra_meta=meta, store=store
+                ),
+                checkpoint_every,
+                store,
+            )
+        finally:
+            prepared.unpersist()
+
+    return _cdc_writer(
+        changes, write_batch, checkpoint, trigger_secs, available_now
+    )
+
+
+def scd2_current(
+    spark: SparkSession,
+    table_path: str,
+    store: "txn.LogStore | None" = None,
+) -> DataFrame:
+    """Live state from the history table: open, non-tombstone versions."""
+    df = txn.read_table(spark, table_path, store=store)
+    return df.filter(F.col(SCD2_CURRENT) & ~F.col(DELETED_COL)).drop(
+        SCD2_END, SCD2_CURRENT, DELETED_COL
+    )
+
+
+def scd2_as_of(
+    spark: SparkSession,
+    table_path: str,
+    seq,
+    store: "txn.LogStore | None" = None,
+) -> DataFrame:
+    """State as of sequence point ``seq``: the version whose range
+    covers it, tombstone spans correctly empty."""
+    df = txn.read_table(spark, table_path, store=store)
+    covers = (F.col(SCD2_START) <= F.lit(seq)) & (
+        F.col(SCD2_END).isNull() | (F.col(SCD2_END) > F.lit(seq))
+    )
+    return df.filter(covers & ~F.col(DELETED_COL)).drop(
+        SCD2_END, SCD2_CURRENT, DELETED_COL
+    )

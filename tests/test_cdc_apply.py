@@ -198,3 +198,35 @@ def test_partial_purge_keeps_young_tombstones(spark, tmp_path):
     purge_tombstones(spark, table, "seq", horizon=20)
     dead = txn.read_table(spark, table).filter(F.col(DELETED_COL))
     assert [(r.k, r.seq) for r in dead.collect()] == [(2, 30)]
+
+
+def test_cdc_lifecycle_purge_compact_time_travel(spark, tmp_path):
+    """Maintenance composition: tombstone purge (MoR delete) then
+    compact must leave the live snapshot unchanged, retire the deletion
+    vectors physically, and keep pre-purge time travel showing the
+    tombstone — the standard lakehouse retention lifecycle applied to
+    the CDC serving table."""
+    table = str(tmp_path / "t")
+
+    def apply_rows(rows):
+        batch = spark.createDataFrame(rows, SCHEMA)
+        prepared = _prepared(batch, ["k"], "seq", "op = 'D'", ("op",))
+        return _apply_batch(prepared, table, ["k"], "seq")
+
+    apply_rows([(1, "a", 10, "U"), (2, "b", 10, "U"), (3, "c", 10, "U")])
+    apply_rows([(2, None, 20, "D"), (3, "c1", 30, "U")])
+    v_with_tombstone = txn.current_version(table)
+    live_before = sorted(
+        (r.k, r.v, r.seq) for r in cdc_snapshot(spark, table).collect()
+    )
+    purge_tombstones(spark, table, "seq")
+    txn.compact(spark, table)
+    assert (
+        sorted((r.k, r.v, r.seq) for r in cdc_snapshot(spark, table).collect())
+        == live_before
+    )
+    # full table now equals the live view (tombstones physically gone)
+    assert txn.read_table(spark, table).filter(F.col(DELETED_COL)).count() == 0
+    # pre-purge snapshot still shows the tombstone (time travel)
+    old = txn.read_table(spark, table, version=v_with_tombstone)
+    assert old.filter(F.col(DELETED_COL)).count() == 1

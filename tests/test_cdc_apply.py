@@ -230,3 +230,95 @@ def test_cdc_lifecycle_purge_compact_time_travel(spark, tmp_path):
     # pre-purge snapshot still shows the tombstone (time travel)
     old = txn.read_table(spark, table, version=v_with_tombstone)
     assert old.filter(F.col(DELETED_COL)).count() == 1
+
+
+def test_cdc_apply_feeds_retract_materialized_view(spark, tmp_path):
+    """Serving-chain composition: a retract-mode incremental view over
+    the CDC table stays equal to a full re-aggregate of the LIVE
+    snapshot after every apply batch — the view's row-local `where`
+    excludes tombstones, and the MoR merge's recoverable change feed
+    lets the fold subtract superseded rows instead of rebuilding."""
+    from wikistream_lakehouse_spark.lakehouse.incremental import (
+        ViewSpec,
+        read_view,
+    )
+
+    table = str(tmp_path / "t")
+    schema = "k long, grp string, val long, seq long, op string"
+    spec = ViewSpec(
+        path=str(tmp_path / "view"),
+        group_by=("grp",),
+        measures={"n_keys": ("count", "1"), "total": ("sum", "val")},
+        where=f"NOT {DELETED_COL}",
+        on_mutation="retract",
+    )
+
+    def apply_rows(rows):
+        batch = spark.createDataFrame(rows, schema)
+        prepared = _prepared(batch, ["k"], "seq", "op = 'D'", ("op",))
+        _apply_batch(prepared, table, ["k"], "seq")
+        spec.refresh(spark, table)
+
+    def expected():
+        return {
+            (r.grp, r.n_keys, r.total)
+            for r in cdc_snapshot(spark, table)
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("val").alias("total"),
+            )
+            .collect()
+        }
+
+    def got():
+        return {
+            (r.grp, r.n_keys, r.total)
+            for r in read_view(spark, spec.path).collect()
+        }
+
+    apply_rows(
+        [(1, "a", 10, 1, "U"), (2, "a", 20, 1, "U"), (3, "b", 30, 1, "U")]
+    )
+    assert got() == expected()
+    # update moves a value, delete tombstones a key, new key arrives
+    apply_rows(
+        [(1, "a", 15, 2, "U"), (3, None, 0, 2, "D"), (4, "b", 40, 2, "U")]
+    )
+    assert got() == expected()
+    # a whole group dies
+    apply_rows([(4, None, 0, 3, "D")])
+    assert got() == expected()
+    assert {r.grp for r in read_view(spark, spec.path).collect()} == {"a"}
+
+
+def test_cdc_apply_composite_keys(spark, tmp_path):
+    """Multi-column keys: collapse, sequence guard, and tombstones all
+    partition on the full key tuple."""
+    table = str(tmp_path / "t")
+    schema = "region string, id long, v string, seq long, op string"
+
+    def apply_rows(rows):
+        batch = spark.createDataFrame(rows, schema)
+        prepared = _prepared(
+            batch, ["region", "id"], "seq", "op = 'D'", ("op",)
+        )
+        return _apply_batch(prepared, table, ["region", "id"], "seq")
+
+    apply_rows(
+        [
+            ("eu", 1, "a", 10, "U"),
+            ("us", 1, "b", 10, "U"),  # same id, different region
+            ("eu", 2, "c", 10, "U"),
+        ]
+    )
+    apply_rows(
+        [
+            ("eu", 1, "a2", 20, "U"),  # updates ONLY (eu, 1)
+            ("us", 1, None, 20, "D"),  # deletes ONLY (us, 1)
+        ]
+    )
+    live = {
+        (r.region, r.id): r.v for r in cdc_snapshot(spark, table).collect()
+    }
+    assert live == {("eu", 1): "a2", ("eu", 2): "c"}

@@ -276,3 +276,26 @@ def dedup_canonical_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_documents(e, pairs, id_col="vec_id", max_iterations=64).orderBy(
         "vec_id"
     )
+
+
+# --- X2/X3: SemDeDup semantic dedup over embeddings (rows-only ◇) ----------
+@register(
+    "semantic_dedup_keep",
+    oracle=None,  # k-means assignment is not ANSI-SQL-expressible;
+    # keep-set invariants + determinism pinned in tests/test_semdedup.py
+    tags=("X2", "X3", "dedup", "embeddings", "semdedup"),
+)
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): k-means semantic clusters over the
+    embedding collection, then a greedy within-cluster prune keeping a
+    maximal pairwise-dissimilar set (cosine < 0.35, farthest-from-centroid
+    priority). Returns every vector's verdict: cluster, rounded centroid
+    cosine, keep flag, and for dropped rows the kept duplicate that
+    covered them. Deterministic end-to-end (seeded id-ordered sampling,
+    RNG-free init, total in-shard priority order)."""
+    from wikistream_lakehouse_spark.operators.semdedup import semantic_dedup
+
+    e = table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        e, id_col="vec_id", vec_col="embedding", k=8, threshold=0.35, seed=7
+    ).orderBy("vec_id")

@@ -1,0 +1,363 @@
+"""Independent-engine snapshot reads: DuckDB over the txn table format.
+
+The commit log (lakehouse/txn.py) is an open format — JSON entries
+naming parquet data files, deletion-vector sidecars, column-mapping
+renames, and type-widening stamps. This module proves it by planning a
+snapshot **entirely without Spark**: replay the log driver-side (the
+same pure-Python helpers the engine's own planner uses), then emit one
+DuckDB SQL statement that reconstructs the exact logical table —
+
+  * active files at the requested version (time travel included),
+  * merge-on-read deletes applied via an anti-join of each row's
+    (table-relative file, parquet row index) against the DV sidecars —
+    the same physical row identity the Spark reader derives from
+    ``_metadata``, here from DuckDB's ``filename``/``file_row_number``,
+  * physical→logical column renames and dropped-column exclusion
+    (column mapping),
+  * casts to the authoritative logged schema: the type-widening wide
+    schema when active, else the newest ``physicalSchemaJson`` stamp —
+    so a widened or path-partitioned column reads at its declared type
+    instead of DuckDB's per-file/VARCHAR inference.
+
+Uses: disaster-independent audits (read the lake with no JVM), handing
+a snapshot to a DuckDB/pandas consumer, and — in this repo's tests — a
+SECOND independent oracle for the txn layer: tests/test_duckdb_interop
+replays whole table lifecycles in both engines and diffs the rows.
+
+Scale shape: planning is O(active files) string work on the log replay
+the engine already does; the data never moves through Python. Partition
+evolution's mixed layouts are refused (compact() migrates them — the
+same guard replace_partitions applies), since one hive_partitioning
+scan cannot span two directory layouts.
+
+Reference anchor: the reference's consumers read its lake through
+Athena/Presto (sql/athena_*.sql) — an independent engine over open
+files is the contract this module ports to the txn format.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from wikistream_lakehouse_spark.lakehouse import txn
+
+__all__ = [
+    "duckdb_snapshot_sql",
+    "generate_symlink_manifest",
+    "register_duckdb_view",
+    "read_snapshot_duckdb",
+]
+
+
+def _duck_type(dt) -> str | None:
+    """Spark DataType → DuckDB type name, or None when no faithful cast
+    exists (the column is then read at DuckDB's inferred type)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.ArrayType):
+        inner = _duck_type(dt.elementType)
+        return f"{inner}[]" if inner else None
+    if isinstance(dt, T.DecimalType):
+        return f"DECIMAL({dt.precision},{dt.scale})"
+    return {
+        T.ByteType: "TINYINT",
+        T.ShortType: "SMALLINT",
+        T.IntegerType: "INTEGER",
+        T.LongType: "BIGINT",
+        T.FloatType: "FLOAT",
+        T.DoubleType: "DOUBLE",
+        T.StringType: "VARCHAR",
+        T.BooleanType: "BOOLEAN",
+        T.BinaryType: "BLOB",
+        T.DateType: "DATE",
+        T.TimestampType: "TIMESTAMP",
+        T.TimestampNTZType: "TIMESTAMP",
+    }.get(type(dt))
+
+
+def _qident(name: str) -> str:
+    return '"' + name.replace('"', '""') + '"'
+
+
+def _qstr(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+#: Protocol reader features this planner interprets correctly. Mirrors
+#: txn._READER_FEATURES today; kept separate so a future engine feature
+#: the Spark reader gains does NOT silently claim DuckDB support.
+_SUPPORTED = frozenset(
+    {
+        "deletionVectors",  # the (f, ri) anti-join below
+        "schemaEvolution",  # union_by_name + stamp-union casts
+        "clone",  # clone commits are plain add-lists to replay
+        "columnMapping",  # physical→logical aliases, dropped excluded
+        "typeWidening",  # wide-schema casts
+        "partitionEvolution",  # mixed layouts REFUSED explicitly below
+    }
+)
+
+
+def _check_reader_features(table_path: str, version: int, store) -> None:
+    feats: set[str] = set()
+    for cv in txn._committed_versions(table_path, store):
+        if cv > version:
+            break
+        e = txn._load_entry(table_path, cv, store) or {}
+        feats |= set(e.get("readerFeatures", []))
+    unknown = feats - _SUPPORTED
+    if unknown:
+        raise txn.ProtocolError(
+            f"{table_path} requires reader feature(s) {sorted(unknown)} "
+            "the DuckDB interop planner does not implement"
+        )
+
+
+def _stamp_union_types(table_path: str, version: int, store) -> dict:
+    """Union of every ``physicalSchemaJson`` stamp ≤ ``version`` in
+    commit order, later stamps winning on type. The NEWEST stamp alone
+    under-covers column-set evolution (each append stamps its OWN
+    frame's schema, so a merge_schema append that added a column does
+    not re-list one an earlier append carried exclusively); the union
+    is exactly the column set a mergeSchema footer union would see,
+    with the log — not per-file inference — as the type authority."""
+    from pyspark.sql.types import StructType
+
+    out: dict = {}
+    for cv in txn._committed_versions(table_path, store):
+        if cv > version:
+            break
+        e = txn._load_entry(table_path, cv, store) or {}
+        s = e.get("physicalSchemaJson") or (e.get("meta") or {}).get(
+            "physicalSchemaJson"
+        )
+        if s:
+            for f in StructType.fromJson(json.loads(s)).fields:
+                out[f.name] = f.dataType
+    return out
+
+
+def _physical_types(table_path: str, version: int, store) -> dict:
+    """Authoritative physical-name → Spark DataType at ``version``:
+    the stamp union, overlaid by the type-widening wide schema when one
+    is active (widened types win), else by the logged logical schema
+    mapped to physical names for legacy stamp-free logs."""
+    types = _stamp_union_types(table_path, version, store)
+    ws = txn._wide_schema(table_path, store, upto=version)
+    if ws is not None:
+        for f in ws.fields:
+            types[f.name] = f.dataType
+    if not types:
+        sch = txn._logged_schema(table_path, store)
+        if sch is not None:
+            mapping, _ = txn._column_mapping_state(table_path, version, store)
+            types = {
+                mapping.get(f.name, f.name): f.dataType for f in sch.fields
+            }
+    return types
+
+
+def duckdb_snapshot_sql(
+    table_path: str,
+    version: int | None = None,
+    store=None,
+) -> str:
+    """One DuckDB SQL statement whose result is the logical snapshot of
+    ``table_path`` at ``version`` (default: HEAD). Raises on an empty
+    log, an unknown reader feature, or a mixed partition layout."""
+    head = txn.current_version(table_path, store)
+    if head < 0:
+        raise ValueError(f"no committed data in {table_path}")
+    v = head if version is None else version
+    if v < 0 or v > head:
+        raise ValueError(f"version {v} out of range [0, {head}]")
+    _check_reader_features(table_path, v, store)
+
+    files, dvs = txn._replay_state(table_path, v, store)
+    pb = txn._current_partitioning(table_path, store, upto=v)
+    mixed = txn._mixed_layout_files(files, pb)
+    if mixed:
+        raise ValueError(
+            f"{table_path}: {len(mixed)} active file(s) predate the "
+            f"current partition spec {pb} (partition evolution) — one "
+            "hive_partitioning scan cannot span two layouts; run a full "
+            "compact() to migrate, then re-plan"
+        )
+    mapping, dropped = txn._column_mapping_state(table_path, v, store)
+    phys_to_logical = {ph: lg for lg, ph in mapping.items()}
+    types = _physical_types(table_path, v, store)
+
+    visible = [
+        (ph, phys_to_logical.get(ph, ph), dt)
+        for ph, dt in types.items()
+        if ph not in dropped
+    ]
+    if not files:
+        if not visible:
+            raise ValueError(
+                f"{table_path} is empty and logs no schema — nothing to plan"
+            )
+        cols = ", ".join(
+            f"CAST(NULL AS {_duck_type(dt) or 'VARCHAR'}) AS {_qident(lg)}"
+            for _, lg, dt in visible
+        )
+        return f"SELECT {cols} WHERE false"
+
+    def select_list(prefix: str, has_meta: bool) -> str:
+        if not visible:  # legacy log with no stamp: pass through
+            if has_meta:
+                return f"{prefix}.* EXCLUDE (filename, file_row_number)"
+            return f"{prefix}.*"
+        parts = []
+        for ph, lg, dt in visible:
+            duck = _duck_type(dt)
+            col = f"{prefix}.{_qident(ph)}"
+            expr = f"CAST({col} AS {duck})" if duck else col
+            parts.append(f"{expr} AS {_qident(lg)}")
+        return ", ".join(parts)
+
+    abs_files = [os.path.join(table_path, f) for f in files]
+    file_list = ", ".join(_qstr(p) for p in abs_files)
+    opts = "union_by_name=true, hive_partitioning=true"
+    if not dvs:
+        return (
+            f"SELECT {select_list('b', has_meta=False)} "
+            f"FROM read_parquet([{file_list}], {opts}) b"
+        )
+
+    # DV anti-join needs each row's TABLE-RELATIVE file path — the
+    # identity the sidecars store. txn._with_rowpos URL-decodes
+    # _metadata.file_path, which exactly undoes the URI encoding Spark
+    # applies to the ON-DISK name, so a sidecar's ``f`` equals the
+    # log's relative path VERBATIM (no decode here: the log already
+    # names the on-disk bytes). The absolute→relative map is an inline
+    # VALUES relation, not SQL string surgery.
+    rel_rows = ", ".join(
+        f"({_qstr(a)}, {_qstr(r)})" for a, r in zip(abs_files, files)
+    )
+    dv_list = ", ".join(_qstr(os.path.join(table_path, f)) for f in dvs)
+    return (
+        f"WITH __rel(__abs, __f) AS (VALUES {rel_rows}), "
+        f"__dv AS (SELECT f AS __f, ri AS __ri "
+        f"FROM read_parquet([{dv_list}])) "
+        f"SELECT {select_list('b', has_meta=True)} "
+        f"FROM read_parquet([{file_list}], {opts}, "
+        f"filename=true, file_row_number=true) b "
+        f"JOIN __rel r ON b.filename = r.__abs "
+        f"WHERE NOT EXISTS (SELECT 1 FROM __dv d "
+        f"WHERE d.__f = r.__f AND d.__ri = b.file_row_number)"
+    )
+
+
+def generate_symlink_manifest(
+    table_path: str,
+    out_dir: str | None = None,
+    version: int | None = None,
+    store=None,
+) -> dict[str, list[str]]:
+    """Hive ``SymlinkTextInputFormat`` manifests for a snapshot — the
+    Delta ``GENERATE symlink_format_manifest`` analogue, and the direct
+    port of the reference's serving contract (its consumers query the
+    lake through Athena/Presto over file listings — sql/athena_*.sql):
+    point an external engine's table at ``out_dir`` and each
+    partition's ``manifest`` file names the snapshot's data files, one
+    absolute path per line.
+
+    Returns {relative manifest path: file list}. Layout:
+    ``<out_dir>/<pcol=v>/.../manifest`` (bare ``manifest`` when
+    unpartitioned); ``out_dir`` defaults to
+    ``<table_path>/_symlink_format_manifest`` and is fully rewritten
+    each call (stale partition manifests from dropped partitions are
+    removed — a leftover list would resurrect replaced rows).
+
+    REFUSED whenever a raw file listing diverges from the logical
+    table, because a manifest consumer sees footers, not the log:
+    active deletion vectors (un-applied MoR deletes), column mapping
+    (renames/drops are log-only), an active type-widening stamp, and
+    mixed partition layouts. ``compact()`` purges DVs and migrates
+    layouts; mapping/widening tables need the DuckDB view instead.
+    All checks and writes are driver-side metadata work, O(files).
+    """
+    head = txn.current_version(table_path, store)
+    if head < 0:
+        raise ValueError(f"no committed data in {table_path}")
+    v = head if version is None else version
+    _check_reader_features(table_path, v, store)
+
+    files, dvs = txn._replay_state(table_path, v, store)
+    if dvs:
+        raise ValueError(
+            f"{table_path} has {len(dvs)} active deletion vector(s): a "
+            "file-listing consumer would resurrect deleted rows; run "
+            "compact() (PURGE) first"
+        )
+    mapping, dropped = txn._column_mapping_state(table_path, v, store)
+    if mapping or dropped:
+        raise ValueError(
+            f"{table_path} uses column mapping (renames/drops are "
+            "log-only): raw footers serve PHYSICAL names; use "
+            "register_duckdb_view for the logical table"
+        )
+    if txn._wide_schema(table_path, store, upto=v) is not None:
+        raise ValueError(
+            f"{table_path} has an active type-widening stamp: mixed "
+            "narrow/wide footers need the explicit-schema read path; "
+            "compact() normalizes the files first"
+        )
+    pb = txn._current_partitioning(table_path, store, upto=v)
+    if txn._mixed_layout_files(files, pb):
+        raise ValueError(
+            f"{table_path} mixes partition layouts (partition "
+            "evolution): run a full compact() to migrate first"
+        )
+
+    out = out_dir or os.path.join(table_path, "_symlink_format_manifest")
+    by_part: dict[str, list[str]] = {}
+    for rel in files:
+        parts = txn._partition_values(rel)
+        sub = "/".join(f"{k}={val}" for k, val in parts)
+        key = f"{sub}/manifest" if sub else "manifest"
+        by_part.setdefault(key, []).append(os.path.join(table_path, rel))
+
+    ds = txn._data()
+    ds.remove_tree(out)
+    for rel_manifest, listed in sorted(by_part.items()):
+        payload = "".join(p + "\n" for p in sorted(listed)).encode()
+        ds.put_bytes(os.path.join(out, rel_manifest), payload)
+    return {k: sorted(v_) for k, v_ in by_part.items()}
+
+
+def register_duckdb_view(
+    con,
+    name: str,
+    table_path: str,
+    version: int | None = None,
+    store=None,
+) -> None:
+    """``CREATE OR REPLACE VIEW name`` in ``con`` over the snapshot —
+    the DuckDB twin of catalog.register_table's snapshot pinning (the
+    view body embeds the version's file list, so later commits don't
+    move it; re-register to follow HEAD)."""
+    sql = duckdb_snapshot_sql(table_path, version, store)
+    con.execute(f"CREATE OR REPLACE VIEW {_qident(name)} AS {sql}")
+
+
+def read_snapshot_duckdb(
+    table_path: str,
+    version: int | None = None,
+    store=None,
+    con=None,
+):
+    """The snapshot as a pyarrow Table, read entirely by DuckDB."""
+    import duckdb
+
+    owned = con is None
+    c = con or duckdb.connect()
+    try:
+        return c.execute(
+            duckdb_snapshot_sql(table_path, version, store)
+        ).arrow()
+    finally:
+        if owned:
+            c.close()

@@ -339,6 +339,12 @@ class DataStore:
         (pyarrow accepts it directly; GET / ranged GET)."""
         raise NotImplementedError
 
+    def put_bytes(self, path: str, data: bytes) -> None:
+        """Write one small driver-side artifact (PUT, last-writer-wins;
+        NOT for data files — those are written by Spark executors).
+        Used by export surfaces like symlink manifests."""
+        raise NotImplementedError
+
     def rename(self, src: str, dst: str) -> None:
         """Move one file (``convert_to_txn`` migration only; an
         object-store implementation is copy+delete)."""
@@ -394,6 +400,11 @@ class PosixDataStore(DataStore):
 
     def open_input(self, path: str):
         return open(path, "rb")
+
+    def put_bytes(self, path: str, data: bytes) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(data)
 
     def rename(self, src: str, dst: str) -> None:
         os.rename(src, dst)
@@ -475,6 +486,12 @@ class ObjectDataStore(DataStore):
 
     def open_input(self, path: str):
         return open(path, "rb")
+
+    def put_bytes(self, path: str, data: bytes) -> None:
+        # PUT: parents are an implementation detail (keys need none)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(data)
 
     def rename(self, src: str, dst: str) -> None:
         os.makedirs(os.path.dirname(dst), exist_ok=True)

@@ -1,0 +1,139 @@
+"""SQL maintenance statements over registered txn tables
+(catalog.sql_dml routing): OPTIMIZE [WHERE/ZORDER BY], VACUUM,
+CHECKPOINT, RESTORE ... TO VERSION AS OF, GENERATE
+symlink_format_manifest — each reaches the corresponding engine call,
+bindings refresh, version-pinned names stay refused."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikistream_lakehouse_spark.lakehouse import catalog, txn
+
+
+def _kv(spark, lo, hi, tag="a"):
+    return (
+        spark.range(lo, hi)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2.0).alias("v"),
+            F.lit(tag).alias("ds"),
+        )
+        .coalesce(1)
+    )
+
+
+@pytest.fixture()
+def reg(spark, tmp_path):
+    t = str(tmp_path / "t")
+    for i in range(4):  # several small commits → compactable
+        txn.append(_kv(spark, i * 10, (i + 1) * 10), t)
+    catalog.register_table(spark, "mnt_t", t)
+    yield t
+    catalog.unregister_table(spark, "mnt_t")
+
+
+def test_optimize_compacts_and_refreshes(spark, reg):
+    before = len(txn._replay(reg, txn.current_version(reg)))
+    v = catalog.sql_dml(spark, "OPTIMIZE mnt_t")
+    assert v == txn.current_version(reg)
+    after = len(txn._replay(reg, txn.current_version(reg)))
+    assert after < before
+    assert spark.sql("SELECT count(*) AS n FROM mnt_t").first().n == 40
+
+
+def test_optimize_zorder_by(spark, reg):
+    v = catalog.sql_dml(spark, "OPTIMIZE mnt_t ZORDER BY (k, v)")
+    assert v is not None
+    assert spark.table("mnt_t").count() == 40
+
+
+def test_optimize_where_scopes_to_partition(spark, tmp_path):
+    t = str(tmp_path / "p")
+    txn.append(_kv(spark, 0, 10, "x"), t, partition_by=["ds"])
+    txn.append(_kv(spark, 10, 20, "x"), t, partition_by=["ds"])
+    txn.append(_kv(spark, 20, 30, "y"), t, partition_by=["ds"])
+    catalog.register_table(spark, "mnt_p", t)
+    try:
+        files_before = txn._replay(t, txn.current_version(t))
+        y_before = [f for f in files_before if "ds=y" in f]
+        catalog.sql_dml(spark, "OPTIMIZE mnt_p WHERE ds = 'x'")
+        files_after = txn._replay(t, txn.current_version(t))
+        # y partition untouched (exact paths survive), x compacted
+        assert [f for f in files_after if "ds=y" in f] == y_before
+        assert len([f for f in files_after if "ds=x" in f]) < len(
+            [f for f in files_before if "ds=x" in f]
+        )
+        assert spark.table("mnt_p").count() == 30
+    finally:
+        catalog.unregister_table(spark, "mnt_p")
+
+
+def test_optimize_where_refuses_non_equality(spark, reg):
+    with pytest.raises(ValueError, match="OPTIMIZE"):
+        catalog.sql_dml(spark, "OPTIMIZE mnt_t WHERE ds > 'a'")
+
+
+def test_vacuum_retain_and_dry_run(spark, reg):
+    catalog.sql_dml(spark, "OPTIMIZE mnt_t")  # retire the small files
+    dry = catalog.sql_dml(spark, "VACUUM mnt_t RETAIN 1 VERSIONS DRY RUN")
+    assert isinstance(dry, list) and dry
+    assert all(os.path.exists(os.path.join(reg, f)) for f in dry)
+    removed = catalog.sql_dml(spark, "VACUUM mnt_t RETAIN 1 VERSIONS")
+    assert sorted(removed) == sorted(dry)
+    assert not any(os.path.exists(os.path.join(reg, f)) for f in removed)
+    assert spark.table("mnt_t").count() == 40
+
+
+def test_checkpoint_statement(spark, reg):
+    v = catalog.sql_dml(spark, "CHECKPOINT mnt_t")
+    assert v == txn.current_version(reg)
+    assert txn._latest_checkpoint(reg) is not None
+
+
+def test_restore_to_version_as_of(spark, reg):
+    catalog.sql_dml(spark, "DELETE FROM mnt_t WHERE k < 20")
+    assert spark.table("mnt_t").count() == 20
+    v = catalog.sql_dml(spark, "RESTORE mnt_t TO VERSION AS OF 3")
+    assert v == txn.current_version(reg)
+    # binding refreshed: the name serves the restored snapshot
+    assert spark.sql("SELECT count(*) AS n FROM mnt_t").first().n == 40
+
+
+def test_generate_manifest_statement(spark, reg):
+    out = catalog.sql_dml(
+        spark, "GENERATE symlink_format_manifest FOR TABLE mnt_t"
+    )
+    assert set(out) == {"manifest"}
+    active = {
+        os.path.join(reg, f)
+        for f in txn._replay(reg, txn.current_version(reg))
+    }
+    assert set(out["manifest"]) == active
+    assert os.path.exists(
+        os.path.join(reg, "_symlink_format_manifest", "manifest")
+    )
+
+
+def test_maintenance_refused_on_version_pinned_binding(spark, reg):
+    catalog.register_table(spark, "mnt_pin", reg, version=0)
+    try:
+        for stmt in (
+            "OPTIMIZE mnt_pin",
+            "VACUUM mnt_pin",
+            "CHECKPOINT mnt_pin",
+            "RESTORE mnt_pin TO VERSION AS OF 0",
+            "GENERATE symlink_format_manifest FOR TABLE mnt_pin",
+        ):
+            with pytest.raises(ValueError):
+                catalog.sql_dml(spark, stmt)
+    finally:
+        catalog.unregister_table(spark, "mnt_pin")
+
+
+def test_unknown_statement_still_refused_loudly(spark, reg):
+    with pytest.raises(ValueError, match="unsupported DML"):
+        catalog.sql_dml(spark, "ANALYZE TABLE mnt_t COMPUTE STATISTICS")

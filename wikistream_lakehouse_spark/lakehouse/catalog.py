@@ -164,6 +164,34 @@ _INSERT_BODY_RE = re.compile(
     r"(?is)^\(\s*(.+?)\s*\)\s*VALUES\s*\(\s*(.+?)\s*\)\s*$"
 )
 _ASSIGN_RE = re.compile(rf"^\s*({_IDENT})\s*=\s*(\S.*?)\s*$", re.DOTALL)
+_OPTIMIZE_RE = re.compile(
+    rf"^\s*OPTIMIZE\s+({_IDENT})"
+    rf"(?:\s+WHERE\s+(.+?))?"
+    rf"(?:\s+ZORDER\s+BY\s+(\(?\s*{_IDENT}(?:\s*,\s*{_IDENT})*\s*\)?))?"
+    rf"\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_VACUUM_RE = re.compile(
+    rf"^\s*VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?"
+    rf"(\s+DRY\s+RUN)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_CHECKPOINT_RE = re.compile(
+    rf"^\s*CHECKPOINT\s+({_IDENT})\s*;?\s*$", re.IGNORECASE
+)
+_RESTORE_RE = re.compile(
+    rf"^\s*RESTORE\s+(?:TABLE\s+)?({_IDENT})\s+TO\s+VERSION\s+AS\s+OF"
+    rf"\s+(\d+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_GENERATE_RE = re.compile(
+    rf"^\s*GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+({_IDENT})"
+    rf"\s*;?\s*$",
+    re.IGNORECASE,
+)
+_PART_EQ_RE = re.compile(
+    rf"^\s*({_IDENT})\s*=\s*('[^']*'|\"[^\"]*\"|[\w.\-]+)\s*$"
+)
 _EQ_RE = re.compile(
     rf"^\s*({_IDENT})\s*\.\s*({_IDENT})\s*=\s*({_IDENT})\s*\.\s*({_IDENT})\s*$"
 )
@@ -177,6 +205,12 @@ _DML_GRAMMAR = """supported DML grammar (registered txn names only):
       WHEN NOT MATCHED [AND <cond>] THEN INSERT * | INSERT (c,...) VALUES (e,...)
       WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE | UPDATE SET c=e,...
     (clauses evaluate first-match-wins, in statement order)
+maintenance statements (same registered names):
+  OPTIMIZE t [WHERE pcol = v [AND ...]] [ZORDER BY (c, ...)]
+  VACUUM t [RETAIN n VERSIONS] [DRY RUN]
+  CHECKPOINT t
+  RESTORE [TABLE] t TO VERSION AS OF n
+  GENERATE symlink_format_manifest FOR TABLE t
 Reads (SELECT ...) go straight to spark.sql(); richer writes use the
 txn API directly (txn.delete_where / update_where / merge_builder.merge)."""
 
@@ -295,7 +329,13 @@ def sql_dml(
       ``merge_builder.merge`` (``merge_mode`` picks MoR vs CoW); the
       exact upsert-all shorthand (``UPDATE SET * / INSERT *``, no
       conditions) keeps its original ``txn.transactional_upsert``
-      route.
+      route,
+    * maintenance: ``OPTIMIZE [WHERE pcol=v] [ZORDER BY (...)]`` →
+      ``txn.compact``, ``VACUUM [RETAIN n VERSIONS] [DRY RUN]`` →
+      ``txn.vacuum`` (returns the reclaimed file list), ``CHECKPOINT``,
+      ``RESTORE ... TO VERSION AS OF n``, and ``GENERATE
+      symlink_format_manifest FOR TABLE t`` (returns the manifest map) —
+      all refused on version-pinned bindings like every write here.
 
     The target must be a latest-bound registration (version-pinned
     bindings are read-only); after the commit the binding auto-
@@ -379,7 +419,78 @@ def sql_dml(
             v = builder.execute(spark, mode=merge_mode)
         refresh_table(spark, name)
         return v
+    out = _sql_maintenance(spark, statement)
+    if out is not _NO_MATCH:
+        return out
     raise ValueError(f"unsupported DML statement\n{_DML_GRAMMAR}")
+
+
+_NO_MATCH = object()
+
+
+def _sql_maintenance(spark: SparkSession, statement: str):
+    """Maintenance-statement routing for ``sql_dml`` (grammar above).
+    Return values follow each operation's natural shape: OPTIMIZE /
+    RESTORE / CHECKPOINT → committed (or checkpointed) version,
+    no-op OPTIMIZE → None, VACUUM → list of reclaimed files, GENERATE →
+    {manifest path: file list}. Returns ``_NO_MATCH`` when the
+    statement is not a maintenance form at all."""
+    m = _OPTIMIZE_RE.match(statement)
+    if m:
+        name, where_sql, z_sql = m.groups()
+        b = _writable_binding(spark, name)
+        partitions = None
+        if where_sql:
+            partitions = {}
+            for part in re.split(r"(?i)\s+AND\s+", where_sql.strip()):
+                pm = _PART_EQ_RE.match(part)
+                if not pm:
+                    raise ValueError(
+                        "OPTIMIZE ... WHERE accepts only `pcol = "
+                        f"literal [AND ...]`; got {part!r}\n{_DML_GRAMMAR}"
+                    )
+                partitions[pm.group(1)] = pm.group(2).strip("'\"")
+        zorder_by = None
+        if z_sql:
+            zorder_by = [
+                c.strip() for c in z_sql.strip("() \t\n").split(",")
+            ]
+        v = txn.compact(
+            spark, b.path, store=b.store,
+            partitions=partitions, zorder_by=zorder_by,
+        )
+        refresh_table(spark, name)
+        return v
+    m = _VACUUM_RE.match(statement)
+    if m:
+        name, retain, dry = m.groups()
+        b = _writable_binding(spark, name)
+        return txn.vacuum(
+            b.path,
+            retain_versions=int(retain) if retain else 1,
+            store=b.store,
+            dry_run=bool(dry),
+        )
+    m = _CHECKPOINT_RE.match(statement)
+    if m:
+        b = _writable_binding(spark, m.group(1))
+        return txn.checkpoint(b.path, store=b.store)
+    m = _RESTORE_RE.match(statement)
+    if m:
+        name, ver = m.groups()
+        b = _writable_binding(spark, name)
+        v = txn.restore(b.path, version=int(ver), store=b.store)
+        refresh_table(spark, name)
+        return v
+    m = _GENERATE_RE.match(statement)
+    if m:
+        from wikistream_lakehouse_spark.lakehouse.interop import (
+            generate_symlink_manifest,
+        )
+
+        b = _writable_binding(spark, m.group(1))
+        return generate_symlink_manifest(b.path, store=b.store)
+    return _NO_MATCH
 
 
 def _parse_set_list(set_sql: str) -> "dict[str, str]":

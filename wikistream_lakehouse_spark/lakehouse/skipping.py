@@ -334,3 +334,81 @@ def txn_skipping_scan(
     if mapping or dropped:
         df = txn._to_logical(df, mapping, dropped)
     return df.drop(txn._COMMIT_COL), n_read, n_total
+
+
+def point_lookup(
+    spark: SparkSession,
+    table_path: str,
+    keys: dict,
+    version: int | None = None,
+    store=None,
+) -> tuple[DataFrame, int, int]:
+    """Serving-style key lookup on a transactional table: read only the
+    files that can hold ``keys`` (logical names, exact equality),
+    decided from LOG METADATA alone — the read-side twin of the MERGE
+    probe's candidate pruning, composed from the same three faces:
+
+      1. partition values — key columns that are partition columns
+         restrict to their hive directories,
+      2. per-file Bloom filters — point pruning on uuid/random layouts
+         where envelopes span the key space (``set_stats_columns``),
+      3. min/max envelopes — clustered/Z-ordered layouts.
+
+    Returns (rows DataFrame, files_read, files_total). At 10⁶ files a
+    stats-logged, key-clustered table answers a point lookup by opening
+    a handful of files — the planning is one driver-side interval/bloom
+    intersection and one tiny aggregate job, zero table IO. Deletion
+    vectors apply (a MoR-deleted key returns nothing); column mapping
+    resolves (lookup by the CURRENT logical name at any version).
+
+    Reference anchor: the reference serves point queries from Postgres
+    after an export (upsert_athena_aggregates.py) — this serves them
+    from the lake itself.
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    from wikistream_lakehouse_spark.lakehouse import txn
+
+    v = txn.current_version(table_path, store) if version is None else version
+    files, dvs = txn._replay_state(table_path, v, store)
+    total = len(files)
+    mapping, dropped = txn._column_mapping_state(table_path, v, store)
+    pkeys = {mapping.get(k, k): val for k, val in keys.items()}
+
+    schema = None
+    if files:
+        types = txn._stamped_physical_types(table_path, store, upto=v) or {}
+        missing = [k for k in pkeys if k not in types]
+        if missing:  # legacy stamp-free log: one footer/table-schema read
+            sch = txn._table_schema(spark, table_path, store)
+            types = {**{f.name: f.dataType for f in (sch or [])}, **types}
+            missing = [k for k in pkeys if k not in types]
+        if missing:
+            raise ValueError(
+                f"unknown lookup column(s) {missing} in {table_path}"
+            )
+        touched = spark.createDataFrame(
+            [tuple(pkeys.values())],
+            StructType([StructField(k, types[k]) for k in pkeys]),
+        )
+        cand = txn._candidate_merge_files(
+            table_path, files, touched, list(pkeys), v, store
+        )
+    else:
+        cand = []
+    if not cand:
+        empty = txn.read_table(
+            spark, table_path, version=v, store=store
+        ).filter(F.lit(False))
+        return empty, 0, total
+
+    df = txn._read_files(spark, table_path, cand, store, dvs=dvs)
+    cond = F.lit(True)
+    for k, val in pkeys.items():
+        cond = cond & F.col(k).eqNullSafe(F.lit(val))
+    df = df.filter(cond)
+    if txn._COMMIT_COL in df.columns:
+        df = df.drop(txn._COMMIT_COL)
+    if mapping or dropped:
+        df = txn._to_logical(df, mapping, dropped)
+    return df, len(cand), total

@@ -121,7 +121,11 @@ def _stamp_union_types(table_path: str, version: int, store) -> dict:
     frame's schema, so a merge_schema append that added a column does
     not re-list one an earlier append carried exclusively); the union
     is exactly the column set a mergeSchema footer union would see,
-    with the log — not per-file inference — as the type authority."""
+    with the log — not per-file inference — as the type authority.
+    A FULL-STATE commit (compact, CoW merge, replace, restore) resets
+    the union — it rematerialized every active file, so columns only
+    older stamps carried (e.g. dropped by a schema-changing
+    ``replace_table``) no longer exist to read."""
     from pyspark.sql.types import StructType
 
     out: dict = {}
@@ -129,6 +133,8 @@ def _stamp_union_types(table_path: str, version: int, store) -> dict:
         if cv > version:
             break
         e = txn._load_entry(table_path, cv, store) or {}
+        if txn._is_full_state_commit(e):
+            out = {}
         s = e.get("physicalSchemaJson") or (e.get("meta") or {}).get(
             "physicalSchemaJson"
         )

@@ -2062,6 +2062,18 @@ def restore(
             meta["columnMapping"] = t_map
             meta["droppedColumns"] = sorted(t_drop)
         t_ws = _wide_schema(table_path, store, upto=version)
+        t_types = _stamped_physical_types(table_path, store, upto=version)
+        if t_types is not None:
+            # the physical-schema stamp rolls back with the data too:
+            # without it, a reverse scan from the restore finds the
+            # newest PRE-restore stamp — which, after restoring over a
+            # schema-changing replace, describes columns the restored
+            # files don't have
+            from pyspark.sql.types import StructField, StructType
+
+            entry_schema = StructType(
+                [StructField(n, t, True) for n, t in t_types.items()]
+            )
         cur_files, cur_dvs = _replay_state(table_path, base, store)
         cur = set(cur_files)
         entry = _entry(
@@ -2071,6 +2083,8 @@ def restore(
             pb,
             meta,
         )
+        if t_types is not None:
+            entry["physicalSchemaJson"] = entry_schema.json()
         # DV state must roll back too: re-activate the target version's
         # vectors, retire the ones that appeared since
         dv_add = sorted(set(target_dvs) - set(cur_dvs))
@@ -2548,6 +2562,7 @@ def rewrite(
     meta: dict | None = None,
     store: LogStore | None = None,
     stats_cols: list[str] | None = None,
+    allow_repartition: bool = False,
 ) -> int:
     """Commit ``df`` as the FULL new table state, valid only if nothing
     landed after ``base_version`` (optimistic read-modify-write). Raises
@@ -2558,9 +2573,17 @@ def rewrite(
     ``enforce_schema=True`` (default) rejects a state whose columns
     differ from the current table's — merges/compactions must not
     morph the schema; pass False for an intentional overwrite-schema.
+    ``allow_repartition`` lets an explicit ``partition_by`` REPLACE the
+    table's layout (safe only for full replaces: every old-layout file
+    is in the remove set, so no mixed layout can result) — the
+    ``replace_table`` path; layout-preserving rewrites keep the
+    inherit-or-refuse rule.
     """
     _check_writer_features(table_path, store)
-    pb = _resolve_partition_by(table_path, partition_by, store)
+    if allow_repartition and partition_by is not None:
+        pb = list(partition_by)
+    else:
+        pb = _resolve_partition_by(table_path, partition_by, store)
     if enforce_schema:
         _check_schema(df, table_path, store)
     stats_cols = _effective_stats_cols(table_path, stats_cols, df, store, pb)
@@ -2573,6 +2596,11 @@ def rewrite(
         raise
     removes, old_dvs = _replay_state(table_path, base_version, store)
     entry = _entry(op, adds, removes, pb, meta)
+    # full-state commits are a schema authority: stamping here lets
+    # _stamped_physical_types stop at the newest rewrite instead of
+    # walking back to the last append, and gives schema-changing
+    # replaces (enforce_schema=False) a stamp at all
+    entry["physicalSchemaJson"] = phys_json
     if stats_cols:
         entry["stats"] = _collect_commit_stats(
             df.sparkSession, table_path, adds, stats_cols, store
@@ -2590,6 +2618,49 @@ def rewrite(
             f"{op} validated against v{base_version} but the table moved"
         )
     return v
+
+
+def replace_table(
+    spark: SparkSession,
+    table_path: str,
+    df: DataFrame,
+    partition_by: list[str] | None = None,
+    max_retries: int = 5,
+    store: LogStore | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """INSERT OVERWRITE / CREATE OR REPLACE TABLE semantics: commit
+    ``df`` as the full new state in ONE version — schema and partition
+    layout may both change (every prior file is in the remove set, so
+    no mixed layout or mixed schema can result), history stays time
+    travelable, and concurrent writers are handled by the ordinary
+    optimistic retry. The replace stamps its physical schema, so it is
+    a full-state reset for evolution/widening flags exactly like
+    compact. Creates the table when ``table_path`` has no commits."""
+    for _ in range(max_retries):
+        base = current_version(table_path, store)
+        try:
+            return rewrite(
+                df, table_path, base, op="rewrite",
+                enforce_schema=False, partition_by=partition_by,
+                meta={"replaceTable": True}, store=store,
+                stats_cols=stats_cols, allow_repartition=True,
+            )
+        except CommitConflict:
+            continue
+    raise CommitConflict(f"replace_table conflicted {max_retries} times")
+
+
+def drop_table(table_path: str, store: LogStore | None = None) -> None:
+    """Remove the table IRREVERSIBLY: every log object, then the data
+    tree. Not a commit — there is no table left to record it in; use
+    ``delete_where``/``vacuum`` for recoverable cleanup. Driver-side
+    metadata + batch-delete work, O(log entries + files)."""
+    st = _store(store)
+    log_dir = _log_path(table_path)
+    for fn in st.list_dir(log_dir):
+        st.delete(os.path.join(log_dir, fn))
+    _data().remove_tree(table_path)
 
 
 def set_partitioning(

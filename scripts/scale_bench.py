@@ -60,6 +60,11 @@ DEFAULT_QUERIES = [
     # round-7 additions
     "ann_ivf_pq_topk",            # composed index: build + probed-partition ADC (watch)
     "sql_daily_top_titles",       # catalog surface: curate + register + SQL
+    # round-8 additions
+    "semantic_dedup_keep",        # k-means + per-cluster greedy prune (watch)
+    "cdc_apply_latest_state",     # streaming CDC apply: merge per batch (watch)
+    "scd2_history_splice",        # SCD2 splice under out-of-order batches
+    "scd_serving_merge",          # conditional-MERGE serving table
 ]
 
 

@@ -137,3 +137,110 @@ def test_maintenance_refused_on_version_pinned_binding(spark, reg):
 def test_unknown_statement_still_refused_loudly(spark, reg):
     with pytest.raises(ValueError, match="unsupported DML"):
         catalog.sql_dml(spark, "ANALYZE TABLE mnt_t COMPUTE STATISTICS")
+
+
+# ---- DDL: CREATE TABLE AS / DROP TABLE ---------------------------------
+def test_ctas_creates_registers_and_reads_back(spark, tmp_path):
+    loc = str(tmp_path / "ctas_t")
+    v = catalog.sql_dml(
+        spark,
+        f"CREATE TABLE ctas_t LOCATION '{loc}' AS "
+        "SELECT id AS k, id * 2.0 AS v FROM range(50)",
+    )
+    try:
+        assert v == 0
+        assert spark.sql("SELECT count(*) AS n FROM ctas_t").first().n == 50
+        assert txn.current_version(loc) == 0
+    finally:
+        catalog.sql_dml(spark, "DROP TABLE ctas_t")
+
+
+def test_ctas_partitioned_layout(spark, tmp_path):
+    loc = str(tmp_path / "ctas_p")
+    catalog.sql_dml(
+        spark,
+        f"CREATE TABLE ctas_p PARTITIONED BY (tag) LOCATION '{loc}' AS "
+        "SELECT id AS k, CAST(id % 2 AS STRING) AS tag FROM range(20)",
+    )
+    try:
+        files = txn._replay(loc, txn.current_version(loc))
+        assert any("tag=0" in f for f in files)
+        assert any("tag=1" in f for f in files)
+    finally:
+        catalog.sql_dml(spark, "DROP TABLE ctas_p")
+
+
+def test_create_or_replace_changes_schema_atomically(spark, tmp_path):
+    loc = str(tmp_path / "ctas_r")
+    catalog.sql_dml(
+        spark,
+        f"CREATE TABLE ctas_r LOCATION '{loc}' AS "
+        "SELECT id AS k FROM range(10)",
+    )
+    try:
+        with pytest.raises(ValueError, match="OR REPLACE"):
+            catalog.sql_dml(
+                spark,
+                f"CREATE TABLE ctas_r LOCATION '{loc}' AS "
+                "SELECT id AS k FROM range(5)",
+            )
+        catalog.sql_dml(
+            spark,
+            f"CREATE OR REPLACE TABLE ctas_r LOCATION '{loc}' AS "
+            "SELECT id AS k, 'x' AS tag FROM range(7)",
+        )
+        got = spark.table("ctas_r")
+        assert sorted(got.columns) == ["k", "tag"] and got.count() == 7
+        # the pre-replace snapshot time-travels
+        assert txn.read_table(spark, loc, version=0).columns == ["k"]
+        assert txn.read_table(spark, loc, version=0).count() == 10
+    finally:
+        catalog.sql_dml(spark, "DROP TABLE ctas_r")
+
+
+def test_ctas_reads_registered_views(spark, tmp_path):
+    src = str(tmp_path / "src")
+    txn.append(_kv(spark, 0, 30), src)
+    catalog.register_table(spark, "ddl_src", src)
+    loc = str(tmp_path / "dst")
+    try:
+        catalog.sql_dml(
+            spark,
+            f"CREATE TABLE ddl_dst LOCATION '{loc}' AS "
+            "SELECT k, v FROM ddl_src WHERE k >= 20",
+        )
+        assert spark.table("ddl_dst").count() == 10
+    finally:
+        catalog.unregister_table(spark, "ddl_src")
+        catalog.sql_dml(spark, "DROP TABLE ddl_dst")
+
+
+def test_drop_table_purge_removes_log_and_data(spark, tmp_path):
+    loc = str(tmp_path / "doomed")
+    catalog.sql_dml(
+        spark,
+        f"CREATE TABLE doomed LOCATION '{loc}' AS "
+        "SELECT id AS k FROM range(5)",
+    )
+    assert txn.current_version(loc) == 0
+    catalog.sql_dml(spark, "DROP TABLE doomed PURGE")
+    assert txn.current_version(loc) < 0  # log gone
+    assert not os.path.exists(loc)
+    with pytest.raises(ValueError):
+        catalog.sql_dml(spark, "DROP TABLE doomed")  # binding gone too
+
+
+def test_drop_without_purge_keeps_the_table(spark, tmp_path):
+    loc = str(tmp_path / "kept")
+    catalog.sql_dml(
+        spark,
+        f"CREATE TABLE kept LOCATION '{loc}' AS "
+        "SELECT id AS k FROM range(5)",
+    )
+    catalog.sql_dml(spark, "DROP TABLE kept")
+    assert txn.current_version(loc) == 0  # data + log intact
+    catalog.register_table(spark, "kept2", loc)
+    try:
+        assert spark.table("kept2").count() == 5
+    finally:
+        catalog.unregister_table(spark, "kept2")

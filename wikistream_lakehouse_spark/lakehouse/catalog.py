@@ -192,6 +192,16 @@ _GENERATE_RE = re.compile(
 _PART_EQ_RE = re.compile(
     rf"^\s*({_IDENT})\s*=\s*('[^']*'|\"[^\"]*\"|[\w.\-]+)\s*$"
 )
+_CTAS_RE = re.compile(
+    rf"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_IDENT})"
+    rf"(?:\s+PARTITIONED\s+BY\s*\(\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\))?"
+    rf"(?:\s+LOCATION\s+'([^']+)')?"
+    rf"\s+AS\s+(SELECT\s+.+|VALUES\s*.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_TABLE_RE = re.compile(
+    rf"^\s*DROP\s+TABLE\s+({_IDENT})(\s+PURGE)?\s*;?\s*$", re.IGNORECASE
+)
 _EQ_RE = re.compile(
     rf"^\s*({_IDENT})\s*\.\s*({_IDENT})\s*=\s*({_IDENT})\s*\.\s*({_IDENT})\s*$"
 )
@@ -211,6 +221,14 @@ maintenance statements (same registered names):
   CHECKPOINT t
   RESTORE [TABLE] t TO VERSION AS OF n
   GENERATE symlink_format_manifest FOR TABLE t
+DDL:
+  CREATE [OR REPLACE] TABLE t [PARTITIONED BY (c, ...)]
+      [LOCATION '/path'] AS SELECT ... | VALUES ...
+    (default location: <spark.sql.warehouse.dir>/txn/<t>; OR REPLACE
+     over a live table is one atomic full-replace commit — schema and
+     layout may change, history stays time-travelable)
+  DROP TABLE t [PURGE]
+    (unbinds the name; PURGE irreversibly deletes log + data)
 Reads (SELECT ...) go straight to spark.sql(); richer writes use the
 txn API directly (txn.delete_where / update_where / merge_builder.merge)."""
 
@@ -490,7 +508,61 @@ def _sql_maintenance(spark: SparkSession, statement: str):
 
         b = _writable_binding(spark, m.group(1))
         return generate_symlink_manifest(b.path, store=b.store)
+    m = _CTAS_RE.match(statement)
+    if m:
+        replace, name, part_sql, location, body = m.groups()
+        existing = _session_bindings(spark).get(name)
+        if existing and not replace:
+            raise ValueError(
+                f"table {name!r} is already registered; use CREATE OR "
+                "REPLACE TABLE to overwrite its binding"
+            )
+        path = location or _warehouse_path(spark, name)
+        if txn.current_version(path) >= 0 and not replace:
+            raise ValueError(
+                f"{path} already holds a committed table; use CREATE OR "
+                "REPLACE TABLE (appends a replacing commit) or pick "
+                "another LOCATION"
+            )
+        pb = (
+            [c.strip() for c in part_sql.split(",")] if part_sql else None
+        )
+        df = spark.sql(body)
+        if txn.current_version(path) >= 0:  # OR REPLACE over live table
+            v = txn.replace_table(spark, path, df, partition_by=pb)
+        else:
+            v = txn.append(df, path, partition_by=pb)
+        register_table(spark, name, path)
+        return v
+    m = _DROP_TABLE_RE.match(statement)
+    if m:
+        name, purge = m.groups()
+        b = _session_bindings(spark).get(name)
+        if b is None:
+            raise ValueError(f"{name!r} is not a registered txn table")
+        if purge and b.pinned:
+            raise ValueError(
+                "DROP TABLE ... PURGE refused on a version-pinned "
+                "binding (it names a snapshot, not the table)"
+            )
+        unregister_table(spark, name)
+        if purge:
+            txn.drop_table(b.path, store=b.store)
+        return None
     return _NO_MATCH
+
+
+def _warehouse_path(spark: SparkSession, name: str) -> str:
+    """Default CTAS location: <spark.sql.warehouse.dir>/txn/<name>."""
+    import os
+    from urllib.parse import urlparse
+
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", os.path.join(os.getcwd(), "spark-warehouse")
+    )
+    p = urlparse(wh)
+    base = p.path if p.scheme in ("", "file") else wh
+    return os.path.join(base, "txn", name)
 
 
 def _parse_set_list(set_sql: str) -> "dict[str, str]":

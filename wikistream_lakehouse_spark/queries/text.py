@@ -557,3 +557,44 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "heavy_hitter_tokens",
+    oracle="""
+        WITH toks AS (
+            SELECT t.term
+            FROM documents d,
+                 UNNEST(string_split(d.text, ' ')) AS t(term)
+            WHERE t.term <> ''
+        ),
+        tot AS (SELECT COUNT(*) AS n FROM toks)
+        SELECT term AS item,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               ROUND(COUNT(*) / (SELECT CAST(n AS DOUBLE) FROM tot), 6)
+                   AS share
+        FROM toks
+        GROUP BY term
+        HAVING COUNT(*) / (SELECT CAST(n AS DOUBLE) FROM tot) > 0.004
+        ORDER BY item
+    """,
+    tags=("X4", "sketch", "heavyhitters"),
+)
+def heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens above a 0.4% corpus share, found by the bounded-memory
+    two-scan heavy-hitters pattern (operators/heavyhitters.py): a
+    per-partition Misra-Gries sketch proposes a guaranteed-superset
+    candidate list (≤ k·partitions rows, any corpus size), one exact
+    broadcast-pruned recount verifies — so the answer EQUALS the plain
+    GROUP BY oracle while never shuffling the full token vocabulary.
+    The shape term_frequency_topk needs when key cardinality itself is
+    the bottleneck."""
+    from wikistream_lakehouse_spark.operators.heavyhitters import (
+        heavy_hitters,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    return heavy_hitters(toks, "tok", min_share=0.004).orderBy("item")

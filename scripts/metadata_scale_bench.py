@@ -179,6 +179,28 @@ def main() -> None:
     out["log_reads_checkpointed_open"] = cs.reads
     out["log_lists_checkpointed_open"] = cs.lists
 
+    # ---- log retention: delete pre-checkpoint entries, re-measure the
+    # residual O(commits) terms (directory listing + metadata walks)
+    t0 = time.perf_counter()
+    out["cleanup_removed_entries"] = len(txn.cleanup_log(path))
+    out["cleanup_sec"] = round(time.perf_counter() - t0, 4)
+    out["current_version_after_cleanup_sec"] = timed(
+        lambda: txn.current_version(path)
+    )
+    out["replay_after_cleanup_sec"] = timed(
+        lambda: txn._replay_state(path, head)
+    )
+    out["stamped_types_after_cleanup_sec"] = timed(
+        lambda: txn._stamped_physical_types(path)
+    )
+    out["maintain_decision_after_cleanup_sec"] = timed(
+        lambda: txn.maintain_table(
+            spark, path, max_small_files=10**9, max_active_dvs=10**9,
+            checkpoint_every=10**9,
+        ),
+        runs=2,
+    )
+
     # stream-source catch-up planning: how long to enumerate the next
     # microbatch bounds over the full log (no data read)
     try:

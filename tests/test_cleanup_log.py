@@ -1,0 +1,182 @@
+"""Log retention (txn.cleanup_log): pre-checkpoint commit entries are
+deleted, every read at or after the checkpoint is byte-identical
+(checkpoints snapshot sizes, per-file stats, declared stats columns,
+and the physical-schema stamp), time travel and lagging change feeds
+below the horizon refuse with clear errors, and feature-bearing tables
+refuse cleanup outright."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from wikistream_lakehouse_spark.lakehouse import txn
+from wikistream_lakehouse_spark.lakehouse.skipping import point_lookup
+
+
+def _kv(spark, lo, hi, val=1.0):
+    return (
+        spark.range(lo, hi)
+        .select(F.col("id").alias("k"), F.lit(float(val)).alias("v"))
+        .coalesce(1)
+    )
+
+
+@pytest.fixture()
+def cleaned(spark, tmp_path):
+    """6 appends with declared stats, checkpoint at v6, cleanup."""
+    path = str(tmp_path / "t")
+    txn.append(_kv(spark, 0, 50), path)
+    txn.set_stats_columns(path, ["k"])
+    for i in range(1, 6):
+        txn.append(_kv(spark, i * 50, (i + 1) * 50, float(i)), path)
+    pre_rows = sorted(map(tuple, txn.read_table(spark, path).collect()))
+    cpv = txn.checkpoint(path)
+    removed = txn.cleanup_log(path)
+    return path, cpv, pre_rows, removed
+
+
+def test_cleanup_deletes_prehorizon_entries_and_reads_are_identical(
+    spark, cleaned
+):
+    path, cpv, pre_rows, removed = cleaned
+    assert removed, "cleanup must actually delete something"
+    vs = txn._committed_versions(path)
+    assert vs and vs[0] == cpv, "only the checkpoint version onward retained"
+    got = sorted(map(tuple, txn.read_table(spark, path).collect()))
+    assert got == pre_rows
+    # the log directory physically shrank
+    names = os.listdir(os.path.join(path, "_txnlog"))
+    assert len([n for n in names if n.endswith(".json")]) <= 4
+
+
+def test_writes_continue_after_cleanup(spark, cleaned):
+    path, cpv, pre_rows, _ = cleaned
+    txn.append(_kv(spark, 1000, 1010, 9.0), path)
+    txn.delete_where(spark, path, "k < 10", mode="mor")
+    txn.transactional_upsert(
+        spark, path, _kv(spark, 1000, 1005, 7.0), keys=["k"]
+    )
+    n = txn.read_table(spark, path).count()
+    assert n == len(pre_rows) + 10 - 10
+    txn.compact(spark, path)
+    assert txn.read_table(spark, path).count() == n
+
+
+def test_time_travel_below_horizon_refuses_clearly(spark, cleaned):
+    path, cpv, _, _ = cleaned
+    with pytest.raises(ValueError, match="retention horizon"):
+        txn.read_table(spark, path, version=cpv - 2)
+    # at the horizon itself: fine
+    assert txn.read_table(spark, path, version=cpv).count() == 300
+
+
+def test_stats_authority_survives_via_checkpoint(spark, cleaned):
+    """Declared stats columns and per-file envelopes were logged BELOW
+    the horizon; the checkpoint must carry both so pruning keeps
+    working."""
+    path, cpv, _, _ = cleaned
+    assert txn.stats_columns(path) == ["k"]
+    got, n_read, n_total = point_lookup(spark, path, {"k": 125})
+    assert [r.k for r in got.collect()] == [125]
+    assert n_read < n_total, "envelope pruning must survive cleanup"
+
+
+def test_schema_authority_survives_via_checkpoint(spark, cleaned):
+    path, _, _, _ = cleaned
+    types = txn._stamped_physical_types(path)
+    assert types is not None and set(types) == {"k", "v"}
+    from wikistream_lakehouse_spark.lakehouse.interop import (
+        read_snapshot_duckdb,
+    )
+
+    tbl = read_snapshot_duckdb(path)
+    assert sorted(tbl.column_names) == ["k", "v"]
+    assert tbl.num_rows == 300
+
+
+def test_change_feed_guards_lagging_consumers(spark, cleaned):
+    path, cpv, _, _ = cleaned
+    with pytest.raises(ValueError, match="log-cleaned at horizon"):
+        txn.table_changes(spark, path, from_version=0)
+    txn.append(_kv(spark, 2000, 2005), path)
+    delta = txn.table_changes(spark, path, from_version=cpv)
+    assert delta.count() == 5
+
+
+def test_feature_bearing_tables_refuse(spark, tmp_path):
+    renamed = str(tmp_path / "renamed")
+    txn.append(_kv(spark, 0, 10), renamed)
+    txn.rename_column(spark, renamed, "v", "score")
+    txn.checkpoint(renamed)
+    with pytest.raises(ValueError, match="columnMapping"):
+        txn.cleanup_log(renamed)
+
+    widened = str(tmp_path / "widened")
+    txn.append(
+        spark.range(0, 5).select(F.col("id").cast("int").alias("k")),
+        widened,
+    )
+    txn.append(
+        spark.range(5, 9).select(F.col("id").cast("bigint").alias("k")),
+        widened,
+        merge_schema=True,
+    )
+    txn.checkpoint(widened)
+    with pytest.raises(ValueError, match="typeWidening|schemaEvolution"):
+        txn.cleanup_log(widened)
+
+
+def test_cleanup_requires_checkpoint(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.append(_kv(spark, 0, 5), path)
+    with pytest.raises(ValueError, match="requires a checkpoint"):
+        txn.cleanup_log(path)
+
+
+def test_vacuum_composes_after_cleanup(spark, cleaned):
+    path, _, pre_rows, _ = cleaned
+    txn.delete_where(spark, path, "k >= 250", mode="cow")
+    txn.vacuum(path, retain_versions=1, orphan_grace_secs=0)
+    assert txn.read_table(spark, path).count() == 250
+
+
+def test_maintain_table_log_retention_knob(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for i in range(6):
+        txn.append(_kv(spark, i * 10, (i + 1) * 10), path)
+    report = txn.maintain_table(
+        spark, path, checkpoint_every=2, log_retention=True
+    )
+    assert "checkpoint" in report and "cleanup_log" in report
+    assert txn.read_table(spark, path).count() == 60
+    # a second tick is a near-no-op
+    again = txn.maintain_table(
+        spark, path, checkpoint_every=2, log_retention=True
+    )
+    assert "cleanup_log" not in again
+
+
+def test_second_cleanup_advances_the_horizon(spark, cleaned):
+    path, cpv, _, _ = cleaned
+    txn.append(_kv(spark, 3000, 3010), path)
+    txn.append(_kv(spark, 3010, 3020), path)
+    cpv2 = txn.checkpoint(path)
+    removed = txn.cleanup_log(path)
+    assert removed
+    assert txn._retention_horizon(path) == cpv2
+    with pytest.raises(ValueError, match="retention horizon"):
+        txn.read_table(spark, path, version=cpv)
+    assert txn.read_table(spark, path).count() == 320
+
+
+def test_vacuum_with_generous_retention_clamps_to_horizon(spark, cleaned):
+    """retain_versions larger than the replayable window must not make
+    vacuum crash on sub-horizon replays — it clamps and keeps all
+    replayable snapshots' files."""
+    path, cpv, pre_rows, _ = cleaned
+    removed = txn.vacuum(path, retain_versions=100, orphan_grace_secs=0)
+    assert removed == []  # everything replayable is retained
+    assert txn.read_table(spark, path).count() == len(pre_rows)

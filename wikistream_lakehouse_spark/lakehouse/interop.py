@@ -155,6 +155,15 @@ def _physical_types(table_path: str, version: int, store) -> dict:
         for f in ws.fields:
             types[f.name] = f.dataType
     if not types:
+        # cleaned log (cleanup_log): the stamping commits are gone but
+        # the checkpoint snapshots the authority — and a cleaned log is
+        # feature-gated to have no mapping/widening, so the single
+        # newest stamp IS the union
+        types = dict(
+            txn._stamped_physical_types(table_path, store, upto=version)
+            or {}
+        )
+    if not types:
         sch = txn._logged_schema(table_path, store)
         if sch is not None:
             mapping, _ = txn._column_mapping_state(table_path, version, store)

@@ -622,7 +622,27 @@ def _replay_state(
     cp = _latest_checkpoint(table_path, store)
     if cp is not None and cp[0] <= upto:
         start, active, dvs = cp[0] + 1, set(cp[1]), set(cp[2])
-    for v in _committed_versions(table_path, store):
+    committed = _committed_versions(table_path, store)
+    if start == 0 and committed and committed[0] > 0:
+        # a front-gap means either cleanup_log removed the entries
+        # below a retained horizon (marker present: this replay would
+        # silently return an empty, WRONG snapshot → refuse) or a torn
+        # first claim was repaired (no marker: v0 never committed, the
+        # gap contributes nothing, replay is correct)
+        h = _retention_horizon(table_path, store)
+        if h is not None:
+            if upto < h:
+                raise ValueError(
+                    f"version {upto} of {table_path} predates the log "
+                    f"retention horizon {h} — its entries were removed "
+                    "by cleanup_log"
+                )
+            raise ValueError(
+                f"{table_path} was log-cleaned at horizon {h} but its "
+                "anchor checkpoint is missing or unreadable — the log "
+                "below the horizon is gone, so no snapshot can replay"
+            )
+    for v in committed:
         if v < start:
             continue
         if v > upto:
@@ -797,10 +817,17 @@ def stats_columns(
     upto: int | None = None,
 ) -> list[str]:
     """The declared data-skipping columns (latest declaration wins;
-    empty when never declared or cleared) — same replay cost class as
-    ``constraints``."""
+    empty when never declared or cleared) — checkpoint-anchored: the
+    checkpoint snapshots the declaration, later commits override."""
     out: list[str] = []
+    start = 0
+    cp = _checkpoint_doc(table_path, store, upto=upto)
+    if cp is not None and "statsCols" in cp:
+        out = list(cp["statsCols"])
+        start = int(cp["version"]) + 1
     for v in _committed_versions(table_path, store):
+        if v < start:
+            continue
         if upto is not None and v > upto:
             break
         e = _load_entry(table_path, v, store) or {}
@@ -1447,6 +1474,12 @@ def _stamped_physical_types(
         if s:
             sch = StructType.fromJson(json.loads(s))
             return {f.name: f.dataType for f in sch.fields}
+    # checkpoint fallback: after cleanup_log the stamping commit may be
+    # gone — the checkpoint snapshots the authority it carried
+    cp = _checkpoint_doc(table_path, store, upto=upto)
+    if cp and cp.get("physicalSchemaJson"):
+        sch = StructType.fromJson(json.loads(cp["physicalSchemaJson"]))
+        return {f.name: f.dataType for f in sch.fields}
     return None
 
 
@@ -2212,7 +2245,14 @@ def _logged_file_stats_raw(
     v = current_version(table_path, store) if upto is None else upto
     active = set(_replay(table_path, v, store))
     out: dict[str, dict] = {}
+    start = 0
+    cp = _checkpoint_doc(table_path, store, upto=v)
+    if cp is not None and "stats" in cp:
+        out = {r: s for r, s in cp["stats"].items() if r in active}
+        start = int(cp["version"]) + 1
     for cv in _committed_versions(table_path, store):
+        if cv < start:
+            continue
         if cv > v:
             break
         e = _load_entry(table_path, cv, store) or {}
@@ -2829,21 +2869,56 @@ def checkpoint(table_path: str, store: LogStore | None = None) -> int:
         raise ValueError(f"nothing committed under {table_path}")
     files, dvs = _replay_state(table_path, v, store)
     path = os.path.join(_log_path(table_path), f"{v:0{_PAD}d}.checkpoint.json")
-    payload = json.dumps(
-        {
-            "version": v,
-            "active": files,
-            "dvs": dvs,
-            # feature union up to v, so the writer-feature gate stays
-            # O(commits since checkpoint) like every other planner read
-            "features": sorted(writer_features(table_path, store)),
-            # size map up to v, so maintenance planning stays
-            # O(commits since checkpoint) too
-            "sizes": logged_file_sizes(table_path, v, store),
-        }
-    ).encode()
-    st.put_if_absent(path, payload)  # False ⇒ same version already done
+    doc = {
+        "version": v,
+        "active": files,
+        "dvs": dvs,
+        # feature union up to v, so the writer-feature gate stays
+        # O(commits since checkpoint) like every other planner read
+        "features": sorted(writer_features(table_path, store)),
+        # size map up to v, so maintenance planning stays
+        # O(commits since checkpoint) too
+        "sizes": logged_file_sizes(table_path, v, store),
+        # metadata state snapshots (the Delta-checkpoint metaData
+        # analogue): they make the checkpoint a complete replay anchor,
+        # which is what lets cleanup_log delete pre-checkpoint commit
+        # entries without losing schema/stats authority
+        "stats": _logged_file_stats_raw(table_path, v, store),
+        "statsCols": stats_columns(table_path, store, upto=v),
+    }
+    types = _stamped_physical_types(table_path, store, upto=v)
+    if types is not None:
+        from pyspark.sql.types import StructField, StructType
+
+        doc["physicalSchemaJson"] = StructType(
+            [StructField(n, t, True) for n, t in types.items()]
+        ).json()
+    st.put_if_absent(path, json.dumps(doc).encode())  # False ⇒ already done
     return v
+
+
+def _checkpoint_doc(
+    table_path: str,
+    store: LogStore | None = None,
+    upto: int | None = None,
+) -> dict | None:
+    """Newest PARSEABLE checkpoint document at version ≤ ``upto``
+    (default: any), as a dict — the metadata-state face of
+    ``_latest_checkpoint``."""
+    st = _store(store)
+    log = _log_path(table_path)
+    cps = sorted(
+        (n for n in st.list_dir(log) if _CHECKPOINT_RE.match(n)), reverse=True
+    )
+    for name in cps:
+        try:
+            d = json.loads(st.read(os.path.join(log, name)))
+            if upto is not None and int(d["version"]) > upto:
+                continue
+            return d
+        except (ValueError, KeyError, OSError):
+            continue
+    return None
 
 
 def _latest_checkpoint(
@@ -2870,6 +2945,112 @@ def _latest_checkpoint(
         except (ValueError, KeyError, OSError):
             continue
     return None
+
+
+_RETENTION_MARKER = "_retention.json"
+
+
+def _retention_horizon(
+    table_path: str, store: LogStore | None = None
+) -> int | None:
+    """The version below which cleanup_log removed commit entries, or
+    None when the log was never cleaned."""
+    try:
+        d = json.loads(
+            _store(store).read(
+                os.path.join(_log_path(table_path), _RETENTION_MARKER)
+            )
+        )
+        return int(d["horizon"])
+    except Exception:  # noqa: BLE001 — absent marker = never cleaned
+        return None
+
+
+def _check_retention_floor(
+    table_path: str, from_version: int, store: LogStore | None = None
+) -> None:
+    """Change-feed ranges must start at or after the retention horizon:
+    commits below it were deleted by cleanup_log, so a lagging consumer
+    would silently MISS their rows rather than read them."""
+    h = _retention_horizon(table_path, store)
+    if h is not None and from_version < h - 1:
+        raise ValueError(
+            f"change range starts at version {from_version} but "
+            f"{table_path} was log-cleaned at horizon {h}: the "
+            "consumer's lag exceeds the retained log; reprocess from a "
+            "snapshot, then resume from the horizon"
+        )
+
+
+def cleanup_log(
+    table_path: str, store: LogStore | None = None
+) -> list[str]:
+    """Log retention (the Delta ``logRetentionDuration`` cleanup
+    analogue): delete every commit entry BELOW the latest checkpoint's
+    version, plus superseded older checkpoints. The checkpoint is a
+    complete replay anchor (active files, DVs, sizes, per-file stats,
+    declared stats columns, physical-schema stamp — all snapshotted at
+    write), so every read at or after its version is unchanged; time
+    travel below it refuses with a retention-horizon error (exactly
+    Delta's behavior when the log is cleaned). Returns the deleted log
+    file names.
+
+    REFUSED when the table's feature union includes metadata whose
+    state this engine replays from commit entries rather than the
+    checkpoint (columnMapping, typeWidening, partitionEvolution,
+    checkConstraints, generatedColumns, schemaEvolution, clone) — an
+    honest conservative gate: those tables keep their full log. The
+    measured payoff (SCALING.md): the directory listing and every
+    O(commits) walk drop from 10⁵ entries to commits-since-checkpoint.
+    """
+    st = _store(store)
+    cp = _latest_checkpoint(table_path, store)
+    if cp is None:
+        raise ValueError(
+            f"cleanup_log({table_path}) requires a checkpoint — run "
+            "checkpoint() first"
+        )
+    horizon = cp[0]
+    feats = writer_features(table_path, store)
+    blocked = feats & {
+        "columnMapping",
+        "typeWidening",
+        "partitionEvolution",
+        "checkConstraints",
+        "generatedColumns",
+        "schemaEvolution",
+        "clone",
+    }
+    if blocked:
+        raise ValueError(
+            f"cleanup_log({table_path}) refused: the table relies on "
+            f"{sorted(blocked)}, whose state replays from commit "
+            "entries the cleanup would delete; this engine keeps the "
+            "full log for such tables"
+        )
+    log = _log_path(table_path)
+    removed = []
+    for fn in sorted(st.list_dir(log)):
+        m = _VERSION_RE.match(fn)
+        if m and int(m.group(1)) < horizon:
+            st.delete(os.path.join(log, fn))
+            removed.append(fn)
+            continue
+        c = _CHECKPOINT_RE.match(fn)
+        if c and int(c.group(1)) < horizon:
+            st.delete(os.path.join(log, fn))
+            removed.append(fn)
+    if removed:
+        # last-writer-wins marker (delete + put: horizons advance)
+        try:
+            st.delete(os.path.join(log, _RETENTION_MARKER))
+        except OSError:
+            pass  # first cleanup: no marker yet
+        st.put_if_absent(
+            os.path.join(log, _RETENTION_MARKER),
+            json.dumps({"horizon": horizon}).encode(),
+        )
+    return removed
 
 
 def _checkpoint_sizes(
@@ -2922,12 +3103,20 @@ def vacuum(
     if latest < 0:
         return []
     horizon = max(0, latest - retain_versions + 1)
+    # a log-cleaned table cannot replay below its retention horizon —
+    # a generous retain_versions clamps to what is still replayable
+    rh = _retention_horizon(table_path, store)
+    if rh is not None:
+        horizon = max(horizon, rh)
     keep: set[str] = set()
     for v in range(horizon, latest + 1):
         fs, ds = _replay_state(table_path, v, store)
         keep |= set(fs) | set(ds)
-    # every file (data or deletion vector) any commit ever added
-    referenced: set[str] = set()
+    # every file (data or deletion vector) any commit ever added — plus
+    # the retained replay states themselves: after cleanup_log the
+    # adding entries below the horizon are gone, but their still-active
+    # files live on in the checkpoint and must never read as orphans
+    referenced: set[str] = set(keep)
     for v in _committed_versions(table_path, store):
         e = _load_entry(table_path, v, store) or {}
         referenced |= set(e.get("add", [])) | set(e.get("dvAdd", []))
@@ -3125,6 +3314,7 @@ def maintain_table(
     max_active_dvs: int = 4,
     checkpoint_every: int = 16,
     vacuum_retain_versions: int | None = None,
+    log_retention: bool = False,
     store: LogStore | None = None,
 ) -> dict:
     """One-call table tending — the maintenance POLICY the scale
@@ -3140,7 +3330,10 @@ def maintain_table(
         landed since the newest checkpoint (keeps planning
         O(commits-since-checkpoint));
       * **vacuum** only when ``vacuum_retain_versions`` is given —
-        reclamation is destructive to time travel, so it stays opt-in.
+        reclamation is destructive to time travel, so it stays opt-in;
+      * **log retention** only when ``log_retention=True`` —
+        ``cleanup_log`` after checkpointing, equally destructive to
+        time travel below the checkpoint, equally opt-in.
 
     Everything is an ordinary optimistic commit, safe alongside live
     writers; a second call right after is a no-op. Returns a report of
@@ -3172,6 +3365,15 @@ def maintain_table(
         )
         if removed:
             report["vacuum"] = len(removed)
+    if log_retention:
+        # destructive to time travel below the checkpoint, so opt-in
+        # like vacuum; refused tables (feature-gated) report the reason
+        try:
+            cleaned = cleanup_log(table_path, store)
+            if cleaned:
+                report["cleanup_log"] = len(cleaned)
+        except ValueError as exc:
+            report["cleanup_log_refused"] = str(exc)[:120]
     return report
 
 
@@ -3427,6 +3629,7 @@ def table_changes(
     already vacuumed (retention must cover the consumer's lag).
     """
     upto = current_version(table_path, store) if to_version is None else to_version
+    _check_retention_floor(table_path, from_version, store)
     files: list[str] = []
     mutating: list[tuple[int, str]] = []
     for v in _committed_versions(table_path, store):
@@ -3489,6 +3692,7 @@ def table_changes_cdf(
     cover the consumer's lag).
     """
     upto = current_version(table_path, store) if to_version is None else to_version
+    _check_retention_floor(table_path, from_version, store)
     inserts: list[tuple[int, list[str]]] = []
     dv_deletes: list[tuple[int, list[str]]] = []
     for v in _committed_versions(table_path, store):

@@ -78,3 +78,63 @@ def test_nulls_ignored_and_bad_args_refused(spark):
         heavy_hitters(df, "item", 1.5)
     with pytest.raises(ValueError, match="k must"):
         mg_candidates(df, "item", 0).collect()
+
+
+# ---- streaming twin: MG state maintained across micro-batches ---------
+def test_streaming_frequent_items_state_spans_batches(spark, tmp_path):
+    """Two single-file micro-batches: the second trigger's summaries
+    must reflect BOTH batches' counts (state carried), and the union of
+    final bucket summaries must contain every globally heavy item."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from wikistream_lakehouse_spark.streaming.stateful import (
+        streaming_frequent_items,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # batch 1: 30x 'hot', few others; batch 2: 25x 'hot', 20x 'warm'
+    with open(src / "a.json", "w") as f:
+        for tok in ["hot"] * 30 + ["x1", "x2", "x3"]:
+            f.write(_json.dumps({"tok": tok}) + "\n")
+    with open(src / "b.json", "w") as f:
+        for tok in ["hot"] * 25 + ["warm"] * 20 + ["x4"]:
+            f.write(_json.dumps({"tok": tok}) + "\n")
+
+    schema = T.StructType([T.StructField("tok", T.StringType())])
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(src))
+    )
+    out = streaming_frequent_items(stream, "tok", k=4, n_buckets=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("freq_t")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM freq_t").collect()
+    assert rows, "stateful stream emitted nothing"
+    # latest summary per (bucket, item): memory sink appends update-mode
+    # rows per trigger, so take the max bucket_n per bucket as 'latest'
+    latest_n = {}
+    for r in rows:
+        latest_n[r.bucket] = max(latest_n.get(r.bucket, 0), r.bucket_n)
+    final = {
+        r.item: r.weight
+        for r in rows
+        if r.bucket_n == latest_n[r.bucket]
+    }
+    # 'hot' spans both batches: its final weight must exceed any single
+    # batch's count (state carried across triggers), 'warm' is present
+    assert final.get("hot", 0) > 30
+    assert "warm" in final
+    # per-bucket processed counts sum to the full stream
+    assert sum(latest_n.values()) == 79

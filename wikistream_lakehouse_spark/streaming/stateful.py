@@ -110,3 +110,80 @@ def sessionize_with_state(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+FREQ_OUTPUT_SCHEMA = "bucket integer, item string, weight long, bucket_n long"
+_FREQ_STATE_SCHEMA = "items array<string>, weights array<long>, n long"
+
+
+def streaming_frequent_items(
+    stream: DataFrame,
+    col: str,
+    k: int = 64,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Streaming heavy hitters: the batch Misra-Gries operator
+    (operators/heavyhitters.py) as continuously-maintained state.
+
+    Items hash into ``n_buckets`` disjoint key groups; each group's
+    state is its own k-counter MG summary, folded per micro-batch with
+    the same weighted-decrement rule (an item's entire stream lives in
+    exactly ONE bucket, so the per-bucket undercount bound
+    N_bucket/(k+1) ≤ N/(k+1) — the union of bucket summaries is a
+    guaranteed superset of every item whose all-time count exceeds
+    N/(k+1)). Each trigger emits every bucket's current summary plus
+    its processed-count ``bucket_n`` (update mode): consumers union the
+    latest row set per bucket and, as in the batch form, verify
+    candidates exactly if exact counts are needed.
+
+    State is O(n_buckets × k) scalars TOTAL regardless of stream
+    length or item cardinality — the property that makes this viable
+    where a streaming groupBy(count) state would grow with vocabulary.
+    """
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be ≥ 1, got {k}")
+
+    def update(key, pdfs, state: GroupState):
+        (bucket,) = key
+        if state.exists:
+            items, weights, n = state.get
+            counters = dict(zip(items, (int(w) for w in weights)))
+            n = int(n)
+        else:
+            counters, n = {}, 0
+        for pdf in pdfs:
+            vals = pdf[col].dropna()
+            n += int(len(vals))
+            for item, c in vals.value_counts().items():
+                counters[item] = counters.get(item, 0) + int(c)
+            while len(counters) > k:
+                m = min(counters.values())
+                counters = {i: c - m for i, c in counters.items() if c > m}
+        state.update((list(counters), [int(c) for c in counters.values()], n))
+        if counters:
+            yield pd.DataFrame(
+                {
+                    "bucket": int(bucket),
+                    "item": list(counters),
+                    "weight": [int(c) for c in counters.values()],
+                    "bucket_n": n,
+                }
+            )
+
+    from pyspark.sql import functions as F
+
+    keyed = stream.select(
+        (F.abs(F.xxhash64(F.col(col))) % n_buckets).cast("int").alias(
+            "bucket"
+        ),
+        F.col(col).alias(col),
+    )
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType=FREQ_OUTPUT_SCHEMA,
+        stateStructType=_FREQ_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

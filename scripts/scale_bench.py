@@ -65,6 +65,7 @@ DEFAULT_QUERIES = [
     "cdc_apply_latest_state",     # streaming CDC apply: merge per batch (watch)
     "scd2_history_splice",        # SCD2 splice under out-of-order batches
     "scd_serving_merge",          # conditional-MERGE serving table
+    "heavy_hitter_tokens",        # MG sketch + exact verify pass (watch)
 ]
 
 

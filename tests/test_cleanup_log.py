@@ -107,13 +107,6 @@ def test_change_feed_guards_lagging_consumers(spark, cleaned):
 
 
 def test_feature_bearing_tables_refuse(spark, tmp_path):
-    renamed = str(tmp_path / "renamed")
-    txn.append(_kv(spark, 0, 10), renamed)
-    txn.rename_column(spark, renamed, "v", "score")
-    txn.checkpoint(renamed)
-    with pytest.raises(ValueError, match="columnMapping"):
-        txn.cleanup_log(renamed)
-
     widened = str(tmp_path / "widened")
     txn.append(
         spark.range(0, 5).select(F.col("id").cast("int").alias("k")),
@@ -180,3 +173,54 @@ def test_vacuum_with_generous_retention_clamps_to_horizon(spark, cleaned):
     removed = txn.vacuum(path, retain_versions=100, orphan_grace_secs=0)
     assert removed == []  # everything replayable is retained
     assert txn.read_table(spark, path).count() == len(pre_rows)
+
+
+def test_constraint_state_survives_cleanup_and_still_enforces(
+    spark, tmp_path
+):
+    path = str(tmp_path / "t")
+    txn.append(_kv(spark, 0, 20), path)
+    txn.set_constraint(spark, path, "v_nonneg", "v >= 0")
+    txn.append(_kv(spark, 20, 30), path)
+    txn.checkpoint(path)
+    assert txn.cleanup_log(path)
+    assert txn.constraints(path) == {"v_nonneg": "v >= 0"}
+    with pytest.raises(txn.ConstraintViolation):
+        txn.append(_kv(spark, 100, 105, val=-1.0), path)
+    txn.append(_kv(spark, 100, 105, val=2.0), path)  # valid rows land
+    assert txn.read_table(spark, path).count() == 35
+
+
+def test_generated_column_state_survives_cleanup(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.append(_kv(spark, 0, 10).withColumn("v2", F.expr("v * 2")), path)
+    txn.set_generated_column(spark, path, "v2", "v * 2")
+    txn.checkpoint(path)
+    assert txn.cleanup_log(path)
+    assert txn.generated_columns(path) == {"v2": "v * 2"}
+    # post-cleanup appends without the column still get it computed
+    txn.append(_kv(spark, 100, 102), path)
+    rows = txn.read_table(spark, path).filter("k >= 100").collect()
+    assert rows and all(r.v2 == r.v * 2 for r in rows)
+
+
+def test_column_mapping_survives_cleanup(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.append(_kv(spark, 0, 25), path)
+    txn.rename_column(spark, path, "v", "score")
+    txn.checkpoint(path)
+    assert txn.cleanup_log(path)
+    got = txn.read_table(spark, path)
+    assert sorted(got.columns) == ["k", "score"]
+    # DML by the logical name still routes to the physical column
+    txn.update_where(spark, path, {"score": "99.0"}, "k = 3")
+    assert (
+        txn.read_table(spark, path).filter("k = 3").first().score == 99.0
+    )
+    # and the independent DuckDB planner still serves logical names
+    from wikistream_lakehouse_spark.lakehouse.interop import (
+        read_snapshot_duckdb,
+    )
+
+    tbl = read_snapshot_duckdb(path)
+    assert sorted(tbl.column_names) == ["k", "score"]

@@ -101,6 +101,13 @@ _SUPPORTED = frozenset(
 
 def _check_reader_features(table_path: str, version: int, store) -> None:
     feats: set[str] = set()
+    # a log-cleaned table's pre-horizon feature stamps are gone; the
+    # checkpoint carries the union (writer ⊇ reader features)
+    cp = txn._checkpoint_doc(table_path, store, upto=version)
+    if cp is not None:
+        # the checkpoint unions WRITER features too (constraints,
+        # generated columns) — reading needs only the reader subset
+        feats |= set(cp.get("features", [])) & txn._READER_FEATURES
     for cv in txn._committed_versions(table_path, store):
         if cv > version:
             break

@@ -768,9 +768,14 @@ def constraints(
     ``set_constraint``/``drop_constraint`` metadata commits in version
     order — the same O(commits) driver-side cost class as ``_replay``.
     ``upto`` bounds the replay to a historical version (clone of a
-    snapshot carries metadata as of that snapshot, like Delta CLONE)."""
-    out: dict[str, str] = {}
+    snapshot carries metadata as of that snapshot, like Delta CLONE).
+    Checkpoint-anchored: a checkpoint ≤ upto seeds the state and only
+    later commits replay — which is also what keeps constraint state
+    alive after cleanup_log deletes the declaring entries."""
+    out, start = _cp_meta_seed(table_path, store, upto, "constraints", {})
     for v in _committed_versions(table_path, store):
+        if v < start:
+            continue
         if upto is not None and v > upto:
             break
         e = _load_entry(table_path, v, store) or {}
@@ -780,6 +785,19 @@ def constraints(
         elif e.get("op") == "drop_constraint":
             out.pop(m["name"], None)
     return out
+
+
+def _cp_meta_seed(table_path, store, upto, key, default):
+    """(seed state, first version to replay) for a checkpoint-anchored
+    metadata reader: the newest checkpoint ≤ upto that snapshots
+    ``key`` seeds the state; without one, replay starts at 0 exactly
+    as before (legacy checkpoints predate the snapshots)."""
+    import copy
+
+    cp = _checkpoint_doc(table_path, store, upto=upto)
+    if cp is not None and key in cp:
+        return copy.deepcopy(cp[key]), int(cp["version"]) + 1
+    return copy.deepcopy(default), 0
 
 
 def set_stats_columns(
@@ -941,11 +959,12 @@ def generated_columns(
     upto: int | None = None,
 ) -> dict[str, str]:
     """Active generated columns, name -> row-local SQL expression, by
-    replaying the metadata commits — same cost class as constraints.
-    ``upto`` bounds the replay to a historical version (see
-    ``constraints``)."""
-    out: dict[str, str] = {}
+    replaying the metadata commits — same cost class as constraints,
+    checkpoint-anchored the same way (see ``constraints``)."""
+    out, start = _cp_meta_seed(table_path, store, upto, "generated", {})
     for v in _committed_versions(table_path, store):
+        if v < start:
+            continue
         if upto is not None and v > upto:
             break
         e = _load_entry(table_path, v, store) or {}
@@ -1106,11 +1125,18 @@ def _column_mapping_state(
 ) -> tuple[dict[str, str], set[str]]:
     """(logical→physical map, dropped physical names) at ``upto`` —
     replayed from the metadata commits in version order, same planner
-    cost class as constraints()."""
+    cost class as constraints(), checkpoint-anchored the same way (the
+    snapshot is what keeps renames/drops alive across cleanup_log)."""
     v = current_version(table_path, store) if upto is None else upto
-    mapping: dict[str, str] = {}
-    dropped: set[str] = set()
+    seed, start = _cp_meta_seed(
+        table_path, store, v, "columnMapping",
+        {"mapping": {}, "dropped": []},
+    )
+    mapping: dict[str, str] = dict(seed.get("mapping", {}))
+    dropped: set[str] = set(seed.get("dropped", []))
     for cv in _committed_versions(table_path, store):
+        if cv < start:
+            continue
         if cv > v:
             break
         e = _load_entry(table_path, cv, store) or {}
@@ -2885,7 +2911,11 @@ def checkpoint(table_path: str, store: LogStore | None = None) -> int:
         # entries without losing schema/stats authority
         "stats": _logged_file_stats_raw(table_path, v, store),
         "statsCols": stats_columns(table_path, store, upto=v),
+        "constraints": constraints(table_path, store, upto=v),
+        "generated": generated_columns(table_path, store, upto=v),
     }
+    mp, dr = _column_mapping_state(table_path, v, store)
+    doc["columnMapping"] = {"mapping": mp, "dropped": sorted(dr)}
     types = _stamped_physical_types(table_path, store, upto=v)
     if types is not None:
         from pyspark.sql.types import StructField, StructType
@@ -3012,12 +3042,13 @@ def cleanup_log(
         )
     horizon = cp[0]
     feats = writer_features(table_path, store)
+    # columnMapping / checkConstraints / generatedColumns state is
+    # snapshotted INTO the checkpoint (readers are checkpoint-anchored),
+    # so those tables may clean; the remaining features replay
+    # reverse-scan flags or per-layout stamps from arbitrary history
     blocked = feats & {
-        "columnMapping",
         "typeWidening",
         "partitionEvolution",
-        "checkConstraints",
-        "generatedColumns",
         "schemaEvolution",
         "clone",
     }
@@ -3027,6 +3058,14 @@ def cleanup_log(
             f"{sorted(blocked)}, whose state replays from commit "
             "entries the cleanup would delete; this engine keeps the "
             "full log for such tables"
+        )
+    if "columnMapping" in feats and "columnMapping" not in (
+        _checkpoint_doc(table_path, store) or {}
+    ):
+        raise ValueError(
+            f"cleanup_log({table_path}) refused: the column-mapped "
+            "table's checkpoint predates metadata snapshots — run "
+            "checkpoint() again first"
         )
     log = _log_path(table_path)
     removed = []

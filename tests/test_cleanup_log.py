@@ -106,20 +106,68 @@ def test_change_feed_guards_lagging_consumers(spark, cleaned):
     assert delta.count() == 5
 
 
-def test_feature_bearing_tables_refuse(spark, tmp_path):
-    widened = str(tmp_path / "widened")
+def test_partition_evolution_tables_refuse(spark, tmp_path):
+    path = str(tmp_path / "pe")
     txn.append(
-        spark.range(0, 5).select(F.col("id").cast("int").alias("k")),
-        widened,
+        spark.createDataFrame([(1, "a")], "k long, b string"), path
+    )
+    txn.set_partitioning(spark, path, ["b"])
+    txn.checkpoint(path)
+    with pytest.raises(ValueError, match="partitionEvolution"):
+        txn.cleanup_log(path)
+
+
+def test_widened_table_cleans_and_keeps_wide_reads(spark, tmp_path):
+    """Type widening state is checkpoint-snapshotted: after cleanup the
+    mixed narrow/wide footers still read under the wide schema, in
+    Spark and in the independent DuckDB planner."""
+    path = str(tmp_path / "widened")
+    txn.append(
+        spark.range(0, 5)
+        .select(
+            F.col("id").cast("int").alias("k"),
+            F.lit(1.5).cast("float").alias("v"),
+        )
+        .coalesce(1),
+        path,
     )
     txn.append(
-        spark.range(5, 9).select(F.col("id").cast("bigint").alias("k")),
-        widened,
+        spark.range(5, 9)
+        .select(
+            F.col("id").cast("bigint").alias("k"),
+            F.lit(2.5).cast("double").alias("v"),
+        )
+        .coalesce(1),
+        path,
         merge_schema=True,
     )
-    txn.checkpoint(widened)
-    with pytest.raises(ValueError, match="typeWidening|schemaEvolution"):
-        txn.cleanup_log(widened)
+    txn.checkpoint(path)
+    assert txn.cleanup_log(path)
+    got = txn.read_table(spark, path)
+    assert dict(got.dtypes) == {"k": "bigint", "v": "double"}
+    assert got.count() == 9
+    # widening rules still enforce post-cleanup: narrowing refused
+    with pytest.raises(ValueError):
+        txn.append(
+            spark.range(9, 10).select(
+                F.col("id").cast("int").alias("k"),
+                F.lit(0.5).cast("float").alias("v"),
+            ),
+            path,
+        )
+    from wikistream_lakehouse_spark.lakehouse.interop import (
+        read_snapshot_duckdb,
+    )
+    import pyarrow as pa
+
+    tbl = read_snapshot_duckdb(path)
+    assert tbl.schema.field("k").type == pa.int64()
+    assert tbl.num_rows == 9
+    # a full compact normalizes the files; a second clean then follows
+    txn.compact(spark, path)
+    txn.checkpoint(path)
+    assert txn.cleanup_log(path)
+    assert txn.read_table(spark, path).count() == 9
 
 
 def test_cleanup_requires_checkpoint(spark, tmp_path):

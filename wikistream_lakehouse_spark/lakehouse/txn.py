@@ -1691,15 +1691,23 @@ def _is_evolved(
     schema, so evolution flags before it no longer matter and uniform
     tables keep the cheap single-footer read path. ``upto`` evaluates
     the question at a historical version (time travel / restore
-    planning)."""
+    planning). Checkpoint-anchored: a checkpoint snapshots the answer
+    at its version, so the reverse scan stops there (and cleanup_log
+    can delete the entries below it)."""
+    cp = _checkpoint_doc(table_path, store, upto=upto)
+    floor = int(cp["version"]) if cp and "schemaEvolved" in cp else -1
     for v in reversed(_committed_versions(table_path, store)):
         if upto is not None and v > upto:
             continue
+        if v <= floor:
+            break
         e = _load_entry(table_path, v, store) or {}
         if e.get("schemaEvolved"):
             return True
         if _is_full_state_commit(e):
             return False
+    if floor >= 0:
+        return bool(cp["schemaEvolved"])
     return False
 
 
@@ -1802,17 +1810,24 @@ def _wide_schema(
     a type-widened snapshot, or None when no widening is active at
     ``upto`` — same reset semantics as ``_is_evolved``: a full rewrite
     rematerializes every file at the wide types, so the flag clears;
-    ``restore`` carries the restored-to version's own stamp."""
+    ``restore`` carries the restored-to version's own stamp.
+    Checkpoint-anchored like ``_is_evolved``."""
     from pyspark.sql.types import StructType
 
+    cp = _checkpoint_doc(table_path, store, upto=upto)
+    floor = int(cp["version"]) if cp and "wideSchemaJson" in cp else -1
     for v in reversed(_committed_versions(table_path, store)):
         if upto is not None and v > upto:
             continue
+        if v <= floor:
+            break
         e = _load_entry(table_path, v, store) or {}
         if e.get("wideSchemaJson"):
             return StructType.fromJson(json.loads(e["wideSchemaJson"]))
         if _is_full_state_commit(e):
             return None
+    if floor >= 0 and cp["wideSchemaJson"]:
+        return StructType.fromJson(json.loads(cp["wideSchemaJson"]))
     return None
 
 
@@ -2916,6 +2931,9 @@ def checkpoint(table_path: str, store: LogStore | None = None) -> int:
     }
     mp, dr = _column_mapping_state(table_path, v, store)
     doc["columnMapping"] = {"mapping": mp, "dropped": sorted(dr)}
+    ws = _wide_schema(table_path, store, upto=v)
+    doc["wideSchemaJson"] = ws.json() if ws is not None else None
+    doc["schemaEvolved"] = _is_evolved(table_path, store, upto=v)
     types = _stamped_physical_types(table_path, store, upto=v)
     if types is not None:
         from pyspark.sql.types import StructField, StructType
@@ -3042,16 +3060,11 @@ def cleanup_log(
         )
     horizon = cp[0]
     feats = writer_features(table_path, store)
-    # columnMapping / checkConstraints / generatedColumns state is
-    # snapshotted INTO the checkpoint (readers are checkpoint-anchored),
-    # so those tables may clean; the remaining features replay
-    # reverse-scan flags or per-layout stamps from arbitrary history
-    blocked = feats & {
-        "typeWidening",
-        "partitionEvolution",
-        "schemaEvolution",
-        "clone",
-    }
+    # columnMapping / constraints / generated / widening / evolution
+    # state is snapshotted INTO the checkpoint (readers are
+    # checkpoint-anchored), so those tables may clean; the remaining
+    # features stamp per-layout schemas into arbitrary history
+    blocked = feats & {"partitionEvolution", "clone"}
     if blocked:
         raise ValueError(
             f"cleanup_log({table_path}) refused: the table relies on "
@@ -3059,14 +3072,19 @@ def cleanup_log(
             "entries the cleanup would delete; this engine keeps the "
             "full log for such tables"
         )
-    if "columnMapping" in feats and "columnMapping" not in (
-        _checkpoint_doc(table_path, store) or {}
-    ):
-        raise ValueError(
-            f"cleanup_log({table_path}) refused: the column-mapped "
-            "table's checkpoint predates metadata snapshots — run "
-            "checkpoint() again first"
-        )
+    doc = _checkpoint_doc(table_path, store) or {}
+    needed = {
+        "columnMapping": ("columnMapping",),
+        "typeWidening": ("wideSchemaJson", "schemaEvolved"),
+        "schemaEvolution": ("wideSchemaJson", "schemaEvolved"),
+    }
+    for feat, keys in needed.items():
+        if feat in feats and any(k not in doc for k in keys):
+            raise ValueError(
+                f"cleanup_log({table_path}) refused: the table uses "
+                f"{feat} but its checkpoint predates metadata "
+                "snapshots — run checkpoint() again first"
+            )
     log = _log_path(table_path)
     removed = []
     for fn in sorted(st.list_dir(log)):

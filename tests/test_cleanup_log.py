@@ -272,3 +272,82 @@ def test_column_mapping_survives_cleanup(spark, tmp_path):
 
     tbl = read_snapshot_duckdb(path)
     assert sorted(tbl.column_names) == ["k", "score"]
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r8: second-cycle correctness — a LATER checkpoint must not shadow
+# the horizon anchor, metadata gates must cover constraints/generated/stats,
+# and the horizon marker must be crash-atomic
+# ---------------------------------------------------------------------------
+
+
+def test_second_cleanup_cycle_reads_and_vacuums(spark, cleaned):
+    """ADVICE r8 high #1: after cleanup + more commits + a NEWER
+    checkpoint, every version in [horizon, newest_cp) must still
+    replay from the horizon-anchor checkpoint — read_table(version=)
+    and vacuum both walk that range."""
+    path, cpv, pre_rows, _ = cleaned
+    txn.append(_kv(spark, 1000, 1010, 9.0), path)  # v cpv+1
+    txn.append(_kv(spark, 2000, 2010, 8.0), path)  # v cpv+2
+    cpv2 = txn.checkpoint(path)
+    assert cpv2 > cpv
+    # versions between the two checkpoints replay from the OLDER anchor
+    assert txn.read_table(spark, path, version=cpv).count() == len(pre_rows)
+    assert (
+        txn.read_table(spark, path, version=cpv + 1).count()
+        == len(pre_rows) + 10
+    )
+    # the documented maintain + vacuum flow survives its second cycle
+    removed = txn.vacuum(path, retain_versions=3)
+    assert isinstance(removed, list)
+    assert txn.read_table(spark, path).count() == len(pre_rows) + 20
+    # and a second cleanup advances the horizon to the newer checkpoint
+    txn.cleanup_log(path)
+    assert txn._retention_horizon(path) == cpv2
+    assert txn.read_table(spark, path, version=cpv2).count() == len(pre_rows) + 20
+
+
+def test_cleanup_gate_covers_constraints_generated_stats(spark, tmp_path):
+    """ADVICE r8 medium #3: a checkpoint missing the constraints/
+    generated/stats snapshots (legacy format) must refuse cleanup —
+    otherwise enforcement silently vanishes after the log is gone."""
+    import json
+
+    path = str(tmp_path / "t")
+    txn.append(_kv(spark, 0, 50), path)
+    txn.set_constraint(spark, path, "v_pos", "v >= 0")
+    txn.append(_kv(spark, 50, 60), path)
+    cpv = txn.checkpoint(path)
+    log = os.path.join(path, "_txnlog")
+    cp_file = os.path.join(log, f"{cpv:020d}.checkpoint.json")
+    doc = json.loads(open(cp_file).read())
+    for k in ("constraints", "generated", "statsCols", "stats"):
+        doc.pop(k, None)
+    open(cp_file, "w").write(json.dumps(doc))
+    with pytest.raises(ValueError, match="predates metadata snapshots"):
+        txn.cleanup_log(path)
+    # constraint state intact because nothing was deleted
+    assert txn.constraints(path) == {"v_pos": "v >= 0"}
+    # a NEW commit + fresh checkpoint (put_if_absent can't upgrade the
+    # same version) unblocks cleanup
+    txn.append(_kv(spark, 60, 70), path)
+    txn.checkpoint(path)
+    assert txn.cleanup_log(path)
+    assert txn.constraints(path) == {"v_pos": "v >= 0"}
+
+
+def test_retention_marker_is_versioned_and_max_wins(spark, cleaned):
+    """ADVICE r8 low #4: the marker is written BEFORE entries are
+    deleted under a fresh versioned name — no delete-then-put window.
+    Stale markers from interrupted advances coexist; max wins."""
+    import json
+
+    path, cpv, _, _ = cleaned
+    log = os.path.join(path, "_txnlog")
+    markers = [n for n in os.listdir(log) if n.startswith("_retention")]
+    assert markers == [f"_retention.{cpv:020d}.json"]
+    # a leftover stale marker (crash before prune) must not lower the horizon
+    open(os.path.join(log, "_retention.json"), "w").write(
+        json.dumps({"horizon": 1})
+    )
+    assert txn._retention_horizon(path) == cpv

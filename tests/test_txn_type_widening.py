@@ -300,3 +300,50 @@ def test_decimal_widening_gated_by_reader_feature(spark, tmp_path):
     txn.append(_money(spark, 0, 5, "decimal(10,2)"), t)
     txn.append(_money(spark, 5, 10, "decimal(12,2)"), t, merge_schema=True)
     assert "typeWidening" in txn.writer_features(t)
+
+
+def test_date_widens_to_timestamp_ntz_but_not_ltz(spark, tmp_path):
+    """VERDICT r8 next #5: date → timestamp_ntz joins the lattice
+    (probed: the vectorized parquet reader promotes DATE footers to
+    midnight NTZ timestamps under an explicit wider schema — Delta's
+    typeWidening includes exactly the no-time-zone form); date →
+    zoned timestamp stays REFUSED (the reader raises
+    PARQUET_COLUMN_DATA_TYPE_MISMATCH, and the value would be
+    zone-reinterpreted even if it didn't)."""
+    t = str(tmp_path / "t")
+    txn.append(
+        spark.sql(
+            "SELECT id AS k, DATE_ADD(DATE'2024-03-01', CAST(id AS INT)) AS d "
+            "FROM range(5)"
+        ).coalesce(1),
+        t,
+    )
+    wide = spark.sql(
+        "SELECT id + 5 AS k, "
+        "TIMESTAMP_NTZ'2024-04-01 12:30:00' + make_interval(0,0,0,CAST(id AS INT),0,0,0) AS d "
+        "FROM range(3)"
+    ).coalesce(1)
+    txn.append(wide, t, merge_schema=True)
+    df = txn.read_table(spark, t)
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    assert types["d"] == "timestamp_ntz"
+    rows = {r.k: r.d for r in df.collect()}
+    assert len(rows) == 8
+    import datetime
+
+    # old date files read back as midnight NTZ timestamps, value-exact
+    assert rows[2] == datetime.datetime(2024, 3, 3, 0, 0)
+    assert rows[5] == datetime.datetime(2024, 4, 1, 12, 30)
+    # old snapshots keep the narrow date type (time travel)
+    old = txn.read_table(spark, t, version=0)
+    assert {f.name: f.dataType.simpleString() for f in old.schema.fields}[
+        "d"
+    ] == "date"
+    # zoned timestamp does NOT widen from date: refused, not corrupted
+    t2 = str(tmp_path / "t2")
+    txn.append(
+        spark.sql("SELECT 1 AS k, DATE'2024-03-01' AS d").coalesce(1), t2
+    )
+    ltz = spark.sql("SELECT 2 AS k, TIMESTAMP'2024-03-01 10:00:00' AS d")
+    with pytest.raises(ValueError, match="ADD columns or\\s+WIDEN"):
+        txn.append(ltz, t2, merge_schema=True)

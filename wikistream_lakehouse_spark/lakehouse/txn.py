@@ -619,8 +619,11 @@ def _replay_state(
     active: set[str] = set()
     dvs: set[str] = set()
     start = 0
-    cp = _latest_checkpoint(table_path, store)
-    if cp is not None and cp[0] <= upto:
+    # newest checkpoint ≤ upto, NOT the global newest: once cleanup_log
+    # has run and a later checkpoint exists, the horizon-anchor
+    # checkpoint is the only valid seed for versions below the newest
+    cp = _latest_checkpoint(table_path, store, upto=upto)
+    if cp is not None:
         start, active, dvs = cp[0] + 1, set(cp[1]), set(cp[2])
     committed = _committed_versions(table_path, store)
     if start == 0 and committed and committed[0] > 0:
@@ -1726,6 +1729,13 @@ _WIDENS = {
     ("smallint", "bigint"),
     ("int", "bigint"),
     ("float", "double"),
+    # Delta's typeWidening set includes date → timestamp WITHOUT time
+    # zone only; probed: Spark's vectorized parquet reader promotes a
+    # DATE column under an explicit timestamp_ntz schema (midnight,
+    # no zone reinterpretation) but raises
+    # PARQUET_COLUMN_DATA_TYPE_MISMATCH for zoned timestamp — so
+    # date → timestamp stays a refused conflict (tested).
+    ("date", "timestamp_ntz"),
 }
 
 _DECIMAL_RE = re.compile(r"^decimal\((\d+),(\d+)\)$")
@@ -1980,7 +1990,16 @@ def snapshot(
     writers are in flight; older versions stay readable (time travel)
     while their files survive ``vacuum`` — i.e. for the newest
     ``retain_versions`` snapshots of the last vacuum (its contract)."""
-    v = current_version(table_path, store) if version is None else version
+    head = current_version(table_path, store)
+    v = head if version is None else version
+    if version is not None and not (0 <= version <= head):
+        # Delta's contract: a version that was never committed is an
+        # error, not a silent clamp to HEAD (the caller asked for a
+        # snapshot that does not exist)
+        raise ValueError(
+            f"cannot time travel to version {version} of {table_path}: "
+            f"latest committed version is {head}"
+        )
     files, dvs = _replay_state(table_path, v, store)
     if not files:
         # a table emptied by DML stays readable with its logged schema
@@ -2970,10 +2989,16 @@ def _checkpoint_doc(
 
 
 def _latest_checkpoint(
-    table_path: str, store: LogStore | None = None
+    table_path: str,
+    store: LogStore | None = None,
+    upto: int | None = None,
 ) -> tuple[int, list[str], list[str], list[str]] | None:
     """Newest PARSEABLE checkpoint (a torn/corrupt one — impossible from
-    this writer — degrades to the previous checkpoint, never a crash).
+    this writer — degrades to the previous checkpoint, never a crash),
+    optionally bounded to version ≤ ``upto`` — time-travel replay needs
+    the newest checkpoint AT OR BELOW its target, not the global newest
+    (after cleanup_log + a later checkpoint, seeding from the global
+    newest would wrongly refuse every version in [horizon, newest_cp)).
     Returns (version, active data files, active DV files, feature
     union up to that version)."""
     st = _store(store)
@@ -2984,6 +3009,8 @@ def _latest_checkpoint(
     for name in cps:
         try:
             d = json.loads(st.read(os.path.join(log, name)))
+            if upto is not None and int(d["version"]) > upto:
+                continue
             return (
                 int(d["version"]),
                 list(d["active"]),
@@ -2995,23 +3022,33 @@ def _latest_checkpoint(
     return None
 
 
-_RETENTION_MARKER = "_retention.json"
+_RETENTION_MARKER = "_retention.json"  # legacy unversioned form
+# current form: _retention.<horizon>.json — horizon advances are a NEW
+# put_if_absent, never a delete-then-put of one shared name, so a crash
+# mid-advance can't leave a cleaned log with no marker at all
+_RETENTION_RE = re.compile(r"^_retention(?:\.(\d+))?\.json$")
 
 
 def _retention_horizon(
     table_path: str, store: LogStore | None = None
 ) -> int | None:
     """The version below which cleanup_log removed commit entries, or
-    None when the log was never cleaned."""
-    try:
-        d = json.loads(
-            _store(store).read(
-                os.path.join(_log_path(table_path), _RETENTION_MARKER)
-            )
-        )
-        return int(d["horizon"])
-    except Exception:  # noqa: BLE001 — absent marker = never cleaned
-        return None
+    None when the log was never cleaned. Max over ALL marker files —
+    versioned markers from concurrent/crashed cleanups coexist and the
+    highest horizon is the truth (markers only ever advance)."""
+    st = _store(store)
+    log = _log_path(table_path)
+    best: int | None = None
+    for fn in st.list_dir(log):
+        if not _RETENTION_RE.match(fn):
+            continue
+        try:
+            h = int(json.loads(st.read(os.path.join(log, fn)))["horizon"])
+        except Exception:  # noqa: BLE001 — torn marker: others decide
+            continue
+        if best is None or h > best:
+            best = h
+    return best
 
 
 def _check_retention_floor(
@@ -3077,36 +3114,56 @@ def cleanup_log(
         "columnMapping": ("columnMapping",),
         "typeWidening": ("wideSchemaJson", "schemaEvolved"),
         "schemaEvolution": ("wideSchemaJson", "schemaEvolved"),
+        "checkConstraints": ("constraints",),
+        "generatedColumns": ("generated",),
     }
+    # stats/statsCols are advisory (not protocol features) but replay
+    # from commit entries too — a legacy checkpoint missing them would
+    # silently drop skipping stats after cleanup, so gate unconditionally
+    missing = [k for k in ("statsCols", "stats") if k not in doc]
     for feat, keys in needed.items():
-        if feat in feats and any(k not in doc for k in keys):
-            raise ValueError(
-                f"cleanup_log({table_path}) refused: the table uses "
-                f"{feat} but its checkpoint predates metadata "
-                "snapshots — run checkpoint() again first"
-            )
-    log = _log_path(table_path)
-    removed = []
-    for fn in sorted(st.list_dir(log)):
-        m = _VERSION_RE.match(fn)
-        if m and int(m.group(1)) < horizon:
-            st.delete(os.path.join(log, fn))
-            removed.append(fn)
-            continue
-        c = _CHECKPOINT_RE.match(fn)
-        if c and int(c.group(1)) < horizon:
-            st.delete(os.path.join(log, fn))
-            removed.append(fn)
-    if removed:
-        # last-writer-wins marker (delete + put: horizons advance)
-        try:
-            st.delete(os.path.join(log, _RETENTION_MARKER))
-        except OSError:
-            pass  # first cleanup: no marker yet
-        st.put_if_absent(
-            os.path.join(log, _RETENTION_MARKER),
-            json.dumps({"horizon": horizon}).encode(),
+        if feat in feats:
+            missing += [k for k in keys if k not in doc]
+    if missing:
+        # NOTE: checkpoint() is put_if_absent — re-running it at the
+        # same version cannot upgrade an old-format checkpoint; a new
+        # commit must land first so checkpoint() writes a fresh one
+        raise ValueError(
+            f"cleanup_log({table_path}) refused: the newest checkpoint "
+            f"predates metadata snapshots for {sorted(set(missing))} — "
+            "commit once more, run checkpoint(), then retry"
         )
+    log = _log_path(table_path)
+    listing = sorted(st.list_dir(log))
+    doomed = []
+    for fn in listing:
+        m = _VERSION_RE.match(fn) or _CHECKPOINT_RE.match(fn)
+        if m and int(m.group(1)) < horizon:
+            doomed.append(fn)
+    if not doomed:
+        return []
+    # marker FIRST, entries second: a crash anywhere after this line
+    # leaves the horizon guard in place, so sub-horizon reads refuse
+    # instead of silently replaying an empty snapshot. The marker is a
+    # fresh versioned name (put_if_absent), never delete-then-put of a
+    # shared one — there is no instant with a cleaned log and no marker.
+    st.put_if_absent(
+        os.path.join(log, f"_retention.{horizon:0{_PAD}d}.json"),
+        json.dumps({"horizon": horizon}).encode(),
+    )
+    removed = []
+    for fn in doomed:
+        st.delete(os.path.join(log, fn))
+        removed.append(fn)
+    # prune superseded markers (best-effort: leftovers are harmless,
+    # _retention_horizon takes the max)
+    for fn in listing:
+        rm = _RETENTION_RE.match(fn)
+        if rm and (rm.group(1) is None or int(rm.group(1)) < horizon):
+            try:
+                st.delete(os.path.join(log, fn))
+            except OSError:
+                pass
     return removed
 
 

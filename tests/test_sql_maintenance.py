@@ -244,3 +244,41 @@ def test_drop_without_purge_keeps_the_table(spark, tmp_path):
         assert spark.table("kept2").count() == 5
     finally:
         catalog.unregister_table(spark, "kept2")
+
+
+def test_create_or_replace_respects_existing_binding_path(spark, tmp_path):
+    """ADVICE r8 medium #2: OR REPLACE without LOCATION must replace
+    the table the binding points at (one atomic replace commit, history
+    time-travelable) — not mint a new table at the default warehouse
+    path, orphaning the old one."""
+    loc = str(tmp_path / "custom" / "spot")
+    txn.append(
+        spark.range(5).select(F.col("id").alias("k")).coalesce(1), loc
+    )
+    catalog.register_table(spark, "pinned_loc", loc)
+    v = catalog.sql_dml(
+        spark, "CREATE OR REPLACE TABLE pinned_loc AS SELECT 99 AS k"
+    )
+    # the replacement landed at the ORIGINAL location as a new version
+    assert txn.current_version(loc) == v == 1
+    assert spark.table("pinned_loc").collect()[0].k == 99
+    # history stayed time-travelable at that path
+    assert txn.read_table(spark, loc, version=0).count() == 5
+    # and nothing appeared at the default warehouse path
+    wh = catalog._warehouse_path(spark, "pinned_loc")
+    assert txn.current_version(wh) < 0
+
+
+def test_create_or_replace_refused_on_pinned_binding(spark, tmp_path):
+    loc = str(tmp_path / "t")
+    txn.append(
+        spark.range(3).select(F.col("id").alias("k")).coalesce(1), loc
+    )
+    txn.append(
+        spark.range(3, 6).select(F.col("id").alias("k")).coalesce(1), loc
+    )
+    catalog.register_table(spark, "pinned_snap", loc, version=0)
+    with pytest.raises(ValueError, match="version-pinned"):
+        catalog.sql_dml(
+            spark, "CREATE OR REPLACE TABLE pinned_snap AS SELECT 1 AS k"
+        )

@@ -145,3 +145,111 @@ def test_bindings_are_per_session_and_die_with_the_session(spark, t):
     catalog.unregister_table(spark, "weak_t")
     with pytest.raises(ValueError, match="not a registered"):
         catalog.registered_version(spark, "weak_t")
+
+
+# ---------------------------------------------------------------------------
+# In-query SQL time travel (VERDICT r8 next #1): VERSION/TIMESTAMP AS OF
+# inside SELECT statements, via catalog.sql
+# ---------------------------------------------------------------------------
+
+
+def test_sql_version_as_of_in_query(spark, t):
+    txn.append(_kv(spark, 100, 150), t)
+    catalog.register_table(spark, "tt", t)
+    # one statement reads two versions of the same registered name
+    df = catalog.sql(
+        spark,
+        """
+        SELECT 'v0' AS snap, count(*) AS n FROM tt VERSION AS OF 0
+        UNION ALL
+        SELECT 'v1' AS snap, count(*) AS n FROM tt VERSION AS OF 1
+        """,
+    )
+    got = {r.snap: r.n for r in df.collect()}
+    assert got == {"v0": 100, "v1": 150}
+    # unpinned reference in the same statement sees HEAD
+    n = catalog.sql(
+        spark,
+        "SELECT count(*) AS n FROM tt VERSION AS OF 0, tt JOIN tt b ON 1=0",
+    )
+    # (smoke only: the rewrite must not corrupt surrounding SQL)
+    assert n.count() == 1
+
+
+def test_sql_timestamp_as_of_in_query(spark, t):
+    import time
+
+    h0 = txn.history(t)[-1]["ts"]
+    time.sleep(0.05)
+    txn.append(_kv(spark, 100, 130), t)
+    catalog.register_table(spark, "tts", t)
+    df = catalog.sql(
+        spark,
+        "SELECT count(*) AS n FROM tts TIMESTAMP AS OF "
+        f"'{__import__('datetime').datetime.fromtimestamp(h0 + 0.01).isoformat()}'",
+    )
+    assert df.first().n == 100
+    assert (
+        catalog.sql(spark, "SELECT count(*) AS n FROM tts").first().n == 130
+    )
+
+
+def test_sql_time_travel_join_form_and_refusals(spark, t):
+    txn.delete_where(spark, t, "k >= 50")
+    catalog.register_table(spark, "cur", t)
+    # JOIN <name> VERSION AS OF — rows deleted at HEAD still join at v0
+    df = catalog.sql(
+        spark,
+        """
+        SELECT count(*) AS n
+        FROM cur JOIN cur VERSION AS OF 0 old ON cur.k = old.k
+        """,
+    )
+    assert df.first().n == 50
+    # unregistered names refuse loudly — time travel needs a commit log
+    with pytest.raises(ValueError, match="not a registered"):
+        catalog.sql(spark, "SELECT * FROM nowhere VERSION AS OF 0")
+    with pytest.raises(ValueError, match="not a registered"):
+        catalog.sql(spark, "SELECT * FROM nowhere TIMESTAMP AS OF '2024-01-01'")
+    # a version past HEAD refuses (replay can't reach it)
+    with pytest.raises(Exception):
+        catalog.sql(spark, "SELECT * FROM cur VERSION AS OF 99").collect()
+
+
+def test_sql_front_door_routes_dml(spark, t):
+    catalog.register_table(spark, "fd", t)
+    v = catalog.sql(spark, "DELETE FROM fd WHERE k < 10")
+    assert v == txn.current_version(t)
+    assert catalog.sql(spark, "SELECT count(*) AS n FROM fd").first().n == 90
+
+
+def test_sql_describe_history_and_detail(spark, t):
+    txn.append(_kv(spark, 100, 110), t)
+    catalog.register_table(spark, "desc_t", t)
+    h = catalog.sql(spark, "DESCRIBE HISTORY desc_t")
+    assert [r.version for r in h.collect()] == [0, 1]
+    d = catalog.sql(spark, "DESCRIBE DETAIL desc_t").first()
+    assert d.version == 1 and d.num_commits == 2
+    with pytest.raises(ValueError, match="not a registered"):
+        catalog.sql(spark, "DESCRIBE HISTORY nowhere")
+
+
+def test_insert_and_ctas_bodies_support_time_travel(spark, t, tmp_path):
+    txn.delete_where(spark, t, "k >= 20")
+    catalog.register_table(spark, "body_tt", t)
+    # CTAS names a historical snapshot
+    loc = str(tmp_path / "snap0")
+    catalog.sql(
+        spark,
+        f"CREATE TABLE snap0 LOCATION '{loc}' AS "
+        "SELECT * FROM body_tt VERSION AS OF 0",
+    )
+    assert spark.table("snap0").count() == 100
+    # INSERT re-materializes deleted rows from the old version
+    v = catalog.sql(
+        spark,
+        "INSERT INTO body_tt SELECT * FROM body_tt VERSION AS OF 0 "
+        "WHERE k >= 90",
+    )
+    assert v == txn.current_version(t)
+    assert spark.table("body_tt").count() == 30

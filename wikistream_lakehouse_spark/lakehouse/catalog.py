@@ -229,7 +229,11 @@ DDL:
      layout may change, history stays time-travelable)
   DROP TABLE t [PURGE]
     (unbinds the name; PURGE irreversibly deletes log + data)
-Reads (SELECT ...) go straight to spark.sql(); richer writes use the
+Reads (SELECT ...) go straight to spark.sql() — via catalog.sql they
+also get in-query time travel on registered names:
+  SELECT ... FROM t VERSION AS OF n [JOIN u TIMESTAMP AS OF 'ts' ...]
+  DESCRIBE HISTORY t | DESCRIBE DETAIL t
+(INSERT/CTAS SELECT bodies get the same grammar.) Richer writes use the
 txn API directly (txn.delete_where / update_where / merge_builder.merge)."""
 
 
@@ -294,7 +298,9 @@ def _insert_frame(
     from pyspark.sql import functions as F
 
     target = txn.read_table(spark, b.path, version=b.version, store=b.store)
-    df = spark.sql(body)
+    # the body is a read: it gets the same in-query time-travel grammar
+    # as catalog.sql (INSERT INTO t SELECT … FROM s VERSION AS OF n)
+    df = spark.sql(_rewrite_time_travel(spark, body))
     names = (
         [c.strip() for c in cols_sql.strip("() \t\n").split(",")]
         if cols_sql
@@ -517,8 +523,23 @@ def _sql_maintenance(spark: SparkSession, statement: str):
                 f"table {name!r} is already registered; use CREATE OR "
                 "REPLACE TABLE to overwrite its binding"
             )
-        path = location or _warehouse_path(spark, name)
-        if txn.current_version(path) >= 0 and not replace:
+        if existing and existing.pinned:
+            raise ValueError(
+                f"CREATE OR REPLACE TABLE refused: {name!r} is a "
+                "version-pinned (time-travel) binding — it names a "
+                "snapshot, not the table; register the table unpinned "
+                "to replace it"
+            )
+        # a registered name's table lives where its binding says: OR
+        # REPLACE without LOCATION replaces THAT table (one atomic
+        # replace commit, history time-travelable) instead of silently
+        # creating a new table at the default warehouse path and
+        # orphaning the old one (ADVICE r8 medium #2)
+        store = existing.store if existing else None
+        path = location or (
+            existing.path if existing else _warehouse_path(spark, name)
+        )
+        if txn.current_version(path, store) >= 0 and not replace:
             raise ValueError(
                 f"{path} already holds a committed table; use CREATE OR "
                 "REPLACE TABLE (appends a replacing commit) or pick "
@@ -527,12 +548,14 @@ def _sql_maintenance(spark: SparkSession, statement: str):
         pb = (
             [c.strip() for c in part_sql.split(",")] if part_sql else None
         )
-        df = spark.sql(body)
-        if txn.current_version(path) >= 0:  # OR REPLACE over live table
-            v = txn.replace_table(spark, path, df, partition_by=pb)
+        # CTAS bodies get the in-query time-travel grammar too (CREATE
+        # TABLE snap AS SELECT * FROM t VERSION AS OF n = named snapshot)
+        df = spark.sql(_rewrite_time_travel(spark, body))
+        if txn.current_version(path, store) >= 0:  # OR REPLACE, live
+            v = txn.replace_table(spark, path, df, partition_by=pb, store=store)
         else:
-            v = txn.append(df, path, partition_by=pb)
-        register_table(spark, name, path)
+            v = txn.append(df, path, partition_by=pb, store=store)
+        register_table(spark, name, path, store=store)
         return v
     m = _DROP_TABLE_RE.match(statement)
     if m:
@@ -550,6 +573,83 @@ def _sql_maintenance(spark: SparkSession, statement: str):
             txn.drop_table(b.path, store=b.store)
         return None
     return _NO_MATCH
+
+
+_TIME_TRAVEL_RE = re.compile(
+    rf"(?is)\b(FROM|JOIN)\s+({_IDENT})\s+"
+    rf"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')"
+)
+
+
+def _rewrite_time_travel(spark: SparkSession, statement: str) -> str:
+    """Rewrite every ``FROM/JOIN name VERSION AS OF n`` and ``FROM/JOIN
+    name TIMESTAMP AS OF 'ts'`` table reference to a session temp view
+    pinned at that snapshot (``txn.read_table(version=…)`` — the native
+    parquet scan, full pushdown), leaving the rest of the statement
+    untouched. The name must be a registered txn binding: time travel
+    needs a commit log, so an unregistered name is refused loudly
+    rather than half-parsed. View names are deterministic
+    (``__tt_<name>_v<version>``), so repeated queries reuse them."""
+    out: list[str] = []
+    last = 0
+    for m in _TIME_TRAVEL_RE.finditer(statement):
+        kw, name, ver, ts = m.groups()
+        b = _session_bindings(spark).get(name)
+        if b is None:
+            raise ValueError(
+                f"{name!r} VERSION/TIMESTAMP AS OF: not a registered "
+                "txn table — time travel replays a commit log, so the "
+                "name must come from register_table()/CREATE TABLE"
+            )
+        v = (
+            int(ver)
+            if ver is not None
+            else txn.version_as_of(b.path, ts, b.store)
+        )
+        view = f"__tt_{name}_v{v}"
+        txn.read_table(
+            spark, b.path, version=v, store=b.store
+        ).createOrReplaceTempView(view)
+        out.append(statement[last : m.start()])
+        out.append(f"{kw} {view}")
+        last = m.end()
+    out.append(statement[last:])
+    return "".join(out)
+
+
+_DESCRIBE_RE = re.compile(
+    rf"^\s*DESCRIBE\s+(HISTORY|DETAIL)\s+({_IDENT})\s*;?\s*$", re.IGNORECASE
+)
+
+
+def sql(spark: SparkSession, statement: str):
+    """The one-stop SQL front door (the reference's whole query surface
+    is ad-hoc SQL over cataloged tables, README.md:99-110 — including
+    historical reads, which this engine serves from the commit log):
+
+    * reads (``SELECT``/``WITH``/``VALUES``/parenthesized) support
+      in-query time travel — ``FROM t VERSION AS OF n`` and ``FROM t
+      TIMESTAMP AS OF 'ts'`` anywhere in the statement, on registered
+      txn names (Delta's SQL time-travel grammar) — and return the
+      result DataFrame;
+    * ``DESCRIBE HISTORY t`` / ``DESCRIBE DETAIL t`` return the
+      ``history_df`` / ``detail_df`` frames;
+    * everything else (DML / maintenance / DDL) routes through
+      ``sql_dml`` and returns its value (committed version, vacuum
+      list, …).
+    """
+    if re.match(r"(?is)^\s*(SELECT|WITH|VALUES|\()", statement):
+        return spark.sql(_rewrite_time_travel(spark, statement))
+    m = _DESCRIBE_RE.match(statement)
+    if m:
+        kind, name = m.group(1).upper(), m.group(2)
+        if _session_bindings(spark).get(name) is None:
+            raise ValueError(f"{name!r} is not a registered txn table")
+        return (
+            history_df(spark, name) if kind == "HISTORY"
+            else detail_df(spark, name)
+        )
+    return sql_dml(spark, statement)
 
 
 def _warehouse_path(spark: SparkSession, name: str) -> str:

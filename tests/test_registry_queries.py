@@ -16,7 +16,12 @@ def test_query_matches_oracle(name, spark, sf_dir):
     q = QUERIES[name]
     df = q.build(spark, sf_dir)
     if q.oracle is None:
-        assert df.count() >= 0  # rows-only check (◇ operators)
+        # rows-only (◇): typed invariant instead of the vacuous count
+        # (VERDICT r8 wrong #2) — recall floors, conservation sums,
+        # schema+bounds; each proven to fail on garbage frames in
+        # tests/test_query_checks.py
+        assert q.check is not None, f"◇ query {name} has no check"
+        q.check(df, spark, sf_dir)
     else:
         assert_matches_oracle(df, q.oracle, sf_dir)
 

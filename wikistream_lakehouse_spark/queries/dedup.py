@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from wikistream_lakehouse_spark.functions.text import shingles, tokens
 from wikistream_lakehouse_spark.operators.minhash import minhash_near_duplicates
 from wikistream_lakehouse_spark.operators.simhash import simhash_near_duplicates
+from wikistream_lakehouse_spark.queries import checks
 from wikistream_lakehouse_spark.queries.registry import register
 from wikistream_lakehouse_spark.tables import table
 
@@ -109,6 +110,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minhash_near_dups",
     oracle=None,  # hash-function-specific candidates; verified in unit tests
     tags=("X2", "dedup", "lsh"),
+    check=checks.minhash_pairs_check(threshold=0.35),
 )
 def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 hashes)+LSH(8 bands) candidate generation with exact
@@ -125,6 +127,7 @@ def minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "simhash_near_dups",
     oracle=None,
     tags=("X2", "dedup", "simhash"),
+    check=checks.simhash_pairs_check(max_hamming=3),
 )
 def simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs with Hamming ≤ 3 via chunk banding
@@ -211,6 +214,7 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_canonical_docs_lsh",
     oracle=None,  # built on hash-specific LSH pairs; structure pinned in tests
     tags=("X2", "dedup", "components", "lsh"),
+    check=checks.canonical_docs_check,
 )
 def dedup_canonical_docs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB form of dedup_canonical_docs: MinHash-LSH candidate
@@ -284,6 +288,7 @@ def dedup_canonical_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # k-means assignment is not ANSI-SQL-expressible;
     # keep-set invariants + determinism pinned in tests/test_semdedup.py
     tags=("X2", "X3", "dedup", "embeddings", "semdedup"),
+    check=checks.semdedup_check(k=8, threshold=0.35),
 )
 def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540): k-means semantic clusters over the

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from wikistream_lakehouse_spark.operators.multimodal import extract_media_features
+from wikistream_lakehouse_spark.queries import checks
 from wikistream_lakehouse_spark.queries.registry import register
 from wikistream_lakehouse_spark.tables import table
 
@@ -76,6 +77,7 @@ def media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_features",
     oracle=None,  # pandas-UDF pipeline — determinism + schema tested in pytest
     tags=("X5", "multimodal", "pandas-udf"),
+    check=checks.media_features_check,
 )
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads via
@@ -91,6 +93,7 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # mapInPandas fan-out over synthesized payloads — geometry
     # and determinism pinned in tests/test_operators.py
     tags=("X5", "multimodal", "pandas-udf", "frames"),
+    check=checks.media_frames_check,
 )
 def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame sampling over video payloads (every 4th 256-byte frame via

@@ -34,6 +34,12 @@ class Query:
     oracle: str | None
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    #: typed invariant for rows-only (◇) queries — called with the
+    #: built DataFrame by the oracle sweep in place of the vacuous
+    #: ``count() >= 0`` (VERDICT r8 wrong #2). Must raise on a frame
+    #: that is structurally plausible but semantically garbage (wrong
+    #: schema, violated recall floor, broken conservation sum, …).
+    check: "Callable[[DataFrame], None] | None" = None
 
 
 REGISTRY: dict[str, Query] = {}
@@ -44,8 +50,11 @@ def register(
     oracle: str | None = None,
     doc: str = "",
     tags: tuple[str, ...] = (),
+    check: "Callable[[DataFrame], None] | None" = None,
 ) -> Callable[[BuildFn], BuildFn]:
-    """Decorator: register a query build function under ``name``."""
+    """Decorator: register a query build function under ``name``.
+    ``check`` is required exactly when ``oracle`` is None — a rows-only
+    query with no invariant would be unpinned in the sweep."""
 
     def deco(fn: BuildFn) -> BuildFn:
         @functools.wraps(fn)
@@ -55,46 +64,85 @@ def register(
 
         if name in REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = Query(name=name, build=wrapped, oracle=oracle, doc=doc or (fn.__doc__ or ""), tags=tags)
+        if oracle is None and check is None:
+            raise ValueError(
+                f"rows-only query {name!r} needs a check= invariant"
+            )
+        REGISTRY[name] = Query(
+            name=name,
+            build=wrapped,
+            oracle=oracle,
+            doc=doc or (fn.__doc__ or ""),
+            tags=tags,
+            check=check,
+        )
         return wrapped
 
     return deco
 
 
-#: Names that already have a driver-side CORRECTNESS row from rounds
-#: 1–7 (union of CORRECTNESS_r0{1..7}.json keys). ROTATION POLICY
-#: (VERDICT r7 next #2): the driver scores only the first 50 registered
-#: queries per round, so each round demotes previously-scored
-#: oracle-backed queries behind the never-scored ones — every oracle
-#: query eventually gets the driver's independent hard check, not just
-#: the in-repo suite's DuckDB sweep. Append each round's newly-scored
-#: names here when rotating.
-_DRIVER_SCORED: frozenset = frozenset({
-    "above_average_customers", "ann_lsh_topk", "approx_distinct_profile",
-    "array_functions_showcase", "conditional_functions_showcase",
-    "corpus_quality_filter", "cosine_topk_bruteforce",
-    "cube_part_brand_size", "curate_projection", "customer_running_spend",
-    "customer_spend_distribution", "customers_with_orders",
-    "customers_without_orders", "daily_editor_counts", "daily_top_titles",
-    "date_functions_showcase", "dedup_canonical_docs", "dedup_exact_events",
-    "distinct_order_status", "distinct_users_per_day", "doc_fingerprints",
-    "embedding_cosine_pairs", "embedding_label_centroids",
-    "event_date_slice", "first_orders_per_customer", "global_totals",
-    "grouping_sets_sql", "json_props_extract", "lang_source_stats",
-    "language_id_ngram", "late_shipment_priority", "limit_scan",
-    "math_functions_showcase", "media_features", "media_manifest",
-    "minhash_near_dups", "nation_customer_supplier_presence",
-    "ngram_jaccard_pairs", "orders_left_join_returns",
-    "other_bucket_rollup", "part_price_bands", "pivot_event_type_counts",
-    "price_percentiles", "pricing_summary", "priority_discount_orders",
-    "project_with_defaults", "promo_revenue_share",
-    "purchase_click_attribution", "revenue_by_nation",
-    "rollup_daily_edits", "segment_set_ops", "session_windows_per_user",
-    "simhash_near_dups", "sliding_window_counts",
-    "string_functions_showcase", "sum_by_title", "text_quality_profile",
-    "token_counts", "top_returning_customers", "top_revenue_orders",
-    "top_titles_per_day", "tumbling_hourly_counts",
-})
+#: name → the LAST round whose CORRECTNESS_r{N}.json scored it
+#: (computed from the per-round driver records). ROTATION POLICY
+#: (VERDICT r7 next #2, re-rotated per r8 next #7): the driver scores
+#: only the first 50 registered queries per round, so ``all_queries``
+#: orders oracle-backed queries by least-recently-scored — never-scored
+#: names (absent here, rank 0) lead, then the stalest driver rows —
+#: keeping every oracle query's driver score at most ~2 rounds behind
+#: its code. Update after each round from the new CORRECTNESS file.
+_LAST_SCORED: dict[str, int] = {}
+_LAST_SCORED.update(dict.fromkeys((
+    # round 1 (never re-scored since)
+    "ann_lsh_topk", "approx_distinct_profile", "array_functions_showcase",
+    "conditional_functions_showcase", "date_functions_showcase",
+    "grouping_sets_sql", "language_id_ngram", "math_functions_showcase",
+    "media_features", "minhash_near_dups", "simhash_near_dups",
+    "string_functions_showcase",
+), 1))
+_LAST_SCORED.update(dict.fromkeys((
+    # round 7
+    "above_average_customers", "corpus_quality_filter",
+    "cosine_topk_bruteforce", "cube_part_brand_size", "curate_projection",
+    "customer_running_spend", "customer_spend_distribution",
+    "customers_with_orders", "customers_without_orders",
+    "daily_editor_counts", "dedup_canonical_docs", "distinct_order_status",
+    "distinct_users_per_day", "doc_fingerprints", "embedding_cosine_pairs",
+    "embedding_label_centroids", "event_date_slice",
+    "first_orders_per_customer", "global_totals", "json_props_extract",
+    "lang_source_stats", "late_shipment_priority", "limit_scan",
+    "media_manifest", "nation_customer_supplier_presence",
+    "orders_left_join_returns", "other_bucket_rollup", "part_price_bands",
+    "pivot_event_type_counts", "price_percentiles", "pricing_summary",
+    "priority_discount_orders", "project_with_defaults",
+    "promo_revenue_share", "purchase_click_attribution",
+    "revenue_by_nation", "rollup_daily_edits", "segment_set_ops",
+    "session_windows_per_user", "sliding_window_counts", "sum_by_title",
+    "text_quality_profile", "token_counts", "top_returning_customers",
+    "top_revenue_orders", "top_titles_per_day", "tumbling_hourly_counts",
+), 7))
+_LAST_SCORED.update(dict.fromkeys((
+    # round 8
+    "benchmark_contamination", "cdc_apply_latest_state",
+    "cheapest_supplier_per_part", "chunk_dedup_stats", "conversion_funnel",
+    "corpus_funnel", "corpus_mixture_sample", "corpus_train_split",
+    "cross_nation_trade_volume", "customer_cohort_retention",
+    "customer_order_histogram", "daily_top_titles",
+    "dedup_canonical_embeddings", "dedup_exact_events",
+    "disjunctive_part_revenue", "doc_char_chunks", "doc_repetition_profile",
+    "doc_token_chunks", "dominant_part_shippers",
+    "fixed_count_per_lang_sample", "forecast_revenue",
+    "heavy_hitter_tokens", "hourly_gapfill_locf", "idle_customer_balance",
+    "important_part_value", "ivf_rerank_exact", "keyword_search_bm25",
+    "large_volume_orders", "late_order_priority_counts",
+    "late_suppliers_multi_supplier_orders", "leakage_safe_split",
+    "nation_market_share", "ngram_jaccard_pairs", "order_measures_unpivot",
+    "pii_scrub_profile", "product_profit_by_nation_year",
+    "regional_same_nation_revenue", "rolling_zscore_anomalies",
+    "scd2_history_splice", "scd_serving_merge", "skewed_cohort_stats",
+    "small_quantity_revenue", "sql_daily_top_titles",
+    "supplier_count_by_part_attrs", "term_frequency_topk",
+    "top_supplier_by_revenue", "training_order_shuffle",
+    "unigram_logprob_score", "weekly_retention", "window_frames_showcase",
+), 8))
 
 
 def all_queries() -> dict[str, Query]:
@@ -102,13 +150,14 @@ def all_queries() -> dict[str, Query]:
 
     Ordering matters: the correctness driver scores only the FIRST 50
     registered queries, so the returned dict puts (1) the flagship
-    ``daily_top_titles`` first (``entry()`` serves it), then (2) the
-    oracle-backed queries with NO driver-side CORRECTNESS row from any
-    prior round (``_DRIVER_SCORED`` rotation — see its docstring), then
-    (3) previously-scored oracle-backed queries, and pushes (4)
-    rows-only queries (``oracle is None`` — approximate/hash-specific
-    operators whose semantics aren't ANSI-SQL-expressible) past the
-    cap, where the driver records its weaker rows-only check anyway.
+    ``daily_top_titles`` first (``entry()`` serves it), then (2) every
+    other oracle-backed query ordered by LEAST-recently-scored
+    (``_LAST_SCORED`` rotation — never-scored names lead, then the
+    stalest prior driver rows), and pushes (3) rows-only queries
+    (``oracle is None`` — approximate/hash-specific operators whose
+    semantics aren't ANSI-SQL-expressible) past the cap, where the
+    driver records its weaker rows-only check anyway (their typed
+    ``check`` invariants run in the in-repo sweep instead).
     """
     # Local import to avoid import cycles; modules self-register on import.
     from wikistream_lakehouse_spark.queries import (  # noqa: F401
@@ -130,16 +179,14 @@ def all_queries() -> dict[str, Query]:
 
     order = {name: i for i, name in enumerate(REGISTRY)}
 
-    def key(item: tuple[str, Query]) -> tuple[int, int]:
+    def key(item: tuple[str, Query]) -> tuple[int, int, int]:
         name, q = item
         if name == "daily_top_titles":
             tier = 0  # flagship: entry() serves it, always scored
         elif q.oracle is None:
-            tier = 3  # rows-only: driver records `no_oracle` regardless
-        elif name in _DRIVER_SCORED:
-            tier = 2  # already has a hard driver row from r1–r7
+            tier = 2  # rows-only: driver records `no_oracle` regardless
         else:
-            tier = 1  # never driver-scored: this round's window
-        return (tier, order[name])
+            tier = 1  # oracle-backed: staleness-ordered window
+        return (tier, _LAST_SCORED.get(name, 0), order[name])
 
     return dict(sorted(REGISTRY.items(), key=key))

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from wikistream_lakehouse_spark.operators.asof import asof_join
+from wikistream_lakehouse_spark.queries import checks
 from wikistream_lakehouse_spark.queries.registry import register
 from wikistream_lakehouse_spark.tables import table
 
@@ -444,6 +445,7 @@ def distinct_users_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     "approx_distinct_profile",
     oracle=None,  # sketch implementations differ across engines → rows-only
     tags=("J9", "aggregates", "approx"),
+    check=checks.approx_distinct_check(rel_err=0.10),
 )
 def approx_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) + approx percentiles per event_type.

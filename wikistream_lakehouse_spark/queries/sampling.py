@@ -23,6 +23,7 @@ from wikistream_lakehouse_spark.operators.sampling import (
     stratified_sample,
     training_order,
 )
+from wikistream_lakehouse_spark.queries import checks
 from wikistream_lakehouse_spark.queries.registry import register
 from wikistream_lakehouse_spark.tables import table
 
@@ -106,6 +107,7 @@ def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # invariants (every doc exactly once, budget respected, determinism)
     # are pinned by tests/test_packing.py
     tags=("sampling", "pipeline", "packing", "pandas-udf"),
+    check=checks.packing_check(max_tokens=512),
 )
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack documents into 512-token training sequences (first-fit-

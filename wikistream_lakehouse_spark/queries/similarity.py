@@ -14,6 +14,7 @@ from wikistream_lakehouse_spark.functions.vectors import (
     cosine,
     hyperplane_buckets_pandas,
 )
+from wikistream_lakehouse_spark.queries import checks
 from wikistream_lakehouse_spark.queries.registry import register
 from wikistream_lakehouse_spark.tables import table
 
@@ -192,6 +193,7 @@ def ann_candidates(
     "ann_lsh_topk",
     oracle=None,  # approximate — recall vs brute force asserted in unit tests
     tags=("X3", "similarity", "lsh", "ann"),
+    check=checks.ann_topk_check(recall_floor=0.30),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via multi-table random-hyperplane LSH (L=8 tables ×
@@ -221,6 +223,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_ivf_topk",
     oracle=None,  # approximate — recall vs brute force asserted in unit tests
     tags=("X3", "similarity", "ivf", "ann"),
+    check=checks.ann_topk_check(recall_floor=0.30),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via an IVF coarse quantizer (operators/ivf.py):
@@ -311,6 +314,7 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_pq_topk",
     oracle=None,  # approximate — recall vs brute force asserted in unit tests
     tags=("X3", "similarity", "pq", "ann"),
+    check=checks.ann_topk_check(recall_floor=0.30),
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via product quantization + exact re-rank
@@ -345,6 +349,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_ivf_pq_topk",
     oracle=None,  # approximate — recall floors asserted in unit tests
     tags=("X3", "similarity", "ivf", "pq", "ann"),
+    check=checks.ann_topk_check(recall_floor=0.25),
 )
 def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via the composed IVF-PQ index

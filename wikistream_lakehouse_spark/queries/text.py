@@ -21,6 +21,7 @@ from wikistream_lakehouse_spark.operators.langid import (
     explode_grams,
     predict_language,
 )
+from wikistream_lakehouse_spark.queries import checks
 from wikistream_lakehouse_spark.queries.registry import register
 from wikistream_lakehouse_spark.tables import table
 
@@ -127,6 +128,7 @@ def lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "language_id_ngram",
     oracle=None,  # heuristic classifier — accuracy asserted in unit tests
     tags=("X4", "text", "langid"),
+    check=checks.langid_check,
 )
 def language_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-bigram language ID (operators/langid.py): per-language

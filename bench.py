@@ -32,6 +32,40 @@ def infer_sf(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def calibration_probe(spark) -> float:
+    """One pinned synthetic sort/agg on GENERATED data (no IO, no
+    dependence on sf_dir or the query set): 16M rows → hash → 9973-key
+    aggregate → sort. Timed with the same noop sink as the queries.
+    Its wall-clock moves with host load/CPU contention exactly like the
+    query timings do, so cross-round comparisons normalize per-query
+    medians by the round's calibration instead of reading host drift as
+    regression (VERDICT r8 next #4 — r7→r8 moved 1.10× uniformly on
+    unchanged code)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 16_000_000, 1, 32)
+        .select(
+            (F.col("id") % 9973).alias("k"),
+            # bounded hash: full-range xxhash64 sums overflow long under
+            # ANSI mode; 16M × 1e6 stays far inside it
+            (F.pmod(F.xxhash64("id"), F.lit(1000003))).alias("v"),
+        )
+        .groupBy("k")
+        .agg(
+            F.sum("v").alias("s"),
+            F.count(F.lit(1)).alias("n"),
+            F.avg("v").alias("a"),
+        )
+        .orderBy("k")
+    )
+    t0 = _time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return _time.perf_counter() - t0
+
+
 def main() -> None:
     # The ONLY bytes this process writes to stdout are the final JSON line:
     # park fd 1 on stderr for the whole run (the JVM inherits fd 1, so its
@@ -62,6 +96,13 @@ def main() -> None:
     except ValueError:
         print("bench: bad SPARK_GRAFT_BENCH_RUNS, using 5", file=sys.stderr)
         n_runs = 5
+    # Calibration (VERDICT r8 next #4): the probe runs FIRST (after one
+    # untimed warm-up of itself) and LAST, bracketing the sweeps; the
+    # median is the round's host-speed unit. Regression gates should
+    # compare (per-query median / calibration_sec) across rounds.
+    calibration_probe(spark)  # untimed: JIT + codegen warm-up
+    cal_pre = [calibration_probe(spark) for _ in range(3)]
+
     samples: dict[str, list[float]] = {name: [] for name in qs}
     errors: dict[str, str] = {}
     for sweep in range(n_runs + 1):
@@ -114,6 +155,13 @@ def main() -> None:
         "per_query_iqr_max": round(iqrs[-1], 3),
     }
 
+    cal_post = [calibration_probe(spark) for _ in range(3)]
+    calibration = {
+        "pre": round(median(cal_pre), 4),
+        "post": round(median(cal_post), 4),
+        "sec": round(median(cal_pre + cal_post), 4),
+    }
+
     total = round(sum(timings.values()), 4)
     spark.stop()
 
@@ -128,6 +176,7 @@ def main() -> None:
         "unit": "sec",
         "sf": infer_sf(sf_dir),
         "runs": n_runs,
+        "calibration": calibration,
         "queries": {
             n: {
                 "median": round(median(ts), 4),
@@ -168,6 +217,7 @@ def main() -> None:
             "queries": qs_shown,
             "queries_timed": len(timings),
             "spread": spread,
+            "calibration_sec": calibration["sec"],
             "sf": infer_sf(sf_dir),
         }
         if errors:

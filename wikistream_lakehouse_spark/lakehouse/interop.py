@@ -31,7 +31,8 @@ same guard replace_partitions applies), since one hive_partitioning
 scan cannot span two directory layouts.
 
 Reference anchor: the reference's consumers read its lake through
-Athena/Presto (sql/athena_*.sql) — an independent engine over open
+Athena — ad-hoc SQL over Glue-cataloged open files (README.md:99-110,
+upsert_athena_aggregates.py:39-50) — an independent engine over open
 files is the contract this module ports to the txn format.
 """
 
@@ -281,7 +282,8 @@ def generate_symlink_manifest(
     """Hive ``SymlinkTextInputFormat`` manifests for a snapshot — the
     Delta ``GENERATE symlink_format_manifest`` analogue, and the direct
     port of the reference's serving contract (its consumers query the
-    lake through Athena/Presto over file listings — sql/athena_*.sql):
+    lake through Athena over cataloged file listings — README.md:99-110,
+    MSCK repair in dag/wiki_pipeline_dag.py):
     point an external engine's table at ``out_dir`` and each
     partition's ``manifest`` file names the snapshot's data files, one
     absolute path per line.

@@ -36,7 +36,8 @@ Numeric and timestamp columns are supported (stats normalize to float64
 for the envelope compare; timestamps via epoch seconds).
 
 Reference parity: none — the reference relies on Glue partition listing
-only (athena_queries.sql date predicates); this is the engine-native
+only (the yyyy/mm/dd predicates of README.md:99-110 and the date-slice
+filter of upsert_athena_aggregates.py:39-50); this is the engine-native
 generalization below partition granularity.
 """
 

@@ -22,10 +22,11 @@ The two-scan pattern a 100 TB frequency question actually runs:
 Step 1's summary content depends on partitioning/arrival order (any
 MG implementation's does); step 2 makes the OUTPUT deterministic.
 
-Reference anchor: the reference's top-N serving aggregates
-(sql/athena_ctas_aggregates.sql group-by-count shapes) computed
-exactly; this is the bounded-memory form those shapes need when the
-group-by key cardinality itself won't fit a shuffle."""
+Reference anchor: the reference's top-N serving aggregates — the
+daily CTAS group-by-count shape (dag/wiki_pipeline_dag.py:29-39) and
+the per-day editor counts (upsert_athena_aggregates.py:39-50) — are
+computed exactly; this is the bounded-memory form those shapes need
+when the group-by key cardinality itself won't fit a shuffle."""
 
 from __future__ import annotations
 

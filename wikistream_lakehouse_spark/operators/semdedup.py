@@ -32,9 +32,10 @@ Spark-first shape:
     neighborhood). Same inputs → byte-identical keep set on every run
     and partitioning.
 
-Reference anchor: the reference has no semantic dedup; this extends its
-dedup family (exact, MinHash — sql/athena_*.sql ingest hygiene) with the
-embedding-space member required for training-data curation.
+Reference anchor: none — the reference has no semantic dedup (its
+hygiene stops at bot filtering, upsert_athena_aggregates.py:39-50);
+this extends the engine's dedup family (exact, MinHash, SimHash) with
+the embedding-space member required for training-data curation.
 """
 
 from __future__ import annotations

@@ -282,3 +282,26 @@ def test_create_or_replace_refused_on_pinned_binding(spark, tmp_path):
         catalog.sql_dml(
             spark, "CREATE OR REPLACE TABLE pinned_snap AS SELECT 1 AS k"
         )
+
+
+def test_restore_to_timestamp_as_of(spark, tmp_path):
+    import time
+
+    loc = str(tmp_path / "t")
+    txn.append(
+        spark.range(5).select(F.col("id").alias("k")).coalesce(1), loc
+    )
+    t_after_v0 = txn.history(loc)[-1]["ts"] + 0.01
+    time.sleep(0.05)
+    txn.append(
+        spark.range(5, 9).select(F.col("id").alias("k")).coalesce(1), loc
+    )
+    catalog.register_table(spark, "rst_ts", loc)
+    from datetime import datetime
+
+    iso = datetime.fromtimestamp(t_after_v0).isoformat()
+    v = catalog.sql_dml(
+        spark, f"RESTORE TABLE rst_ts TO TIMESTAMP AS OF '{iso}'"
+    )
+    assert v == txn.current_version(loc)
+    assert spark.table("rst_ts").count() == 5

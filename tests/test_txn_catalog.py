@@ -253,3 +253,13 @@ def test_insert_and_ctas_bodies_support_time_travel(spark, t, tmp_path):
     )
     assert v == txn.current_version(t)
     assert spark.table("body_tt").count() == 30
+
+
+def test_time_travel_not_rewritten_inside_string_literals(spark, t):
+    catalog.register_table(spark, "lit_t", t)
+    df = catalog.sql(
+        spark,
+        "SELECT 'from lit_t version as of 99' AS s, count(*) AS n FROM lit_t",
+    )
+    r = df.first()
+    assert r.s == "from lit_t version as of 99" and r.n == 100

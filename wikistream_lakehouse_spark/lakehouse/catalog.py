@@ -180,8 +180,9 @@ _CHECKPOINT_RE = re.compile(
     rf"^\s*CHECKPOINT\s+({_IDENT})\s*;?\s*$", re.IGNORECASE
 )
 _RESTORE_RE = re.compile(
-    rf"^\s*RESTORE\s+(?:TABLE\s+)?({_IDENT})\s+TO\s+VERSION\s+AS\s+OF"
-    rf"\s+(\d+)\s*;?\s*$",
+    rf"^\s*RESTORE\s+(?:TABLE\s+)?({_IDENT})\s+TO\s+"
+    rf"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')"
+    rf"\s*;?\s*$",
     re.IGNORECASE,
 )
 _GENERATE_RE = re.compile(
@@ -219,7 +220,7 @@ maintenance statements (same registered names):
   OPTIMIZE t [WHERE pcol = v [AND ...]] [ZORDER BY (c, ...)]
   VACUUM t [RETAIN n VERSIONS] [DRY RUN]
   CHECKPOINT t
-  RESTORE [TABLE] t TO VERSION AS OF n
+  RESTORE [TABLE] t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'
   GENERATE symlink_format_manifest FOR TABLE t
 DDL:
   CREATE [OR REPLACE] TABLE t [PARTITIONED BY (c, ...)]
@@ -501,9 +502,12 @@ def _sql_maintenance(spark: SparkSession, statement: str):
         return txn.checkpoint(b.path, store=b.store)
     m = _RESTORE_RE.match(statement)
     if m:
-        name, ver = m.groups()
+        name, ver, ts = m.groups()
         b = _writable_binding(spark, name)
-        v = txn.restore(b.path, version=int(ver), store=b.store)
+        if ver is not None:
+            v = txn.restore(b.path, version=int(ver), store=b.store)
+        else:
+            v = txn.restore(b.path, as_of=ts, store=b.store)
         refresh_table(spark, name)
         return v
     m = _GENERATE_RE.match(statement)
@@ -590,9 +594,16 @@ def _rewrite_time_travel(spark: SparkSession, statement: str) -> str:
     needs a commit log, so an unregistered name is refused loudly
     rather than half-parsed. View names are deterministic
     (``__tt_<name>_v<version>``), so repeated queries reuse them."""
+    # string-literal spans: a literal containing "FROM t VERSION AS OF"
+    # is data, not a table reference — never rewrite inside one
+    spans = []
+    for sm in re.finditer(r"'(?:[^']|'')*'", statement):
+        spans.append(sm.span())
     out: list[str] = []
     last = 0
     for m in _TIME_TRAVEL_RE.finditer(statement):
+        if any(lo <= m.start() < hi for lo, hi in spans):
+            continue
         kw, name, ver, ts = m.groups()
         b = _session_bindings(spark).get(name)
         if b is None:

@@ -111,6 +111,8 @@ def timed(fn, runs=3):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--commits", type=int, default=10_000)
+    ap.add_argument("--cycles", type=int, default=3,
+                    help="steady-state retention cycles to measure")
     ap.add_argument("--keep", action="store_true")
     ap.add_argument(
         "--no-files", action="store_true",
@@ -200,6 +202,50 @@ def main() -> None:
         ),
         runs=2,
     )
+
+    # ---- steady-state retention CYCLES (the production shape a table
+    # lives in forever): commit a wave, checkpoint, clean, then read a
+    # version BETWEEN the previous and new horizons (must anchor to the
+    # newest checkpoint <= target, never the global newest) and vacuum.
+    # Run several cycles: the r8 replay-anchoring bug broke exactly the
+    # SECOND cycle, so one-cycle benches could never see it.
+    cycle_stats = []
+    wave = 50
+    for cyc in range(args.cycles):
+        build_table(path, wave, with_files=not args.no_files)
+        t0 = time.perf_counter()
+        cpv = txn.checkpoint(path)
+        cyc_cp = time.perf_counter() - t0
+        # the r8 bug window: a version in [old horizon, new checkpoint)
+        # while the newer checkpoint exists must seed from the PREVIOUS
+        # anchor (newest cp <= target), never refuse — read it BEFORE
+        # cleanup advances the horizon past it
+        interior = cpv - wave // 2
+        t0 = time.perf_counter()
+        txn._replay_state(path, interior)
+        cyc_interior = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n_vac = len(txn.vacuum(path, retain_versions=3))
+        cyc_vac = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        removed = len(txn.cleanup_log(path))
+        cyc_clean = time.perf_counter() - t0
+        cs = CountingLogStore()
+        txn._replay_state(path, txn.current_version(path), store=cs)
+        cycle_stats.append(
+            {
+                "cycle": cyc + 1,
+                "checkpoint_version": cpv,
+                "checkpoint_sec": round(cyc_cp, 4),
+                "interior_replay_sec": round(cyc_interior, 4),
+                "vacuum_sec": round(cyc_vac, 4),
+                "vacuum_removed": n_vac,
+                "cleanup_removed": removed,
+                "cleanup_sec": round(cyc_clean, 4),
+                "log_reads_open": cs.reads,
+            }
+        )
+    out["retention_cycles"] = cycle_stats
 
     # stream-source catch-up planning: how long to enumerate the next
     # microbatch bounds over the full log (no data read)

@@ -66,6 +66,8 @@ DEFAULT_QUERIES = [
     "scd2_history_splice",        # SCD2 splice under out-of-order batches
     "scd_serving_merge",          # conditional-MERGE serving table
     "heavy_hitter_tokens",        # MG sketch + exact verify pass (watch)
+    # round-9 additions
+    "sql_time_travel_diff",       # two-version txn build + in-query time travel
 ]
 
 

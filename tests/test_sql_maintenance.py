@@ -305,3 +305,23 @@ def test_restore_to_timestamp_as_of(spark, tmp_path):
     )
     assert v == txn.current_version(loc)
     assert spark.table("rst_ts").count() == 5
+
+
+def test_maintain_table_statement(spark, tmp_path):
+    loc = str(tmp_path / "t")
+    # many tiny files so the tending pass has something to do
+    for i in range(10):
+        txn.append(
+            spark.range(i * 5, i * 5 + 5)
+            .select(F.col("id").alias("k"))
+            .coalesce(1),
+            loc,
+        )
+    catalog.register_table(spark, "tended", loc)
+    report = catalog.sql_dml(spark, "MAINTAIN TABLE tended")
+    assert "compact" in report  # 10 tiny files trip the small-file policy
+    assert spark.table("tended").count() == 50  # binding auto-refreshed
+    # WITH LOG RETENTION also checkpoints + cleans (or reports refusal)
+    report2 = catalog.sql_dml(spark, "MAINTAIN tended WITH LOG RETENTION")
+    assert ("cleanup_log" in report2) or ("cleanup_log_refused" in report2)
+    assert spark.table("tended").count() == 50

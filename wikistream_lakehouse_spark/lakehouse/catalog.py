@@ -190,6 +190,11 @@ _GENERATE_RE = re.compile(
     rf"\s*;?\s*$",
     re.IGNORECASE,
 )
+_MAINTAIN_RE = re.compile(
+    rf"^\s*MAINTAIN\s+(?:TABLE\s+)?({_IDENT})"
+    rf"(\s+WITH\s+LOG\s+RETENTION)?\s*;?\s*$",
+    re.IGNORECASE,
+)
 _PART_EQ_RE = re.compile(
     rf"^\s*({_IDENT})\s*=\s*('[^']*'|\"[^\"]*\"|[\w.\-]+)\s*$"
 )
@@ -222,6 +227,8 @@ maintenance statements (same registered names):
   CHECKPOINT t
   RESTORE [TABLE] t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'
   GENERATE symlink_format_manifest FOR TABLE t
+  MAINTAIN [TABLE] t [WITH LOG RETENTION]   (one-call tending: compact/
+    checkpoint/cleanup per the measured policy; returns the action report)
 DDL:
   CREATE [OR REPLACE] TABLE t [PARTITIONED BY (c, ...)]
       [LOCATION '/path'] AS SELECT ... | VALUES ...
@@ -518,6 +525,15 @@ def _sql_maintenance(spark: SparkSession, statement: str):
 
         b = _writable_binding(spark, m.group(1))
         return generate_symlink_manifest(b.path, store=b.store)
+    m = _MAINTAIN_RE.match(statement)
+    if m:
+        name, retention = m.groups()
+        b = _writable_binding(spark, name)
+        report = txn.maintain_table(
+            spark, b.path, store=b.store, log_retention=bool(retention)
+        )
+        refresh_table(spark, name)
+        return report
     m = _CTAS_RE.match(statement)
     if m:
         replace, name, part_sql, location, body = m.groups()

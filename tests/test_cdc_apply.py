@@ -445,3 +445,77 @@ def test_scd2_kill_and_resume_replays_skip_and_converge(spark, tmp_path):
         (2, "b0", 10, 20, False),
         (2, None, 20, None, True),
     ], hist
+
+
+# ---------------------------------------------------------------------------
+# Expectations (DLT expect_all[_or_drop/_or_fail] shape)
+# ---------------------------------------------------------------------------
+
+
+def test_expectations_null_passes_and_actions(spark):
+    from wikistream_lakehouse_spark.streaming.cdc_apply import (
+        ExpectationViolation,
+        _enforce_expectations,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 10, "U"), (2, None, 20, "U"), (3, "c", -5, None)], SCHEMA
+    )
+    # CHECK semantics: NULL passes (op <> 'X' on a NULL op is not FALSE)
+    clean, m = _enforce_expectations(
+        df, {"op_known": "op <> 'X'", "v_present": "v IS NOT NULL"}
+    )
+    assert m["rows_in"] == 3
+    assert m["checks"]["op_known"]["violations"] == 0
+    assert m["checks"]["v_present"]["violations"] == 1
+    assert clean.count() == 2  # default action drops the violator
+    # warn keeps rows but still counts
+    kept, m2 = _enforce_expectations(
+        df, {"v_present": ("v IS NOT NULL", "warn")}
+    )
+    assert kept.count() == 3
+    assert m2["checks"]["v_present"]["violations"] == 1
+    # fail refuses the batch
+    with pytest.raises(ExpectationViolation, match="seq_pos"):
+        _enforce_expectations(df, {"seq_pos": ("seq > 0", "fail")})
+
+
+def test_apply_changes_with_expectations_end_to_end(spark, tmp_path):
+    """Dropped rows never reach the table; per-batch violation counts
+    live in the commit log and read back via expectation_metrics."""
+    from wikistream_lakehouse_spark.streaming.cdc_apply import (
+        apply_changes,
+        expectation_metrics,
+    )
+
+    src, table, ckpt = tmp_path / "src", tmp_path / "t", tmp_path / "ckpt"
+    _write_batch_file(
+        spark,
+        str(src),
+        [(1, "a", 10, "U"), (2, None, 11, "U"), (3, "c", 12, "U")],
+        mtime=1_000,
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(str(src), "*"))
+    )
+    q = apply_changes(
+        stream,
+        str(table),
+        keys=["k"],
+        sequence_by="seq",
+        checkpoint=str(ckpt),
+        app_id="cdc-exp",
+        apply_as_delete="op = 'D'",
+        except_columns=("op",),
+        available_now=True,
+        expectations={"v_present": "v IS NOT NULL"},
+    )
+    q.awaitTermination(300)
+    live = {r.k for r in cdc_snapshot(spark, str(table)).collect()}
+    assert live == {1, 3}  # k=2 violated and was dropped pre-merge
+    metrics = expectation_metrics(str(table))
+    assert len(metrics) == 1
+    assert metrics[0]["rows_in"] == 3
+    assert metrics[0]["checks"]["v_present"]["violations"] == 1

@@ -238,3 +238,67 @@ def scd2_history_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey", "start_seq")
     )
+
+
+@register(
+    "cdc_apply_expectations",
+    oracle="""
+        WITH changes AS (
+            SELECT o_custkey AS custkey,
+                   CAST(o_totalprice AS DOUBLE) AS val,
+                   o_orderkey AS seq,
+                   CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op
+            FROM orders
+            WHERE o_totalprice > 5000
+        ), latest AS (
+            SELECT custkey, val, seq, op,
+                   row_number() OVER (
+                       PARTITION BY custkey ORDER BY seq DESC) AS rn
+            FROM changes
+        )
+        SELECT custkey, val, seq
+        FROM latest WHERE rn = 1 AND op <> 'D'
+        ORDER BY custkey
+    """,
+    tags=("cdc", "expectations", "K5", "T2"),
+)
+def cdc_apply_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations on the CDC apply (the DLT expect_all_or_drop
+    shape): the orders-as-CDC stream is applied in TWO batches with a
+    declarative quality gate ``price_floor: val > 5000`` in drop mode —
+    violating change rows never reach the latest-per-key collapse, so
+    an older VALID change wins for keys whose newest change violates.
+    The oracle states the same semantics as a plain WHERE before the
+    window. The per-batch violation counts are stamped into the commit
+    log (asserted non-zero via expectation_metrics). Reference anchor:
+    the reference's only quality gate is the inline bot filter
+    (upsert_athena_aggregates.py:39-50, ``coalesce(bot,false)=false``);
+    this is its declarative, metered form."""
+    from wikistream_lakehouse_spark.streaming.cdc_apply import (
+        _apply_batch,
+        _enforce_expectations,
+        _prepared,
+        cdc_snapshot,
+        expectation_metrics,
+    )
+
+    changes = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_totalprice").cast("double").alias("val"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderstatus") == "F", "D").otherwise("U").alias("op"),
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="wsls_cdcexp_"), "serving")
+    for residue in (0, 1):
+        batch = changes.filter(F.col("seq") % 2 == residue)
+        cleaned, metrics = _enforce_expectations(
+            batch, {"price_floor": "val > 5000"}, "drop"
+        )
+        prepared = _prepared(cleaned, ["custkey"], "seq", "op = 'D'", ("op",))
+        _apply_batch(
+            prepared, path, ["custkey"], "seq",
+            extra_meta={"app_id": "exp-demo", "batch_id": residue,
+                        "expectations": metrics},
+        )
+    assert expectation_metrics(path), "metrics must land in the commit log"
+    return cdc_snapshot(spark, path).orderBy("custkey")

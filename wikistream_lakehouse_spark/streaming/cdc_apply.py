@@ -73,6 +73,93 @@ def collapse_latest(
     )
 
 
+class ExpectationViolation(ValueError):
+    """A ``fail``-action expectation saw violating rows: the batch is
+    refused (the stream stops) rather than silently landing bad data."""
+
+
+def _enforce_expectations(
+    batch: DataFrame,
+    expectations: "dict[str, str | tuple[str, str]]",
+    default_action: str = "drop",
+) -> "tuple[DataFrame, dict]":
+    """Declarative data-quality gates on a change batch (the DLT
+    ``expect_all[_or_drop/_or_fail]`` shape; the reference's
+    ``coalesce(bot,false)=false`` hygiene filter is exactly one of
+    these). ``expectations`` maps name → SQL boolean expr, or →
+    (expr, action) with action ∈ {drop, warn, fail}. A row VIOLATES
+    only when the expr is FALSE — NULL passes, SQL CHECK semantics,
+    same as ``txn.set_constraint``.
+
+    Returns (cleaned frame, metrics): violation counts per expectation
+    are computed in ONE aggregate pass and returned for stamping into
+    the batch's commit metadata, so quality history lives in the table
+    log itself (``expectation_metrics`` reads it back). ``drop``
+    filters violating rows, ``warn`` keeps them, ``fail`` raises
+    ``ExpectationViolation`` when any row violates."""
+    if not expectations:
+        return batch, {}
+    norm: dict = {}
+    for name, spec in expectations.items():
+        expr, action = (
+            spec if isinstance(spec, tuple) else (spec, default_action)
+        )
+        if action not in ("drop", "warn", "fail"):
+            raise ValueError(
+                f"expectation {name!r}: action {action!r} not in "
+                "drop|warn|fail"
+            )
+        norm[name] = (expr, action)
+
+    def _passes(expr: str):
+        # NULL passes (CHECK semantics): violation == (expr IS FALSE)
+        return F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+
+    row = batch.agg(
+        F.count(F.lit(1)).alias("__rows_in"),
+        *[
+            F.sum((~_passes(e)).cast("long")).alias(n)
+            for n, (e, _) in norm.items()
+        ],
+    ).first()
+    checks = {}
+    failed = []
+    for n, (e, a) in norm.items():
+        cnt = int(row[n] or 0)
+        checks[n] = {"expr": e, "action": a, "violations": cnt}
+        if a == "fail" and cnt:
+            failed.append(f"{n} ({cnt} rows violate {e!r})")
+    if failed:
+        raise ExpectationViolation(
+            "expectation(s) failed on this batch: " + "; ".join(failed)
+        )
+    clean = batch
+    for n, (e, a) in norm.items():
+        if a == "drop" and checks[n]["violations"]:
+            clean = clean.filter(_passes(e))
+    return clean, {"rows_in": int(row["__rows_in"]), "checks": checks}
+
+
+def expectation_metrics(
+    table_path: str, store: "txn.LogStore | None" = None
+) -> "list[dict]":
+    """Per-batch expectation metrics replayed from the commit log —
+    one dict per CDC commit that carried expectations: {app_id,
+    batch_id, rows_in, checks: {name: {expr, action, violations}}}."""
+    out = []
+    for m in txn.committed_meta(table_path, store):
+        exp = m.get("expectations")
+        if exp:
+            out.append(
+                {
+                    "app_id": m.get("app_id"),
+                    "batch_id": m.get("batch_id"),
+                    **exp,
+                }
+            )
+    return out
+
+
 def _prepared(
     batch: DataFrame,
     keys: "list[str]",
@@ -203,6 +290,8 @@ def apply_changes(
     trigger_secs: int = 10,
     available_now: bool = False,
     checkpoint_every: int = 16,
+    expectations: "dict[str, str | tuple[str, str]] | None" = None,
+    on_violation: str = "drop",
     store: "txn.LogStore | None" = None,
 ) -> StreamingQuery:
     """Continuously apply a CDC ``changes`` stream into the txn table at
@@ -214,13 +303,21 @@ def apply_changes(
     not stored in the target (the op marker, transport metadata).
     ``app_id`` names one (source, checkpoint) lineage — change it with
     the checkpoint location (the Delta txn appId contract, same as
-    ``txn_append_sink``)."""
+    ``txn_append_sink``). ``expectations`` adds declarative
+    data-quality gates evaluated BEFORE the latest-per-key collapse
+    (``_enforce_expectations``): name → expr or (expr, action) with
+    action ∈ drop|warn|fail (default ``on_violation``); per-batch
+    violation counts are stamped into the commit metadata and readable
+    via ``expectation_metrics``."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        cleaned, exp_meta = _enforce_expectations(
+            batch_df, expectations or {}, on_violation
+        )
         prepared = _prepared(
-            batch_df, keys, sequence_by, apply_as_delete, except_columns
+            cleaned, keys, sequence_by, apply_as_delete, except_columns
         ).persist()
         try:
             _exactly_once(
@@ -230,7 +327,11 @@ def apply_changes(
                 batch_id,
                 lambda df, meta: _apply_batch(
                     df, table_path, keys, sequence_by,
-                    extra_meta=meta, store=store,
+                    extra_meta=(
+                        {**meta, "expectations": exp_meta}
+                        if exp_meta else meta
+                    ),
+                    store=store,
                 ),
                 checkpoint_every,
                 store,
@@ -390,6 +491,8 @@ def apply_changes_scd2(
     trigger_secs: int = 10,
     available_now: bool = False,
     checkpoint_every: int = 16,
+    expectations: "dict[str, str | tuple[str, str]] | None" = None,
+    on_violation: str = "drop",
     store: "txn.LogStore | None" = None,
 ) -> StreamingQuery:
     """``APPLY CHANGES … STORED AS SCD TYPE 2``: maintain the FULL
@@ -399,14 +502,18 @@ def apply_changes_scd2(
     arrivals splice into the correct historical position (the fold
     recomputes each touched key's ranges from its version set), deletes
     are tombstone versions, and the same (app_id, batch_id,
-    fingerprint) identity makes replays no-ops. Query the result with
+    fingerprint) identity makes replays no-ops. ``expectations`` gates
+    the batch exactly as in ``apply_changes``. Query the result with
     ``scd2_current`` / ``scd2_as_of``."""
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        cleaned, exp_meta = _enforce_expectations(
+            batch_df, expectations or {}, on_violation
+        )
         prepared = _scd2_versions(
-            batch_df, keys, sequence_by, apply_as_delete, except_columns
+            cleaned, keys, sequence_by, apply_as_delete, except_columns
         ).persist()
         try:
             _exactly_once(
@@ -415,7 +522,12 @@ def apply_changes_scd2(
                 app_id,
                 batch_id,
                 lambda df, meta: _apply_batch_scd2(
-                    df, table_path, keys, extra_meta=meta, store=store
+                    df, table_path, keys,
+                    extra_meta=(
+                        {**meta, "expectations": exp_meta}
+                        if exp_meta else meta
+                    ),
+                    store=store,
                 ),
                 checkpoint_every,
                 store,

@@ -263,3 +263,26 @@ def test_time_travel_not_rewritten_inside_string_literals(spark, t):
     )
     r = df.first()
     assert r.s == "from lit_t version as of 99" and r.n == 100
+
+
+def test_sql_changes_table_reference(spark, t):
+    txn.append(_kv(spark, 100, 110), t)   # v1: 10 inserts
+    txn.delete_where(spark, t, "k < 3", mode="mor")  # v2: 3 delete images
+    catalog.register_table(spark, "cdf_t", t)
+    df = catalog.sql(
+        spark,
+        """
+        SELECT _commit_version, _change_type, count(*) AS n
+        FROM CHANGES(cdf_t, 1)
+        GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+    )
+    got = {(r._commit_version, r._change_type): r.n for r in df.collect()}
+    assert got == {(1, "insert"): 10, (2, "delete"): 3}
+    # bounded end: only v1
+    n = catalog.sql(
+        spark, "SELECT count(*) AS n FROM CHANGES(cdf_t, 1, 1)"
+    ).first().n
+    assert n == 10
+    with pytest.raises(ValueError, match="not a registered"):
+        catalog.sql(spark, "SELECT * FROM CHANGES(nowhere, 0)")

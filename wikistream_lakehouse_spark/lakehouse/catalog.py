@@ -240,6 +240,8 @@ DDL:
 Reads (SELECT ...) go straight to spark.sql() — via catalog.sql they
 also get in-query time travel on registered names:
   SELECT ... FROM t VERSION AS OF n [JOIN u TIMESTAMP AS OF 'ts' ...]
+  SELECT ... FROM CHANGES(t, start [, end])   (row-level CDF: table
+    columns + _change_type + _commit_version; start inclusive)
   DESCRIBE HISTORY t | DESCRIBE DETAIL t
 (INSERT/CTAS SELECT bodies get the same grammar.) Richer writes use the
 txn API directly (txn.delete_where / update_where / merge_builder.merge)."""
@@ -599,6 +601,10 @@ _TIME_TRAVEL_RE = re.compile(
     rf"(?is)\b(FROM|JOIN)\s+({_IDENT})\s+"
     rf"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')"
 )
+_CHANGES_RE = re.compile(
+    rf"(?is)\b(FROM|JOIN)\s+CHANGES\s*\(\s*({_IDENT})\s*,\s*(\d+)"
+    rf"\s*(?:,\s*(\d+)\s*)?\)"
+)
 
 
 def _rewrite_time_travel(spark: SparkSession, statement: str) -> str:
@@ -615,28 +621,51 @@ def _rewrite_time_travel(spark: SparkSession, statement: str) -> str:
     spans = []
     for sm in re.finditer(r"'(?:[^']|'')*'", statement):
         spans.append(sm.span())
+    matches = sorted(
+        [("tt", m) for m in _TIME_TRAVEL_RE.finditer(statement)]
+        + [("cdf", m) for m in _CHANGES_RE.finditer(statement)],
+        key=lambda km: km[1].start(),
+    )
     out: list[str] = []
     last = 0
-    for m in _TIME_TRAVEL_RE.finditer(statement):
+    for kind, m in matches:
         if any(lo <= m.start() < hi for lo, hi in spans):
             continue
-        kw, name, ver, ts = m.groups()
+        kw, name = m.group(1), m.group(2)
         b = _session_bindings(spark).get(name)
         if b is None:
             raise ValueError(
-                f"{name!r} VERSION/TIMESTAMP AS OF: not a registered "
-                "txn table — time travel replays a commit log, so the "
-                "name must come from register_table()/CREATE TABLE"
+                f"{name!r} VERSION/TIMESTAMP AS OF/CHANGES(): not a "
+                "registered txn table — time travel replays a commit "
+                "log, so the name must come from register_table()/"
+                "CREATE TABLE"
             )
-        v = (
-            int(ver)
-            if ver is not None
-            else txn.version_as_of(b.path, ts, b.store)
-        )
-        view = f"__tt_{name}_v{v}"
-        txn.read_table(
-            spark, b.path, version=v, store=b.store
-        ).createOrReplaceTempView(view)
+        if kind == "tt":
+            ver, ts = m.group(3), m.group(4)
+            v = (
+                int(ver)
+                if ver is not None
+                else txn.version_as_of(b.path, ts, b.store)
+            )
+            view = f"__tt_{name}_v{v}"
+            txn.read_table(
+                spark, b.path, version=v, store=b.store
+            ).createOrReplaceTempView(view)
+        else:
+            # CHANGES(t, start [, end]) — the Delta table_changes TVF
+            # shape, INCLUSIVE start (the CDF kernel's range is
+            # (from, to], so from = start - 1), end defaults to HEAD
+            start = int(m.group(3))
+            end = m.group(4)
+            hi = (
+                int(end)
+                if end is not None
+                else txn.current_version(b.path, b.store)
+            )
+            view = f"__cdf_{name}_v{start}_{hi}"
+            txn.table_changes_cdf(
+                spark, b.path, start - 1, hi, store=b.store
+            ).createOrReplaceTempView(view)
         out.append(statement[last : m.start()])
         out.append(f"{kw} {view}")
         last = m.end()
@@ -657,8 +686,11 @@ def sql(spark: SparkSession, statement: str):
     * reads (``SELECT``/``WITH``/``VALUES``/parenthesized) support
       in-query time travel — ``FROM t VERSION AS OF n`` and ``FROM t
       TIMESTAMP AS OF 'ts'`` anywhere in the statement, on registered
-      txn names (Delta's SQL time-travel grammar) — and return the
-      result DataFrame;
+      txn names (Delta's SQL time-travel grammar) — plus the change
+      feed as a table reference, ``FROM CHANGES(t, start [, end])``
+      (the Delta ``table_changes`` TVF shape: table columns +
+      ``_change_type``/``_commit_version``, start inclusive, end
+      defaults to HEAD) — and return the result DataFrame;
     * ``DESCRIBE HISTORY t`` / ``DESCRIBE DETAIL t`` return the
       ``history_df`` / ``detail_df`` frames;
     * everything else (DML / maintenance / DDL) routes through

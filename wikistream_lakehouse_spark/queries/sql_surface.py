@@ -155,3 +155,42 @@ def sql_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY snap, priority
         """,
     )
+
+
+@register(
+    "sql_changes_feed",
+    oracle="""
+        SELECT CAST(1 AS BIGINT) AS _commit_version,
+               'insert' AS _change_type,
+               o_orderpriority AS priority,
+               count(*) AS n_rows
+        FROM orders
+        WHERE o_orderkey % 2 = 1
+        GROUP BY o_orderpriority
+        ORDER BY priority
+    """,
+    tags=("catalog", "sql", "cdf", "T3"),
+)
+def sql_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed as a SQL table reference: ``FROM
+    CHANGES(orders_tt, 1)`` reads version 1's row-level delta (the
+    odd-orderkey half appended on top of v0) straight from the commit
+    log — table columns + ``_change_type``/``_commit_version``, no
+    snapshot diffing. The oracle states the same delta directly over
+    the source. Reference anchor: the reference rebuilds serving tables
+    wholesale per DAG run (dag/wiki_pipeline_dag.py:29-39); a change
+    feed is what lets a consumer read exactly the delta instead."""
+    from wikistream_lakehouse_spark.lakehouse import catalog
+
+    path = _orders_two_versions(spark, sf_dir)
+    catalog.register_table(spark, "orders_tt", path)
+    return catalog.sql(
+        spark,
+        """
+        SELECT _commit_version, _change_type,
+               o_orderpriority AS priority, count(*) AS n_rows
+        FROM CHANGES(orders_tt, 1)
+        GROUP BY 1, 2, 3
+        ORDER BY priority
+        """,
+    )

@@ -533,3 +533,39 @@ def test_streaming_silver_matches_batch_curation(spark, wiki_dirs, tmp_path):
     assert {(r.yyyy, r.mm, r.dd) for r in out.select("yyyy", "mm", "dd").distinct().collect()} == {
         (2024, 1, 15)
     }
+
+
+def test_txn_append_sink_expectations(spark, tmp_path):
+    """The bronze-ingest form of the quality gates: violating rows are
+    dropped before the append (and before the replay fingerprint, so a
+    replay dedups on the cleaned content); counts land in commit meta."""
+    import os
+
+    from wikistream_lakehouse_spark.lakehouse import txn
+    from wikistream_lakehouse_spark.streaming.cdc_apply import (
+        expectation_metrics,
+    )
+    from wikistream_lakehouse_spark.streaming.pipeline import txn_append_sink
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    spark.createDataFrame(
+        [(1, "ok"), (2, None), (3, "ok")], "k long, v string"
+    ).coalesce(1).write.parquet(str(src / "b0"))
+    stream = (
+        spark.readStream.schema("k long, v string")
+        .parquet(os.path.join(str(src), "*"))
+    )
+    q = txn_append_sink(
+        stream,
+        str(tmp_path / "t"),
+        checkpoint=str(tmp_path / "ck"),
+        app_id="ingest-exp",
+        available_now=True,
+        expectations={"v_present": "v IS NOT NULL"},
+    )
+    q.awaitTermination(300)
+    rows = {r.k for r in txn.read_table(spark, str(tmp_path / "t")).collect()}
+    assert rows == {1, 3}
+    m = expectation_metrics(str(tmp_path / "t"))
+    assert m and m[0]["checks"]["v_present"]["violations"] == 1

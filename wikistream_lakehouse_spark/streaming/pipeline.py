@@ -160,6 +160,8 @@ def txn_append_sink(
     partition_by: list[str] | None = None,
     checkpoint_every: int = 16,
     maintain_views: list | None = None,
+    expectations: "dict[str, str | tuple[str, str]] | None" = None,
+    on_violation: str = "drop",
 ) -> StreamingQuery:
     """Exactly-once streaming append into a transactional table
     (lakehouse/txn.py) — the Delta ``txn`` appId/version pattern.
@@ -193,6 +195,13 @@ def txn_append_sink(
     the table's planning cost at O(commits since checkpoint) instead of
     O(total micro-batches) — without any operator intervention.
 
+    ``expectations``: the same declarative data-quality gates as the
+    CDC apply (``cdc_apply._enforce_expectations`` — name → expr or
+    (expr, action) with drop/warn/fail; NULL passes), evaluated before
+    the fingerprint so replays dedup on the CLEANED content; per-batch
+    violation counts are stamped into the commit metadata
+    (``cdc_apply.expectation_metrics`` reads them back).
+
     ``maintain_views`` (list of ``incremental.ViewSpec``): serving
     aggregates folded forward after each committed batch — the
     continuously-maintained materialized-view form of the reference's
@@ -215,6 +224,21 @@ def txn_append_sink(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        exp_meta = None
+        if expectations:
+            # same declarative gates as the CDC apply (drop/warn/fail,
+            # NULL passes); violation counts land in the commit meta
+            from wikistream_lakehouse_spark.streaming.cdc_apply import (
+                _enforce_expectations,
+            )
+
+            batch_df, exp_meta = _enforce_expectations(
+                batch_df, expectations, on_violation
+            )
+            if batch_df.isEmpty():
+                # every row dropped: nothing to append this batch
+                refresh_views(batch_df.sparkSession)
+                return
         batch_df.persist()
         try:
             n_rows, fp = batch_df.agg(
@@ -252,6 +276,7 @@ def txn_append_sink(
                     "batch_id": batch_id,
                     "rows": n_rows,
                     "fingerprint": fingerprint,
+                    **({"expectations": exp_meta} if exp_meta else {}),
                 },
                 partition_by=partition_by,
             )

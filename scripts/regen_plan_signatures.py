@@ -60,6 +60,11 @@ GUARDED = [
     "fixed_count_per_lang_sample",
     "late_order_priority_counts",
     "unigram_logprob_score",
+    # round-9 additions: the SQL-history surface — the time-travel read
+    # must stay two pruned scans + partial aggs (no snapshot join), the
+    # CDF reference one pass over the delta's files
+    "sql_time_travel_diff",
+    "sql_changes_feed",
 ]
 
 #: Pinned generation context — signatures are only comparable under the

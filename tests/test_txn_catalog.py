@@ -286,3 +286,31 @@ def test_sql_changes_table_reference(spark, t):
     assert n == 10
     with pytest.raises(ValueError, match="not a registered"):
         catalog.sql(spark, "SELECT * FROM CHANGES(nowhere, 0)")
+
+
+def test_sql_script_multi_statement(spark, t, tmp_path):
+    catalog.register_table(spark, "scr_t", t)
+    loc = str(tmp_path / "scr_daily")
+    results = catalog.sql_script(
+        spark,
+        f"""
+        -- the reference's analyst block shape (README.md:99-110):
+        -- materialize, then inspect
+        CREATE TABLE scr_daily LOCATION '{loc}' AS
+            SELECT k % 7 AS bucket, count(*) AS n
+            FROM scr_t GROUP BY k % 7;
+        SELECT count(*) AS n FROM scr_daily;   -- reads the CTAS above
+        DELETE FROM scr_t WHERE k < 10;
+        SELECT 'a;b' AS s, count(*) AS n FROM scr_t
+        """,
+    )
+    assert len(results) == 4
+    assert results[0] == 0            # CTAS committed version
+    assert results[1].first().n == 7  # buckets
+    assert results[3].first().s == "a;b"   # ; inside a literal survives
+    assert results[3].first().n == 90
+    # failures name the statement
+    with pytest.raises(ValueError, match="statement 2"):
+        catalog.sql_script(
+            spark, "SELECT 1 AS one; DELETE FROM nowhere WHERE 1=1"
+        )

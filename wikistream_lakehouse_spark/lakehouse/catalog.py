@@ -711,6 +711,58 @@ def sql(spark: SparkSession, statement: str):
     return sql_dml(spark, statement)
 
 
+def sql_script(spark: SparkSession, script: str) -> list:
+    """Execute a ``;``-separated batch of statements through
+    ``catalog.sql`` and return one result per statement (DataFrames for
+    reads, versions/reports for writes). The reference's analyst
+    surface is exactly this shape — a pasted multi-statement block with
+    ``--`` comments (README.md:99-110 runs two statements in one Athena
+    block). Splitting is quote-aware (a ``;`` inside a string literal
+    stays in its statement) and ``--`` line comments are stripped
+    outside literals; empty statements are skipped. Statements run in
+    order, so a CTAS can feed the SELECT after it; the first failure
+    raises with the 1-based statement index named."""
+    # strip -- comments outside string literals, track ; at quote depth
+    stmts: list[str] = []
+    buf: list[str] = []
+    i, n, quote = 0, len(script), None
+    while i < n:
+        c = script[i]
+        if quote:
+            buf.append(c)
+            if c == quote:
+                if i + 1 < n and script[i + 1] == quote:
+                    buf.append(script[i + 1])
+                    i += 1
+                else:
+                    quote = None
+        elif c == "'":
+            quote = c
+            buf.append(c)
+        elif c == "-" and i + 1 < n and script[i + 1] == "-":
+            while i < n and script[i] != "\n":
+                i += 1
+            continue
+        elif c == ";":
+            stmts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(c)
+        i += 1
+    stmts.append("".join(buf))
+    out = []
+    for idx, s in enumerate(stmts, 1):
+        if not s.strip():
+            continue
+        try:
+            out.append(sql(spark, s))
+        except Exception as exc:
+            raise type(exc)(
+                f"statement {idx} of the script failed: {exc}"
+            ) from exc
+    return out
+
+
 def _warehouse_path(spark: SparkSession, name: str) -> str:
     """Default CTAS location: <spark.sql.warehouse.dir>/txn/<name>."""
     import os

@@ -314,3 +314,21 @@ def test_sql_script_multi_statement(spark, t, tmp_path):
         catalog.sql_script(
             spark, "SELECT 1 AS one; DELETE FROM nowhere WHERE 1=1"
         )
+
+
+def test_sql_time_travel_meets_log_retention(spark, t):
+    """The two history surfaces compose: after checkpoint + cleanup_log,
+    SQL time travel at/above the horizon still serves (anchored to the
+    horizon checkpoint), below it surfaces the named retention refusal."""
+    txn.append(_kv(spark, 100, 120), t)    # v1
+    txn.append(_kv(spark, 200, 205), t)    # v2
+    cpv = txn.checkpoint(t)                # horizon anchor at v2
+    txn.cleanup_log(t)
+    txn.append(_kv(spark, 300, 301), t)    # v3 past the horizon
+    catalog.register_table(spark, "ret_t", t)
+    n = catalog.sql(
+        spark, f"SELECT count(*) AS n FROM ret_t VERSION AS OF {cpv}"
+    ).first().n
+    assert n == 125
+    with pytest.raises(ValueError, match="retention horizon"):
+        catalog.sql(spark, "SELECT * FROM ret_t VERSION AS OF 0")

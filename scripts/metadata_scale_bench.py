@@ -55,6 +55,10 @@ def build_table(path: str, n_commits: int, with_files: bool = True) -> None:
         }
     )
     t0 = time.perf_counter()
+    # claim once, count locally: calling _next_claim per commit lists
+    # the whole log dir every time — O(n²) at 10⁵ commits, the build
+    # (not the engine) became the bench bottleneck
+    v = txn._next_claim(path)
     for i in range(n_commits):
         sub = f"{txn._COMMIT_COL}=g{uuid.uuid4().hex[:12]}"
         rel = f"{sub}/part-00000.parquet"
@@ -68,8 +72,8 @@ def build_table(path: str, n_commits: int, with_files: bool = True) -> None:
         if not with_files:
             entry["fileSizes"] = {rel: 2048}
         entry["physicalSchemaJson"] = schema_json
-        v = txn._next_claim(path)
         assert txn._try_commit(path, v, entry), f"commit {v} lost?"
+        v += 1
     print(
         f"built {n_commits} commits in {time.perf_counter() - t0:.1f}s",
         file=sys.stderr,

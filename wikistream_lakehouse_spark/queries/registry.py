@@ -143,6 +143,30 @@ _LAST_SCORED.update(dict.fromkeys((
     "top_supplier_by_revenue", "training_order_shuffle",
     "unigram_logprob_score", "weekly_retention", "window_frames_showcase",
 ), 8))
+_LAST_SCORED.update(dict.fromkeys((
+    # round 9 (CORRECTNESS_r09.json — 50 scored, all green)
+    "above_average_customers", "array_functions_showcase",
+    "cdc_apply_expectations", "conditional_functions_showcase",
+    "corpus_quality_filter", "cosine_topk_bruteforce",
+    "cube_part_brand_size", "curate_projection", "customer_running_spend",
+    "customer_spend_distribution", "customers_with_orders",
+    "customers_without_orders", "daily_editor_counts", "daily_top_titles",
+    "date_functions_showcase", "dedup_canonical_docs",
+    "distinct_order_status", "distinct_users_per_day", "doc_fingerprints",
+    "embedding_cosine_pairs", "embedding_label_centroids",
+    "event_date_slice", "first_orders_per_customer", "grouping_sets_sql",
+    "lang_source_stats", "late_shipment_priority",
+    "math_functions_showcase", "media_manifest",
+    "nation_customer_supplier_presence", "orders_left_join_returns",
+    "part_price_bands", "pivot_event_type_counts", "price_percentiles",
+    "pricing_summary", "priority_discount_orders", "promo_revenue_share",
+    "purchase_click_attribution", "revenue_by_nation",
+    "rollup_daily_edits", "segment_set_ops", "session_windows_per_user",
+    "sliding_window_counts", "sql_changes_feed", "sql_time_travel_diff",
+    "string_functions_showcase", "text_quality_profile", "token_counts",
+    "top_returning_customers", "top_revenue_orders",
+    "tumbling_hourly_counts",
+), 9))
 
 
 def all_queries() -> dict[str, Query]:

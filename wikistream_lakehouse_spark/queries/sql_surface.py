@@ -14,10 +14,10 @@ DataFrame path bit-for-bit."""
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
+from wikistream_lakehouse_spark.queries._scratch import scratch_dir
 from wikistream_lakehouse_spark.queries.registry import register
 
 #: sf_dir → curated txn table path, one curation per process (the
@@ -36,7 +36,7 @@ def _curated_events_table(spark: SparkSession, sf_dir: str) -> str:
     if path is not None and txn.current_version(path) >= 0:
         return path
     path = os.path.join(
-        tempfile.mkdtemp(prefix="wsls_sql_silver_"), "curated_events"
+        scratch_dir("sql_silver", sf_dir), "curated_events"
     )
     curate_to_silver(table(spark, sf_dir, "events"), path, ts_col="ts")
     _SILVER_CACHE[sf_dir] = path
@@ -93,7 +93,12 @@ def _orders_two_versions(spark: SparkSession, sf_dir: str) -> str:
     if path is not None and txn.current_version(path) >= 1:
         return path
     orders = table(spark, sf_dir, "orders")
-    path = os.path.join(tempfile.mkdtemp(prefix="wsls_tt_"), "orders_tt")
+    path = os.path.join(scratch_dir("orders_tt", sf_dir), "orders_tt")
+    if txn.current_version(path) >= 0:
+        # partial build from an aborted earlier attempt: start clean
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
     txn.append(orders.filter(F.col("o_orderkey") % 2 == 0), path)
     txn.append(orders.filter(F.col("o_orderkey") % 2 == 1), path)
     _TT_CACHE[sf_dir] = path
@@ -191,6 +196,133 @@ def sql_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
                o_orderpriority AS priority, count(*) AS n_rows
         FROM CHANGES(orders_tt, 1)
         GROUP BY 1, 2, 3
+        ORDER BY priority
+        """,
+    )
+
+
+@register(
+    "sql_view_changes_replay",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               count(*) AS n_orders,
+               CAST(min(o_orderkey) AS BIGINT) AS first_key,
+               CAST(max(o_orderkey) AS BIGINT) AS last_key
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY priority
+    """,
+    tags=("catalog", "sql", "view", "time_travel", "cdf"),
+)
+def sql_view_changes_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A created VIEW as the read surface (VERDICT r9 next #4): the
+    view body composes BOTH historical-read forms — a pinned snapshot
+    (``orders_tt VERSION AS OF 0``) unioned with the change feed
+    (``CHANGES(orders_tt, 1, 1)``) — reconstructing the v1 state, and
+    the outer query aggregates through the view name alone. Views
+    store TEXT and re-evaluate per read (Catalyst inlines the body —
+    full pushdown through the union), so this is a zero-copy logical
+    layer, not a materialization. Reference anchor: the reference's BI
+    layer reads named datasets over the catalog (README.md:35,99-110);
+    views give those names without a rebuild."""
+    from wikistream_lakehouse_spark.lakehouse import catalog
+
+    path = _orders_two_versions(spark, sf_dir)
+    catalog.register_table(spark, "orders_tt", path)
+    catalog.sql(
+        spark,
+        """
+        CREATE OR REPLACE VIEW orders_replayed AS
+        SELECT o_orderkey, o_orderpriority FROM orders_tt VERSION AS OF 0
+        UNION ALL
+        SELECT o_orderkey, o_orderpriority
+        FROM CHANGES(orders_tt, 1, 1)
+        WHERE _change_type = 'insert'
+        """,
+    )
+    return catalog.sql(
+        spark,
+        """
+        SELECT o_orderpriority AS priority,
+               count(*) AS n_orders,
+               min(o_orderkey) AS first_key,
+               max(o_orderkey) AS last_key
+        FROM orders_replayed
+        GROUP BY o_orderpriority
+        ORDER BY priority
+        """,
+    )
+
+
+@register(
+    "sql_merge_changes_upsert",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               count(*) AS n_orders,
+               ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE), 2) AS total
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY priority
+    """,
+    tags=("catalog", "sql", "cdf", "merge", "K5"),
+)
+def sql_merge_changes_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-statement SQL CDC consumer (VERDICT r9 next #1): a
+    serving aggregate is seeded from version 0 of a txn table, then ONE
+    ``catalog.sql`` MERGE whose USING source is a subquery over
+    ``CHANGES(orders_tt, 1, 1)`` folds version 1's row-level delta in —
+    no snapshot rescan, O(changed rows). Sums fold in DECIMAL(18,2) so
+    seed + delta is bit-exact against the oracle's single-pass
+    aggregate over all orders. Reference anchor: the reference runs
+    this loop as a Python job — aggregate query then keyed upsert
+    (etl/upsert_athena_aggregates.py:39-50) — and rebuilds wholesale
+    per DAG run; here it is one SQL statement over the change feed.
+    Both statements run through ``catalog.sql_script`` — the analyst
+    paste-a-block front door."""
+    from wikistream_lakehouse_spark.lakehouse import catalog
+
+    path = _orders_two_versions(spark, sf_dir)
+    catalog.register_table(spark, "orders_tt", path)
+    serve_loc = os.path.join(
+        scratch_dir("ord_serve", sf_dir), "ord_serve"
+    ).replace("'", "''")
+    catalog.sql_script(
+        spark,
+        f"""
+        -- seed: the v0 snapshot's aggregate state (even orderkeys)
+        CREATE OR REPLACE TABLE ord_serve LOCATION '{serve_loc}' AS
+        SELECT o_orderpriority AS priority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(28,2)) AS total
+        FROM orders_tt VERSION AS OF 0
+        GROUP BY o_orderpriority;
+
+        -- consume: fold v1's change feed into the serving table
+        MERGE INTO ord_serve AS t USING (
+            SELECT o_orderpriority AS priority,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                        AS DECIMAL(28,2)) AS total
+            FROM CHANGES(orders_tt, 1, 1)
+            WHERE _change_type = 'insert'
+            GROUP BY o_orderpriority
+        ) AS s ON t.priority = s.priority
+        WHEN MATCHED THEN UPDATE SET
+            n_orders = t.n_orders + s.n_orders,
+            total = CAST(t.total + s.total AS DECIMAL(28,2))
+        WHEN NOT MATCHED THEN
+            INSERT (priority, n_orders, total)
+            VALUES (s.priority, s.n_orders, s.total);
+        """,
+    )
+    return catalog.sql(
+        spark,
+        """
+        SELECT priority, n_orders,
+               ROUND(CAST(total AS DOUBLE), 2) AS total
+        FROM ord_serve
         ORDER BY priority
         """,
     )

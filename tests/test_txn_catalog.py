@@ -309,11 +309,14 @@ def test_sql_script_multi_statement(spark, t, tmp_path):
     assert results[1].first().n == 7  # buckets
     assert results[3].first().s == "a;b"   # ; inside a literal survives
     assert results[3].first().n == 90
-    # failures name the statement
-    with pytest.raises(ValueError, match="statement 2"):
+    # failures name the statement, re-raised as a FIXED type (the
+    # original exception class may not take a single-string __init__ —
+    # ADVICE r9 low #1) with the original chained as __cause__
+    with pytest.raises(RuntimeError, match="statement 2") as ei:
         catalog.sql_script(
             spark, "SELECT 1 AS one; DELETE FROM nowhere WHERE 1=1"
         )
+    assert isinstance(ei.value.__cause__, ValueError)
 
 
 def test_sql_time_travel_meets_log_retention(spark, t):

@@ -356,3 +356,108 @@ def test_manifest_time_travel_version(spark, tmp_path):
     v0 = generate_symlink_manifest(path, version=0)
     head = generate_symlink_manifest(path)
     assert set(v0["manifest"]) < set(head["manifest"])
+
+
+# ---------------------------------------------------------------------------
+# Change feed (VERDICT r9 next #6): DuckDB plans CHANGES(t, a, b) deltas
+# with no Spark — second-engine verification of the CDC surface, diffed
+# against txn.table_changes_cdf across appends / DV deletes / MoR merges.
+# ---------------------------------------------------------------------------
+
+from wikistream_lakehouse_spark.lakehouse.interop import (  # noqa: E402
+    duckdb_changes_sql,
+    read_changes_duckdb,
+)
+
+
+def _spark_changes(spark, path, lo, hi=None, store=None):
+    df = txn.table_changes_cdf(spark, path, lo, hi, store=store)
+    cols = sorted(df.columns)
+    return cols, sorted(
+        (tuple(r[c] for c in cols) for r in df.collect()), key=repr
+    )
+
+
+def _duck_changes(path, lo, hi=None, store=None):
+    tbl = read_changes_duckdb(path, lo, hi, store=store)
+    cols = sorted(tbl.column_names)
+    pydict = tbl.to_pydict()
+    return cols, sorted(
+        (tuple(pydict[c][i] for c in cols) for i in range(tbl.num_rows)),
+        key=repr,
+    )
+
+
+def _assert_changes_same(spark, path, lo, hi=None, store=None):
+    scols, srows = _spark_changes(spark, path, lo, hi, store)
+    dcols, drows = _duck_changes(path, lo, hi, store)
+    assert dcols == scols
+    assert drows == srows
+
+
+def test_changes_feed_appends_and_dv_deletes_match_engine(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.append(_frame(spark, 0, 60, 1.0), path)  # v0
+    txn.append(_frame(spark, 60, 90, 2.0), path)  # v1: inserts
+    txn.delete_where(spark, path, "k % 5 = 0", mode="mor")  # v2: DV deletes
+    txn.append(_frame(spark, 90, 100, 3.0), path)  # v3: inserts
+    # every sub-range agrees with the Spark reader
+    for lo, hi in ((0, None), (0, 2), (1, 3), (2, 2), (-1, 1)):
+        _assert_changes_same(spark, path, lo, hi)
+    # content spot-check: v2's arm is delete images of the k%5 rows
+    _, drows = _duck_changes(path, 1, 2)
+    cols, _ = _duck_changes(path, 1, 2)
+    by = {c: i for i, c in enumerate(cols)}
+    assert drows and all(r[by["_change_type"]] == "delete" for r in drows)
+    assert all(r[by["k"]] % 5 == 0 for r in drows)
+
+
+def test_changes_feed_mor_merge_delete_insert_pairs(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.append(_frame(spark, 0, 40, 1.0), path)  # v0
+    src = _frame(spark, 30, 50, 9.0)  # updates 30..39, inserts 40..49
+    txn.merge_on_read_upsert(spark, path, src, ["k"])  # v1
+    _assert_changes_same(spark, path, 0)
+    cols, drows = _duck_changes(path, 0, 1)
+    by = {c: i for i, c in enumerate(cols)}
+    # an UPDATE appears as its natural delete+insert pair
+    deletes = {r[by["k"]] for r in drows if r[by["_change_type"]] == "delete"}
+    inserts = {r[by["k"]] for r in drows if r[by["_change_type"]] == "insert"}
+    assert deletes == set(range(30, 40))
+    assert inserts == set(range(30, 50))
+
+
+def test_changes_feed_refusals_match_engine(spark, tmp_path):
+    """Both engines refuse the SAME non-recoverable ranges — the plan
+    (and its refusals) is shared via txn._changes_plan."""
+    path = str(tmp_path / "t")
+    txn.append(_frame(spark, 0, 30, 1.0), path)  # v0
+    txn.delete_where(spark, path, "k < 5", mode="cow")  # v1: file-removing
+    with pytest.raises(ValueError, match="not recoverable"):
+        txn.table_changes_cdf(spark, path, 0).collect()
+    with pytest.raises(ValueError, match="not recoverable"):
+        duckdb_changes_sql(path, 0)
+    # a range past the CoW commit is fine in both
+    txn.append(_frame(spark, 100, 110, 4.0), path)  # v2
+    _assert_changes_same(spark, path, 1)
+
+
+def test_changes_feed_empty_range_keeps_schema(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.append(_frame(spark, 0, 10, 1.0), path)
+    cols, rows = _duck_changes(path, 0, 0)
+    assert rows == []
+    assert set(cols) == {"k", "v", "_change_type", "_commit_version"}
+
+
+def test_changes_feed_spans_schema_evolution(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txn.append(_frame(spark, 0, 10, 1.0), path)  # v0: (k, v)
+    wide = _frame(spark, 10, 20, 2.0).withColumn("tag", F.lit("x"))
+    txn.append(wide, path, merge_schema=True)  # v1: adds tag
+    _assert_changes_same(spark, path, -1)
+    cols, drows = _duck_changes(path, -1)
+    by = {c: i for i, c in enumerate(cols)}
+    # pre-evolution rows null-fill the new column, like a snapshot read
+    v0 = [r for r in drows if r[by["_commit_version"]] == 0]
+    assert v0 and all(r[by["tag"]] is None for r in v0)

@@ -44,8 +44,10 @@ import os
 from wikistream_lakehouse_spark.lakehouse import txn
 
 __all__ = [
+    "duckdb_changes_sql",
     "duckdb_snapshot_sql",
     "generate_symlink_manifest",
+    "read_changes_duckdb",
     "register_duckdb_view",
     "read_snapshot_duckdb",
 ]
@@ -271,6 +273,153 @@ def duckdb_snapshot_sql(
         f"WHERE NOT EXISTS (SELECT 1 FROM __dv d "
         f"WHERE d.__f = r.__f AND d.__ri = b.file_row_number)"
     )
+
+
+def duckdb_changes_sql(
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+    store=None,
+) -> str:
+    """One DuckDB SQL statement whose result is the row-level change
+    feed of ``(from_version, to_version]`` — the engine-free twin of
+    ``txn.table_changes_cdf`` (same columns: the table's plus
+    ``_change_type``/``_commit_version``; same recoverability refusals,
+    shared by construction via ``txn._changes_plan``). Second-engine
+    verification of the CDC surface: a consumer can read exactly the
+    delta with no JVM (VERDICT r9 next #6).
+
+    Shape: inserts are ONE ``read_parquet`` over every added file in
+    the range (``union_by_name`` spans schema evolution) joined to an
+    inline file→version map; delete images are the DV sidecars'
+    ``(f, ri)`` pairs INNER-joined against their target files'
+    ``filename``/``file_row_number`` — the same physical row identity
+    the snapshot planner's anti-join uses, with the join sense
+    flipped. Planning is O(changed files) driver-side; DV target
+    resolution reads only the (tiny) sidecars through DuckDB."""
+    upto, inserts, dv_deletes = txn._changes_plan(
+        table_path, from_version, to_version, store
+    )
+    _check_reader_features(table_path, upto, store)
+    mapping, dropped = txn._column_mapping_state(table_path, upto, store)
+    phys_to_logical = {ph: lg for lg, ph in mapping.items()}
+    types = _physical_types(table_path, upto, store)
+    visible = [
+        (ph, phys_to_logical.get(ph, ph), dt)
+        for ph, dt in types.items()
+        if ph not in dropped
+    ]
+    if not visible:
+        raise ValueError(
+            f"{table_path} logs no schema stamp — cannot type an "
+            "engine-free change feed"
+        )
+
+    def select_list(prefix: str) -> str:
+        parts = []
+        for ph, lg, dt in visible:
+            duck = _duck_type(dt)
+            # union_by_name null-fills files that predate a column; a
+            # file that never had it still needs the column to EXIST in
+            # the scan, which union_by_name guarantees across the range
+            col = f"{prefix}.{_qident(ph)}"
+            expr = f"CAST({col} AS {duck})" if duck else col
+            parts.append(f"{expr} AS {_qident(lg)}")
+        return ", ".join(parts)
+
+    opts = "union_by_name=true, hive_partitioning=true"
+    arms: list[str] = []
+    if inserts:
+        pairs = [
+            (os.path.join(table_path, f), v)
+            for v, fs in inserts
+            for f in fs
+        ]
+        vmap = ", ".join(f"({_qstr(a)}, {v})" for a, v in pairs)
+        files = ", ".join(_qstr(a) for a, _ in pairs)
+        arms.append(
+            f"SELECT {select_list('b')}, 'insert' AS _change_type, "
+            f"CAST(r.__v AS BIGINT) AS _commit_version "
+            f"FROM read_parquet([{files}], {opts}, filename=true) b "
+            f"JOIN (VALUES {vmap}) r(__abs, __v) ON b.filename = r.__abs"
+        )
+    if dv_deletes:
+        import duckdb
+
+        # resolve each version's DV sidecars to their target data files
+        # (the sidecars are tiny; this is the planning read)
+        targets: set[str] = set()
+        dv_rows: list[tuple[str, int]] = []
+        with duckdb.connect() as c:
+            for v, ds in dv_deletes:
+                for d in ds:
+                    abs_d = os.path.join(table_path, d)
+                    dv_rows.append((abs_d, v))
+                    for (f,) in c.execute(
+                        f"SELECT DISTINCT f FROM read_parquet({_qstr(abs_d)})"
+                    ).fetchall():
+                        targets.add(f)
+        gone = [
+            f
+            for f in sorted(targets)
+            if not txn._data().exists(os.path.join(table_path, f))
+        ]
+        if gone:
+            raise ValueError(
+                f"delete pre-image files already vacuumed: {gone[:3]}... "
+                "— raise vacuum retention above the consumer's version lag"
+            )
+        abs_targets = sorted(os.path.join(table_path, f) for f in targets)
+        rel_rows = ", ".join(
+            f"({_qstr(os.path.join(table_path, f))}, {_qstr(f)})"
+            for f in sorted(targets)
+        )
+        dv_map = ", ".join(f"({_qstr(a)}, {v})" for a, v in dv_rows)
+        dv_files = ", ".join(_qstr(a) for a, _ in dv_rows)
+        base_files = ", ".join(_qstr(a) for a in abs_targets)
+        arms.append(
+            f"SELECT {select_list('b')}, 'delete' AS _change_type, "
+            f"CAST(d.__v AS BIGINT) AS _commit_version "
+            f"FROM read_parquet([{base_files}], {opts}, "
+            f"filename=true, file_row_number=true) b "
+            f"JOIN (VALUES {rel_rows}) r(__abs, __f) ON b.filename = r.__abs "
+            f"JOIN (SELECT dv.f AS __f, dv.ri AS __ri, m.__v "
+            f"      FROM read_parquet([{dv_files}], filename=true) dv "
+            f"      JOIN (VALUES {dv_map}) m(__abs, __v) "
+            f"        ON dv.filename = m.__abs) d "
+            f"ON d.__f = r.__f AND d.__ri = b.file_row_number"
+        )
+    if not arms:
+        cols = ", ".join(
+            f"CAST(NULL AS {_duck_type(dt) or 'VARCHAR'}) AS {_qident(lg)}"
+            for _, lg, dt in visible
+        )
+        return (
+            f"SELECT {cols}, '' AS _change_type, "
+            f"CAST(0 AS BIGINT) AS _commit_version WHERE false"
+        )
+    return " UNION ALL ".join(arms)
+
+
+def read_changes_duckdb(
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+    store=None,
+    con=None,
+):
+    """The change feed as a pyarrow Table, read entirely by DuckDB."""
+    import duckdb
+
+    owned = con is None
+    c = con or duckdb.connect()
+    try:
+        return c.execute(
+            duckdb_changes_sql(table_path, from_version, to_version, store)
+        ).arrow()
+    finally:
+        if owned:
+            c.close()
 
 
 def generate_symlink_manifest(

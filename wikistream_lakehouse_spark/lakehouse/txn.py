@@ -3777,34 +3777,18 @@ def table_changes(
     return _read_files(spark, table_path, files, store)
 
 
-def table_changes_cdf(
-    spark: SparkSession,
+def _changes_plan(
     table_path: str,
     from_version: int,
     to_version: int | None = None,
     store: LogStore | None = None,
-) -> DataFrame:
-    """Row-level change data feed for ``(from_version, to_version]``:
-    the table's columns plus ``_change_type`` ('insert' | 'delete') and
-    ``_commit_version``. The Delta CDF analogue, recovered from the log
-    without any per-commit change files:
-
-    The recoverability rule is structural, not per-op: **any commit
-    that removes no data files is a pure (insert ⊎ delete-image)
-    delta** — its ``add`` files' rows are inserts, its ``dvAdd``
-    vector's positions are delete images still present in the
-    (immutable, untouched) data files, recovered by one inner join.
-    That covers appends/converts, ``delete_where(mode="mor")``, and
-    ``merge_on_read_upsert`` (an UPDATE appears as its natural
-    delete+insert pair). Compactions and metadata commits are invisible
-    (no content change). Every file-REMOVING op (CoW delete/update,
-    rewrite-merge, replace_partitions, restore) raises — a rewritten
-    file mixes survivors and victims, so the row delta is genuinely
-    gone and a consumer must diff snapshots instead.
-
-    Raises if a needed data or vector file was vacuumed (retention must
-    cover the consumer's lag).
-    """
+) -> "tuple[int, list[tuple[int, list[str]]], list[tuple[int, list[str]]]]":
+    """Driver-side plan of the ``(from_version, to_version]`` change
+    feed: ``(upto, inserts, dv_deletes)`` where inserts/dv_deletes are
+    ``(version, relative file list)`` pairs. All recoverability
+    refusals live HERE so the Spark reader (``table_changes_cdf``) and
+    the engine-free DuckDB planner (``interop.duckdb_changes_sql``)
+    agree by construction — see ``table_changes_cdf`` for the rule."""
     upto = current_version(table_path, store) if to_version is None else to_version
     _check_retention_floor(table_path, from_version, store)
     inserts: list[tuple[int, list[str]]] = []
@@ -3851,6 +3835,40 @@ def table_changes_cdf(
             f"change files already vacuumed: {missing[:3]}... — raise "
             "vacuum retention above the consumer's version lag"
         )
+    return upto, inserts, dv_deletes
+
+
+def table_changes_cdf(
+    spark: SparkSession,
+    table_path: str,
+    from_version: int,
+    to_version: int | None = None,
+    store: LogStore | None = None,
+) -> DataFrame:
+    """Row-level change data feed for ``(from_version, to_version]``:
+    the table's columns plus ``_change_type`` ('insert' | 'delete') and
+    ``_commit_version``. The Delta CDF analogue, recovered from the log
+    without any per-commit change files:
+
+    The recoverability rule is structural, not per-op: **any commit
+    that removes no data files is a pure (insert ⊎ delete-image)
+    delta** — its ``add`` files' rows are inserts, its ``dvAdd``
+    vector's positions are delete images still present in the
+    (immutable, untouched) data files, recovered by one inner join.
+    That covers appends/converts, ``delete_where(mode="mor")``, and
+    ``merge_on_read_upsert`` (an UPDATE appears as its natural
+    delete+insert pair). Compactions and metadata commits are invisible
+    (no content change). Every file-REMOVING op (CoW delete/update,
+    rewrite-merge, replace_partitions, restore) raises — a rewritten
+    file mixes survivors and victims, so the row delta is genuinely
+    gone and a consumer must diff snapshots instead.
+
+    Raises if a needed data or vector file was vacuumed (retention must
+    cover the consumer's lag).
+    """
+    upto, inserts, dv_deletes = _changes_plan(
+        table_path, from_version, to_version, store
+    )
     frames: list[DataFrame] = []
     for v, fs in inserts:
         if fs:

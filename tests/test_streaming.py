@@ -569,3 +569,141 @@ def test_txn_append_sink_expectations(spark, tmp_path):
     assert rows == {1, 3}
     m = expectation_metrics(str(tmp_path / "t"))
     assert m and m[0]["checks"]["v_present"]["violations"] == 1
+
+
+def test_txn_append_sink_expectation_actions_and_restart(spark, tmp_path):
+    """drop/warn/fail actions e2e + metrics readback across a RESTART
+    (VERDICT r9 next #7): batch 0 mixes good/violating rows, batch 1
+    (after restart, same checkpoint) violates entirely — the
+    all-dropped batch still lands in the exactly-once ledger with its
+    violation counts (ADVICE r9 low #4), and quality history replays
+    from the commit log alone."""
+    import os
+
+    from wikistream_lakehouse_spark.lakehouse import txn
+    from wikistream_lakehouse_spark.streaming.cdc_apply import (
+        ExpectationViolation,
+        expectation_metrics,
+    )
+    from wikistream_lakehouse_spark.streaming.pipeline import txn_append_sink
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    exps = {
+        "k_positive": ("k > 0", "drop"),
+        "v_short": ("length(v) <= 3", "warn"),
+    }
+
+    def run():
+        stream = (
+            spark.readStream.schema("k long, v string")
+            .parquet(os.path.join(str(src), "*"))
+        )
+        q = txn_append_sink(
+            stream,
+            str(tmp_path / "t"),
+            checkpoint=str(tmp_path / "ck"),
+            app_id="exp-restart",
+            available_now=True,
+            expectations=exps,
+        )
+        q.awaitTermination(300)
+
+    spark.createDataFrame(
+        [(1, "ok"), (-2, "bad"), (3, "loooong")], "k long, v string"
+    ).coalesce(1).write.parquet(str(src / "b0"))
+    run()
+    # drop removed k=-2; warn KEPT the long row but counted it
+    assert {r.k for r in txn.read_table(spark, str(tmp_path / "t")).collect()} == {1, 3}
+
+    # restart the stream: a fully-violating batch arrives
+    spark.createDataFrame(
+        [(-7, "x"), (-8, "y")], "k long, v string"
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    run()
+    tbl = txn.read_table(spark, str(tmp_path / "t"))
+    assert {r.k for r in tbl.collect()} == {1, 3}  # nothing landed...
+    m = expectation_metrics(str(tmp_path / "t"))
+    # ...but BOTH batches' metrics live in the commit log
+    assert len(m) == 2
+    assert m[0]["checks"]["k_positive"]["violations"] == 1
+    assert m[0]["checks"]["v_short"]["violations"] == 1
+    assert m[1]["rows_in"] == 2
+    assert m[1]["checks"]["k_positive"]["violations"] == 2
+    # and the all-dropped batch is in the exactly-once ledger: a replay
+    # of batch 1 (fresh checkpoint misses it... simulate via meta scan)
+    ledger = [
+        (mm.get("app_id"), mm.get("batch_id"))
+        for mm in txn.committed_meta(str(tmp_path / "t"))
+    ]
+    assert ledger.count(("exp-restart", 1)) == 1
+
+    # fail action: the stream refuses the batch instead of landing it
+    spark.createDataFrame([(9, "zz")], "k long, v string").coalesce(
+        1
+    ).write.parquet(str(src / "b2"))
+    stream = (
+        spark.readStream.schema("k long, v string")
+        .parquet(os.path.join(str(src), "*"))
+    )
+    q = txn_append_sink(
+        stream,
+        str(tmp_path / "t"),
+        checkpoint=str(tmp_path / "ck"),
+        app_id="exp-restart",
+        available_now=True,
+        expectations={"never_nine": ("k <> 9", "fail")},
+    )
+    with pytest.raises(Exception) as ei:
+        q.awaitTermination(300)
+    assert "never_nine" in str(ei.value) or isinstance(
+        ei.value.__cause__, ExpectationViolation
+    )
+    assert {r.k for r in txn.read_table(spark, str(tmp_path / "t")).collect()} == {1, 3}
+
+
+def test_streaming_silver_drop_expectations(spark, tmp_path):
+    """The curation stream takes drop-action gates inline in its plan;
+    warn/fail are refused (no commit log to stamp metrics into)."""
+    import os
+
+    from wikistream_lakehouse_spark.streaming.pipeline import streaming_silver
+
+    bronze = tmp_path / "bronze"
+    spark.createDataFrame(
+        [
+            (1705312800, "good", False),
+            (1705312801, None, False),
+            (1705312802, "bot", True),
+        ],
+        "`timestamp` long, title string, bot boolean",
+    ).coalesce(1).write.parquet(str(bronze))
+    schema = spark.read.parquet(str(bronze)).schema
+    q = streaming_silver(
+        spark,
+        str(bronze),
+        str(tmp_path / "silver"),
+        str(tmp_path / "ck"),
+        schema=schema,
+        ts_col="timestamp",
+        available_now=True,
+        expectations={
+            "has_title": "title IS NOT NULL",
+            # the reference's hygiene filter shape: NULL bot passes
+            "not_bot": "coalesce(bot, false) = false",
+        },
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "silver"))
+    assert [r.title for r in out.collect()] == ["good"]
+    with pytest.raises(ValueError, match="warn/fail"):
+        streaming_silver(
+            spark,
+            str(bronze),
+            str(tmp_path / "s2"),
+            str(tmp_path / "ck2"),
+            schema=schema,
+            ts_col="timestamp",
+            available_now=True,
+            expectations={"x": ("title IS NOT NULL", "fail")},
+        )

@@ -115,17 +115,22 @@ def _enforce_expectations(
         # NULL passes (CHECK semantics): violation == (expr IS FALSE)
         return F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
 
+    # positional aliases, mapped back to user names afterwards: a
+    # user-supplied expectation name colliding with __rows_in or
+    # containing characters the Row accessor can't round-trip (dots,
+    # backticks) must not break the metrics pass (ADVICE r9 low #3)
+    ordered = list(norm.items())
     row = batch.agg(
         F.count(F.lit(1)).alias("__rows_in"),
         *[
-            F.sum((~_passes(e)).cast("long")).alias(n)
-            for n, (e, _) in norm.items()
+            F.sum((~_passes(e)).cast("long")).alias(f"__exp_{i}")
+            for i, (_n, (e, _a)) in enumerate(ordered)
         ],
     ).first()
     checks = {}
     failed = []
-    for n, (e, a) in norm.items():
-        cnt = int(row[n] or 0)
+    for i, (n, (e, a)) in enumerate(ordered):
+        cnt = int(row[f"__exp_{i}"] or 0)
         checks[n] = {"expr": e, "action": a, "violations": cnt}
         if a == "fail" and cnt:
             failed.append(f"{n} ({cnt} rows violate {e!r})")
@@ -138,6 +143,33 @@ def _enforce_expectations(
         if a == "drop" and checks[n]["violations"]:
             clean = clean.filter(_passes(e))
     return clean, {"rows_in": int(row["__rows_in"]), "checks": checks}
+
+
+def drop_expectations_filter(
+    batch: DataFrame,
+    expectations: "dict[str, str | tuple[str, str]]",
+) -> DataFrame:
+    """Plan-inline expectation gates for sinks with NO commit log to
+    stamp metrics into (the plain-parquet ``streaming_silver`` path):
+    every expectation must use the ``drop`` action — ``warn``/``fail``
+    need the per-batch metrics pass only a foreachBatch/txn sink can
+    record, so they are refused with a pointer to ``txn_append_sink``.
+    The filter composes into the streaming plan (pure Catalyst: no
+    extra pass, pushdown intact); NULL passes, CHECK semantics, same
+    as ``_enforce_expectations``."""
+    out = batch
+    for name, spec in expectations.items():
+        expr, action = spec if isinstance(spec, tuple) else (spec, "drop")
+        if action != "drop":
+            raise ValueError(
+                f"expectation {name!r}: action {action!r} needs per-batch "
+                "metrics, which a plain file sink cannot record — use "
+                "txn_append_sink (commit-log-stamped) for warn/fail"
+            )
+        out = out.filter(
+            F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+        )
+    return out
 
 
 def expectation_metrics(

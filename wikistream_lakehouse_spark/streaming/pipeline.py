@@ -51,6 +51,7 @@ def streaming_silver(
     ts_col: str = "ts",
     available_now: bool = False,
     trigger_secs: int = 30,
+    expectations: "dict[str, str | tuple[str, str]] | None" = None,
 ) -> StreamingQuery:
     """Continuous silver curation: stream the bronze directory, derive
     event-time yyyy/mm/dd, append to the silver layout — the streaming
@@ -59,7 +60,13 @@ def streaming_silver(
 
     Note: the streaming file sink is append-only, so backfill/correction
     re-runs go through the *batch* curator's partition overwrite — the
-    standard kappa split: stream for latency, batch for repair."""
+    standard kappa split: stream for latency, batch for repair.
+
+    ``expectations``: drop-action quality gates composed INTO the
+    streaming plan (``cdc_apply.drop_expectations_filter`` — the
+    reference's ingest hygiene, P4/P5, as declarative rules). The file
+    sink has no commit log, so warn/fail actions (which need per-batch
+    metrics) are refused with a pointer to ``txn_append_sink``."""
     from wikistream_lakehouse_spark.lakehouse.silver import derive_event_time_columns
 
     raw = (
@@ -68,6 +75,12 @@ def streaming_silver(
         .option("maxFilesPerTrigger", "8")
         .load(bronze_path)
     )
+    if expectations:
+        from wikistream_lakehouse_spark.streaming.cdc_apply import (
+            drop_expectations_filter,
+        )
+
+        raw = drop_expectations_filter(raw, expectations)
     curated = derive_event_time_columns(raw, ts_col)
     writer = (
         curated.writeStream.format("parquet")
@@ -235,10 +248,12 @@ def txn_append_sink(
             batch_df, exp_meta = _enforce_expectations(
                 batch_df, expectations, on_violation
             )
-            if batch_df.isEmpty():
-                # every row dropped: nothing to append this batch
-                refresh_views(batch_df.sparkSession)
-                return
+            # NOTE: an all-dropped batch does NOT return early — it
+            # falls through to a normal (empty) commit so the batch
+            # lands in the exactly-once ledger AND its violation
+            # metrics reach the log: the worst batches are exactly the
+            # ones quality history must not silently miss (ADVICE r9
+            # low #4). The empty add file is reclaimed by compaction.
         batch_df.persist()
         try:
             n_rows, fp = batch_df.agg(

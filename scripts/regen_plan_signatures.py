@@ -65,6 +65,11 @@ GUARDED = [
     # CDF reference one pass over the delta's files
     "sql_time_travel_diff",
     "sql_changes_feed",
+    # round-10 additions: the view read must inline the body (union of a
+    # pruned pinned scan + the delta read — no materialization barrier);
+    # the MERGE consumer reads O(changed files), never a snapshot rescan
+    "sql_view_changes_replay",
+    "sql_merge_changes_upsert",
 ]
 
 #: Pinned generation context — signatures are only comparable under the

@@ -145,3 +145,33 @@ def test_drop_table_removes_everything(spark, tmp_path):
     txn.drop_table(path)
     assert txn.current_version(path) < 0
     assert not os.path.exists(path)
+
+
+def test_replace_resets_column_mapping_namespace(spark, tmp_path):
+    """CREATE OR REPLACE starts a FRESH physical namespace: a name the
+    old table retired (renamed-away or dropped) is usable again, since
+    no old file survives the replace; reads BEFORE the replace still
+    serve the old mapping (the reset is replay-positional)."""
+    from wikistream_lakehouse_spark.lakehouse import txn
+
+    t = str(tmp_path / "t")
+    txn.append(
+        spark.createDataFrame([(1, 2.0)], "k long, v double"), t
+    )
+    txn.rename_column(spark, t, "v", "price")  # retires physical 'v'
+    assert txn.read_table(spark, t).columns == ["k", "price"]
+    # re-introducing 'v' via replace was refused before the reset rule
+    v = txn.replace_table(
+        spark,
+        t,
+        spark.createDataFrame([(9, 9.0)], "k long, v double"),
+    )
+    tbl = txn.read_table(spark, t)
+    assert tbl.columns == ["k", "v"]
+    assert tbl.first().v == 9.0
+    # pre-replace versions keep their own names
+    assert txn.read_table(spark, t, version=1).columns == ["k", "price"]
+    # and the new namespace supports its own fresh rename cycle
+    txn.rename_column(spark, t, "v", "cost")
+    assert txn.read_table(spark, t).columns == ["k", "cost"]
+    assert v >= 2

@@ -111,7 +111,7 @@ def test_merge_upsert_all_shorthand(spark, reg):
 def test_unsupported_and_malformed_statements_refuse_loudly(spark, reg):
     for stmt in (
         "SELECT * FROM dml_t",
-        "ALTER TABLE dml_t ADD COLUMN z INT",  # DDL beyond CTAS/DROP
+        "ALTER TABLE dml_t SET LOCATION '/x'",  # ALTER beyond the grammar
         "DELETE FROM dml_t",  # no WHERE: full-table delete stays explicit
         "TRUNCATE TABLE dml_t",
     ):

@@ -225,6 +225,35 @@ _MAINTAIN_RE = re.compile(
 _PART_EQ_RE = re.compile(
     rf"^\s*({_IDENT})\s*=\s*('[^']*'|\"[^\"]*\"|[\w.\-]+)\s*$"
 )
+_CREATE_EMPTY_HEAD_RE = re.compile(
+    rf"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_IDENT})\s*(?=\()",
+    re.IGNORECASE,
+)
+_CREATE_EMPTY_TAIL_RE = re.compile(
+    rf"^(?:\s+PARTITIONED\s+BY\s*\(\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\))?"
+    rf"(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _parse_create_empty(statement: str):
+    """CREATE [OR REPLACE] TABLE t (col TYPE, ...) [PARTITIONED BY]
+    [LOCATION] → (replace, name, cols_sql, part_sql, location) or None.
+    The column group is balanced-paren scanned (types like
+    DECIMAL(10,2) nest parens a regex can't pair)."""
+    hm = _CREATE_EMPTY_HEAD_RE.match(statement)
+    if hm is None:
+        return None
+    rest = statement[hm.end():]
+    end = _scan_balanced(rest, 0)
+    cols_sql = rest[1 : end - 1]
+    tm = _CREATE_EMPTY_TAIL_RE.match(rest[end:])
+    if tm is None:
+        raise ValueError(
+            f"unparseable CREATE TABLE tail at {rest[end:][:50]!r}\n"
+            f"{_DML_GRAMMAR}"
+        )
+    return hm.group(1), hm.group(2), cols_sql, tm.group(1), tm.group(2)
 _CTAS_RE = re.compile(
     rf"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_IDENT})"
     rf"(?:\s+PARTITIONED\s+BY\s*\(\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\))?"
@@ -234,6 +263,39 @@ _CTAS_RE = re.compile(
 )
 _DROP_TABLE_RE = re.compile(
     rf"^\s*DROP\s+TABLE\s+({_IDENT})(\s+PURGE)?\s*;?\s*$", re.IGNORECASE
+)
+_ALTER_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+({_IDENT})\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+#: ALTER TABLE actions (applied to the regex group 2 tail)
+_ALTER_RENAME_RE = re.compile(
+    rf"^RENAME\s+COLUMN\s+({_IDENT})\s+TO\s+({_IDENT})$", re.IGNORECASE
+)
+_ALTER_DROP_COL_RE = re.compile(
+    rf"^DROP\s+COLUMN\s+({_IDENT})$", re.IGNORECASE
+)
+_ALTER_ADD_COL_RE = re.compile(
+    rf"^ADD\s+COLUMN\s+({_IDENT})\s+([A-Za-z_][A-Za-z0-9_(),<> ]*?)$",
+    re.IGNORECASE,
+)
+_ALTER_ADD_CONSTRAINT_RE = re.compile(
+    rf"^ADD\s+CONSTRAINT\s+({_IDENT})\s+CHECK\s*\((.+)\)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_DROP_CONSTRAINT_RE = re.compile(
+    rf"^DROP\s+CONSTRAINT\s+({_IDENT})$", re.IGNORECASE
+)
+_ALTER_SET_STATS_RE = re.compile(
+    rf"^SET\s+STATS\s+COLUMNS\s*\(\s*({_IDENT}(?:\s*,\s*{_IDENT})*)?\s*\)$",
+    re.IGNORECASE,
+)
+_ALTER_SET_GENERATED_RE = re.compile(
+    rf"^SET\s+GENERATED\s+({_IDENT})\s+AS\s*\((.+)\)$",
+    re.IGNORECASE | re.DOTALL,
+)
+_ALTER_DROP_GENERATED_RE = re.compile(
+    rf"^DROP\s+GENERATED\s+({_IDENT})$", re.IGNORECASE
 )
 _CREATE_VIEW_RE = re.compile(
     rf"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+({_IDENT})\s+AS\s+"
@@ -272,6 +334,9 @@ maintenance statements (same registered names):
   MAINTAIN [TABLE] t [WITH LOG RETENTION]   (one-call tending: compact/
     checkpoint/cleanup per the measured policy; returns the action report)
 DDL:
+  CREATE [OR REPLACE] TABLE t (col TYPE, ...)
+      [PARTITIONED BY (c, ...)] [LOCATION '/path']
+    (empty table with a declared schema — first INSERT/append fills it)
   CREATE [OR REPLACE] TABLE t [PARTITIONED BY (c, ...)]
       [LOCATION '/path'] AS SELECT ... | VALUES ...
     (default location: <spark.sql.warehouse.dir>/txn/<t>; OR REPLACE
@@ -279,6 +344,12 @@ DDL:
      layout may change, history stays time-travelable)
   DROP TABLE t [PURGE]
     (unbinds the name; PURGE irreversibly deletes log + data)
+  ALTER TABLE t RENAME COLUMN a TO b | DROP COLUMN c
+      | ADD COLUMN c <type>                  (existing rows read NULL)
+      | ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n
+      | SET GENERATED c AS (expr) | DROP GENERATED c
+      | SET STATS COLUMNS (a, b, ...)        (empty list clears)
+    (each is one metadata-only commit; binding auto-refreshes)
   CREATE [OR REPLACE] VIEW v AS SELECT ... | WITH ... | VALUES ...
     (stores TEXT, re-evaluated per read: a view over `t VERSION AS OF
      n` stays pinned, one over a latest-bound name or an open-ended
@@ -290,7 +361,9 @@ Reads (SELECT ...) go straight to spark.sql() — via catalog.sql they
 also get in-query time travel on registered names:
   SELECT ... FROM t VERSION AS OF n [JOIN u TIMESTAMP AS OF 'ts' ...]
   SELECT ... FROM CHANGES(t, start [, end])   (row-level CDF: table
-    columns + _change_type + _commit_version; start inclusive)
+    columns + _change_type + _commit_version; start inclusive;
+    bounds may be versions or 'timestamp' literals — a timestamp
+    start means "changes after the snapshot as of that time")
   DESCRIBE HISTORY t | DESCRIBE DETAIL t
 (INSERT/CTAS SELECT bodies get the same grammar.) Richer writes use the
 txn API directly (txn.delete_where / update_where / merge_builder.merge)."""
@@ -498,12 +571,17 @@ def _insert_frame(
     unknown = [c for c in names if c not in by_name]
     if unknown:
         raise ValueError(f"INSERT names unknown columns {unknown}")
+    # GENERATED columns the user did not list stay OMITTED (the write
+    # path computes them); null-filling would count as "supplied NULL"
+    # and fail the generated-column validation
+    gen = set(txn.generated_columns(b.path, b.store) or {})
     out = df.select(
         *[
             F.col(f.name).cast(f.dataType)
             if f.name in df.columns
             else F.lit(None).cast(f.dataType).alias(f.name)
             for f in target.schema.fields
+            if f.name in df.columns or f.name not in gen
         ]
     )
     return out
@@ -651,6 +729,99 @@ def sql_dml(
 _NO_MATCH = object()
 
 
+def _sql_alter(spark: SparkSession, name: str, action: str):
+    """ALTER TABLE routing — every action is one of the engine's
+    metadata-only commits (zero data IO on a table of any size, except
+    ADD CONSTRAINT's one column-pruned validation scan and ADD COLUMN's
+    empty evolved append):
+
+    * ``RENAME COLUMN a TO b`` / ``DROP COLUMN c`` → column mapping
+      (files keep physical names; the log maps logical names),
+    * ``ADD COLUMN c <type>`` → schema evolution (an empty
+      ``merge_schema`` append stamps the widened column set; existing
+      rows read as NULL — Delta's ADD COLUMN semantics),
+    * ``ADD CONSTRAINT n CHECK (expr)`` / ``DROP CONSTRAINT n`` →
+      write-path-enforced CHECK invariants,
+    * ``SET GENERATED c AS (expr)`` / ``DROP GENERATED c`` →
+      compute-when-omitted / validate-when-supplied generated columns,
+    * ``SET STATS COLUMNS (a, b, …)`` (empty list clears) → declared
+      data-skipping stats for every future write.
+
+    Returns the committed version; the binding auto-refreshes."""
+    b = _writable_binding(spark, name)
+    am = _ALTER_RENAME_RE.match(action)
+    if am:
+        v = txn.rename_column(
+            spark, b.path, am.group(1), am.group(2), store=b.store
+        )
+        refresh_table(spark, name)
+        return v
+    am = _ALTER_DROP_COL_RE.match(action)
+    if am:
+        v = txn.drop_column(spark, b.path, am.group(1), store=b.store)
+        refresh_table(spark, name)
+        return v
+    am = _ALTER_ADD_COL_RE.match(action)
+    if am:
+        from pyspark.sql import types as T
+
+        col, type_sql = am.group(1), am.group(2).strip()
+        dt = T._parse_datatype_string(type_sql)
+        cur = txn.read_table(spark, b.path, version=b.version, store=b.store)
+        if col in cur.columns:
+            raise ValueError(
+                f"ADD COLUMN: {col!r} already exists on {name!r}"
+            )
+        widened = T.StructType(
+            list(cur.schema.fields) + [T.StructField(col, dt, True)]
+        )
+        v = txn.append(
+            spark.createDataFrame([], widened),
+            b.path,
+            merge_schema=True,
+            partition_by=txn.table_detail(b.path, b.store)["partition_by"]
+            or None,
+            store=b.store,
+        )
+        refresh_table(spark, name)
+        return v
+    am = _ALTER_ADD_CONSTRAINT_RE.match(action)
+    if am:
+        v = txn.set_constraint(
+            spark, b.path, am.group(1), am.group(2).strip(), store=b.store
+        )
+        refresh_table(spark, name)
+        return v
+    am = _ALTER_DROP_CONSTRAINT_RE.match(action)
+    if am:
+        v = txn.drop_constraint(b.path, am.group(1), store=b.store)
+        refresh_table(spark, name)
+        return v
+    am = _ALTER_SET_GENERATED_RE.match(action)
+    if am:
+        v = txn.set_generated_column(
+            spark, b.path, am.group(1), am.group(2).strip(), store=b.store
+        )
+        refresh_table(spark, name)
+        return v
+    am = _ALTER_DROP_GENERATED_RE.match(action)
+    if am:
+        v = txn.drop_generated_column(b.path, am.group(1), store=b.store)
+        refresh_table(spark, name)
+        return v
+    am = _ALTER_SET_STATS_RE.match(action)
+    if am:
+        cols = (
+            [c.strip() for c in am.group(1).split(",")] if am.group(1) else []
+        )
+        v = txn.set_stats_columns(b.path, cols, store=b.store)
+        refresh_table(spark, name)
+        return v
+    raise ValueError(
+        f"unsupported ALTER TABLE action {action!r}\n{_DML_GRAMMAR}"
+    )
+
+
 def _sql_maintenance(spark: SparkSession, statement: str):
     """Maintenance-statement routing for ``sql_dml`` (grammar above).
     Return values follow each operation's natural shape: OPTIMIZE /
@@ -725,6 +896,40 @@ def _sql_maintenance(spark: SparkSession, statement: str):
         )
         refresh_table(spark, name)
         return report
+    ce = _parse_create_empty(statement)
+    if ce:
+        replace, name, cols_sql, part_sql, location = ce
+        from pyspark.sql import types as T
+
+        schema = T._parse_datatype_string(cols_sql)
+        existing = _session_bindings(spark).get(name)
+        if existing and not replace:
+            raise ValueError(
+                f"table {name!r} is already registered; use CREATE OR "
+                "REPLACE TABLE to overwrite its binding"
+            )
+        if existing and existing.pinned:
+            raise ValueError(
+                f"CREATE OR REPLACE TABLE refused: {name!r} is a "
+                "version-pinned (time-travel) binding"
+            )
+        store = existing.store if existing else None
+        path = location or (
+            existing.path if existing else _warehouse_path(spark, name)
+        )
+        if txn.current_version(path, store) >= 0 and not replace:
+            raise ValueError(
+                f"{path} already holds a committed table; use CREATE OR "
+                "REPLACE TABLE or pick another LOCATION"
+            )
+        pb = [c.strip() for c in part_sql.split(",")] if part_sql else None
+        df = spark.createDataFrame([], schema)
+        if txn.current_version(path, store) >= 0:  # OR REPLACE, live
+            v = txn.replace_table(spark, path, df, partition_by=pb, store=store)
+        else:
+            v = txn.append(df, path, partition_by=pb, store=store)
+        register_table(spark, name, path, store=store)
+        return v
     m = _CTAS_RE.match(statement)
     if m:
         replace, name, part_sql, location, body = m.groups()
@@ -783,6 +988,9 @@ def _sql_maintenance(spark: SparkSession, statement: str):
         if purge:
             txn.drop_table(b.path, store=b.store)
         return None
+    m = _ALTER_RE.match(statement)
+    if m:
+        return _sql_alter(spark, m.group(1), m.group(2).strip())
     m = _CREATE_VIEW_RE.match(statement)
     if m:
         replace, vname, body = m.groups()
@@ -848,8 +1056,8 @@ _TIME_TRAVEL_RE = re.compile(
     rf"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')"
 )
 _CHANGES_RE = re.compile(
-    rf"(?is)\b(FROM|JOIN)\s+CHANGES\s*\(\s*({_IDENT})\s*,\s*(\d+)"
-    rf"\s*(?:,\s*(\d+)\s*)?\)"
+    rf"(?is)\b(FROM|JOIN)\s+CHANGES\s*\(\s*({_IDENT})\s*,"
+    rf"\s*(\d+|'[^']*')\s*(?:,\s*(\d+|'[^']*')\s*)?\)"
 )
 
 
@@ -905,11 +1113,24 @@ def _rewrite_time_travel(spark: SparkSession, statement: str) -> str:
         else:
             # CHANGES(t, start [, end]) — the Delta table_changes TVF
             # shape, INCLUSIVE start (the CDF kernel's range is
-            # (from, to], so from = start - 1), end defaults to HEAD
-            start = int(m.group(3))
+            # (from, to], so from = start - 1), end defaults to HEAD.
+            # Bounds may also be 'timestamp' literals: a timestamp
+            # resolves via version_as_of (same rule as TIMESTAMP AS
+            # OF), so CHANGES(t, 'ts') reads "what changed AFTER the
+            # snapshot I had at ts" — the exact catch-up a consumer
+            # who last read at ts needs — and a timestamp end bound
+            # includes the state as of that time.
+            def bound(tok: str, ts_off: int) -> int:
+                if tok.startswith("'"):
+                    return txn.version_as_of(
+                        b.path, tok[1:-1], b.store
+                    ) + ts_off
+                return int(tok)
+
+            start = bound(m.group(3), ts_off=1)
             end = m.group(4)
             hi = (
-                int(end)
+                bound(end, ts_off=0)
                 if end is not None
                 else txn.current_version(b.path, b.store)
             )

@@ -1144,7 +1144,16 @@ def _column_mapping_state(
             break
         e = _load_entry(table_path, cv, store) or {}
         m = e.get("meta") or {}
-        if e.get("op") == "rename_column":
+        if e.get("op") == "rewrite" and m.get("replaceTable"):
+            # CREATE OR REPLACE / replace_table removes EVERY prior
+            # file, so no physical name survives to collide with: the
+            # mapping and the retired-name set reset with the table
+            # (Delta's OR REPLACE resets table metadata the same way).
+            # Reads at versions before the replace are upto-bounded and
+            # never see this reset.
+            mapping.clear()
+            dropped.clear()
+        elif e.get("op") == "rename_column":
             phys = mapping.pop(m["from"], m["from"])
             mapping[m["to"]] = phys
         elif e.get("op") == "drop_column":
@@ -1362,6 +1371,7 @@ def _write_data_files(
     table_path: str,
     partition_by: list[str] | None = None,
     store: "LogStore | None" = None,
+    fresh_namespace: bool = False,
 ) -> tuple[list[str], str]:
     """Materialize ``df`` as immutable parquet files under a unique
     subdirectory (hive-partitioned when ``partition_by``); returns their
@@ -1378,7 +1388,10 @@ def _write_data_files(
         raise ValueError(
             f"column name {_COMMIT_COL!r} is reserved by the txn layer"
         )
-    mapping, dropped = _column_mapping_state(table_path, store=store)
+    if fresh_namespace:
+        mapping, dropped = {}, set()  # replaceTable: new namespace
+    else:
+        mapping, dropped = _column_mapping_state(table_path, store=store)
     if mapping or dropped:
         df = _to_physical(df, mapping, dropped, table_path)
     sub = f"{_COMMIT_COL}=g{uuid.uuid4().hex[:12]}"
@@ -1513,14 +1526,23 @@ def _stamped_physical_types(
 
 
 def _physical_schema_json(
-    df: DataFrame, table_path: str, store: "LogStore | None" = None
+    df: DataFrame,
+    table_path: str,
+    store: "LogStore | None" = None,
+    fresh_namespace: bool = False,
 ) -> str:
     """``df``'s schema under PHYSICAL column names, as the JSON every
     append stamps into its commit entry (``_stamped_physical_types``
-    reads it back)."""
+    reads it back). ``fresh_namespace`` (replaceTable writes) stamps
+    the frame's own names — the prior mapping dies with the old
+    files."""
     from pyspark.sql.types import StructField, StructType
 
-    mapping, _dropped = _column_mapping_state(table_path, store=store)
+    mapping, _dropped = (
+        ({}, set())
+        if fresh_namespace
+        else _column_mapping_state(table_path, store=store)
+    )
     return json.dumps(
         StructType(
             [
@@ -1842,15 +1864,33 @@ def _wide_schema(
 
 
 def _logged_schema(table_path: str, store: LogStore | None = None):
-    """Schema recorded in the newest commit that carries one (an
-    empty-result DML stamps ``schemaJson`` so a table emptied by a
-    DELETE keeps its shape), or None."""
-    from pyspark.sql.types import StructType
+    """LOGICAL schema recorded in the newest commit that carries one
+    (an empty-result DML stamps ``schemaJson`` so a table emptied by a
+    DELETE keeps its shape; an append's ``physicalSchemaJson`` serves
+    as the fallback — mapped back to logical names — so a declared-
+    schema CREATE TABLE whose empty partitioned write produced zero
+    files still reads with its shape), or None."""
+    from pyspark.sql.types import StructField, StructType
 
     for v in reversed(_committed_versions(table_path, store)):
-        s = (_load_entry(table_path, v, store) or {}).get("schemaJson")
+        e = _load_entry(table_path, v, store) or {}
+        s = e.get("schemaJson")
         if s:
             return StructType.fromJson(json.loads(s))
+        p = e.get("physicalSchemaJson") or (e.get("meta") or {}).get(
+            "physicalSchemaJson"
+        )
+        if p:
+            st = StructType.fromJson(json.loads(p))
+            mapping, dropped = _column_mapping_state(table_path, store=store)
+            inv = {ph: lg for lg, ph in mapping.items()}
+            return StructType(
+                [
+                    StructField(inv.get(f.name, f.name), f.dataType, True)
+                    for f in st.fields
+                    if f.name not in dropped
+                ]
+            )
     return None
 
 
@@ -2687,8 +2727,18 @@ def rewrite(
     if enforce_schema:
         _check_schema(df, table_path, store)
     stats_cols = _effective_stats_cols(table_path, stats_cols, df, store, pb)
-    phys_json = _physical_schema_json(df, table_path, store)
-    adds, sub = _write_data_files(df, table_path, pb, store)
+    # a replaceTable write starts a FRESH physical namespace: every
+    # prior file lands in its remove set, so the old column mapping and
+    # retired-name guard do not apply to the new frame (Delta's OR
+    # REPLACE resets table metadata); the replay side resets at the
+    # same commit (_column_mapping_state)
+    fresh = bool((meta or {}).get("replaceTable"))
+    phys_json = _physical_schema_json(
+        df, table_path, store, fresh_namespace=fresh
+    )
+    adds, sub = _write_data_files(
+        df, table_path, pb, store, fresh_namespace=fresh
+    )
     try:
         _validate_constraints(df.sparkSession, table_path, adds, store)
     except BaseException:
@@ -4312,6 +4362,17 @@ def update_where(
         if not affected:
             return None
         src = _read_files(spark, table_path, affected, store, dvs=dvs)
+        # rows in pre-evolution files: a merge_schema-added column is
+        # absent from those footers, but the TABLE has it — null-fill
+        # so UPDATE can SET it (the rewrite then materializes the full
+        # column set, exactly like Delta's post-ADD COLUMN update)
+        sch = _table_schema(spark, table_path, store)
+        if sch is not None:
+            for f in sch.fields:
+                if f.name not in src.columns:
+                    src = src.withColumn(
+                        f.name, F.lit(None).cast(f.dataType)
+                    )
         unknown = set(set_exprs) - set(src.columns)
         if unknown:
             raise ValueError(f"SET targets unknown columns: {sorted(unknown)}")

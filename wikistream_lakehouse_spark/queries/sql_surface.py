@@ -202,6 +202,65 @@ def sql_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sql_alter_lineage",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               CASE WHEN o_totalprice < 100000 THEN 'low'
+                    WHEN o_totalprice < 200000 THEN 'mid'
+                    ELSE 'high' END AS price_band,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY 1, 2
+        ORDER BY priority, price_band
+    """,
+    tags=("catalog", "sql", "ddl", "alter"),
+)
+def sql_alter_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema lifecycle through the SQL front door: CTAS → ALTER TABLE
+    RENAME COLUMN (metadata-only column mapping — zero IO however big
+    the table) → ADD COLUMN (schema evolution; existing rows read NULL)
+    → UPDATE backfilling the new column → aggregate through the NEW
+    names. The oracle restates the final state directly over the
+    source, so every step in the chain must round-trip exactly.
+    Reference anchor: a schema change in the reference means editing
+    Glue crawler DDL and re-running the pipeline (README.md:55-60);
+    here rename/add are one commit each."""
+    from wikistream_lakehouse_spark.lakehouse import catalog
+    from wikistream_lakehouse_spark.tables import table
+
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_src")
+    loc = os.path.join(
+        scratch_dir("ord_ddl", sf_dir), "ord_ddl"
+    ).replace("'", "''")
+    catalog.sql_script(
+        spark,
+        f"""
+        CREATE OR REPLACE TABLE ord_ddl LOCATION '{loc}' AS
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders_src;
+
+        ALTER TABLE ord_ddl RENAME COLUMN o_orderpriority TO priority;
+        ALTER TABLE ord_ddl ADD COLUMN price_band STRING;
+
+        UPDATE ord_ddl SET price_band =
+            CASE WHEN o_totalprice < 100000 THEN 'low'
+                 WHEN o_totalprice < 200000 THEN 'mid'
+                 ELSE 'high' END
+        WHERE price_band IS NULL;
+        """,
+    )
+    return catalog.sql(
+        spark,
+        """
+        SELECT priority, price_band, count(*) AS n_orders
+        FROM ord_ddl
+        GROUP BY priority, price_band
+        ORDER BY priority, price_band
+        """,
+    )
+
+
+@register(
     "sql_view_changes_replay",
     oracle="""
         SELECT o_orderpriority AS priority,

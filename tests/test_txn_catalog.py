@@ -335,3 +335,86 @@ def test_sql_time_travel_meets_log_retention(spark, t):
     assert n == 125
     with pytest.raises(ValueError, match="retention horizon"):
         catalog.sql(spark, "SELECT * FROM ret_t VERSION AS OF 0")
+
+
+def test_sql_changes_timestamp_bounds(spark, t):
+    """CHANGES bounds as 'timestamp' literals: a timestamp start reads
+    "what changed AFTER the snapshot as of that time" (version_as_of
+    resolution — the consumer-catch-up semantics), a timestamp end
+    includes the state as of that time."""
+    from datetime import datetime
+
+    txn.append(_kv(spark, 100, 110), t)  # v1: 10 inserts
+    txn.append(_kv(spark, 200, 205), t)  # v2: 5 inserts
+    catalog.register_table(spark, "cdfts_t", t)
+    # +1ms: isoformat truncation must not land the parsed ts BELOW
+    # the commit's float timestamp (the boundary the grammar resolves)
+    hist = {h["version"]: h["ts"] + 0.001 for h in txn.history(t)}
+    ts_v1 = datetime.fromtimestamp(hist[1]).isoformat()
+    # start at v1's snapshot time → only v2's delta
+    n = catalog.sql(
+        spark,
+        f"SELECT count(*) AS n FROM CHANGES(cdfts_t, '{ts_v1}')",
+    ).first().n
+    assert n == 5
+    ts_v0 = datetime.fromtimestamp(hist[0]).isoformat()
+    # (after v0, up to the v1 snapshot] → exactly v1's delta
+    n = catalog.sql(
+        spark,
+        f"SELECT count(*) AS n FROM CHANGES(cdfts_t, '{ts_v0}', '{ts_v1}')",
+    ).first().n
+    assert n == 10
+    # mixed: numeric start, timestamp end
+    n = catalog.sql(
+        spark,
+        f"SELECT count(*) AS n FROM CHANGES(cdfts_t, 1, '{ts_v1}')",
+    ).first().n
+    assert n == 10
+    catalog.unregister_table(spark, "cdfts_t")
+
+
+def test_create_table_with_declared_schema(spark, tmp_path):
+    """CREATE TABLE t (col TYPE, ...) without AS: an empty table with a
+    committed schema — readable immediately (zero rows, right shape),
+    fillable by INSERT, partition layout honored, OR REPLACE reshapes."""
+    loc = str(tmp_path / "fresh")
+    catalog.sql(
+        spark,
+        f"CREATE TABLE fresh_t (k BIGINT, v DECIMAL(10,2), tag STRING) "
+        f"LOCATION '{loc}'",
+    )
+    try:
+        tbl = spark.table("fresh_t")
+        assert tbl.dtypes == [
+            ("k", "bigint"), ("v", "decimal(10,2)"), ("tag", "string")
+        ]
+        assert tbl.count() == 0
+        catalog.sql(spark, "INSERT INTO fresh_t VALUES (1, 2.50, 'a')")
+        assert spark.table("fresh_t").count() == 1
+        with pytest.raises(ValueError, match="already registered"):
+            catalog.sql(spark, "CREATE TABLE fresh_t (x INT)")
+        catalog.sql(spark, "CREATE OR REPLACE TABLE fresh_t (x INT)")
+        assert spark.table("fresh_t").dtypes == [("x", "int")]
+    finally:
+        catalog.unregister_table(spark, "fresh_t")
+
+
+def test_create_table_partitioned_empty_reads_schema(spark, tmp_path):
+    """An empty PARTITIONED create writes zero files (partitionBy on an
+    empty frame) — the schema still reads back from the commit stamp."""
+    loc = str(tmp_path / "p")
+    catalog.sql(
+        spark,
+        f"CREATE TABLE part_t (k BIGINT, ds STRING) PARTITIONED BY (ds) "
+        f"LOCATION '{loc}'",
+    )
+    try:
+        assert spark.table("part_t").dtypes == [
+            ("k", "bigint"), ("ds", "string")
+        ]
+        assert spark.table("part_t").count() == 0
+        catalog.sql(spark, "INSERT INTO part_t VALUES (1, '2024-01-01')")
+        assert txn.table_detail(loc)["partition_by"] == ["ds"]
+        assert spark.table("part_t").count() == 1
+    finally:
+        catalog.unregister_table(spark, "part_t")

@@ -36,3 +36,10 @@ def scratch_dir(label: str, key: str = "") -> str:
     d = os.path.join(scratch_root(), label, safe)
     os.makedirs(d, exist_ok=True)
     return d
+
+
+def scratch_tmp(label: str) -> str:
+    """A FRESH scratch directory per call (queries that must rebuild
+    their fixture each invocation), still under the swept root — the
+    drop-in for bare ``tempfile.mkdtemp(prefix=...)`` leaks."""
+    return tempfile.mkdtemp(prefix=f"{label}_", dir=scratch_root())

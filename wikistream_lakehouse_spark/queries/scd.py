@@ -15,11 +15,11 @@ no-longer-present keys), which the reference cannot express.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from wikistream_lakehouse_spark.queries._scratch import scratch_tmp
 from wikistream_lakehouse_spark.queries.registry import register
 from wikistream_lakehouse_spark.tables import table
 
@@ -88,7 +88,7 @@ def scd_serving_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe trivially exact (the merge is idempotent anyway; this also
     # avoids cross-sf cache coupling)
     path = os.path.join(
-        tempfile.mkdtemp(prefix="wsls_scd_"), "serving_customers"
+        scratch_tmp("scd"), "serving_customers"
     )
     txn.append(target, path, stats_cols=["custkey"])
     (
@@ -160,7 +160,7 @@ def cdc_apply_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("seq"),
         F.lit("U").alias("op"),
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="wsls_cdc_"), "serving")
+    path = os.path.join(scratch_tmp("cdc"), "serving")
 
     def apply_rows(df: DataFrame) -> None:
         prepared = _prepared(df, ["custkey"], "seq", "op = 'D'", ("op",))
@@ -217,7 +217,7 @@ def scd2_history_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("seq"),
         (F.col("o_orderstatus") == "F").alias("op_delete"),
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="wsls_scd2_"), "history")
+    path = os.path.join(scratch_tmp("scd2"), "history")
     for residue in (2, 0, 1):
         batch = changes.filter(F.col("seq") % 3 == residue)
         versions = _scd2_versions(
@@ -288,7 +288,7 @@ def cdc_apply_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("seq"),
         F.when(F.col("o_orderstatus") == "F", "D").otherwise("U").alias("op"),
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="wsls_cdcexp_"), "serving")
+    path = os.path.join(scratch_tmp("cdcexp"), "serving")
     for residue in (0, 1):
         batch = changes.filter(F.col("seq") % 2 == residue)
         cleaned, metrics = _enforce_expectations(

@@ -15,6 +15,7 @@ from wikistream_lakehouse_spark.functions.vectors import (
     hyperplane_buckets_pandas,
 )
 from wikistream_lakehouse_spark.queries import checks
+from wikistream_lakehouse_spark.queries._scratch import scratch_tmp
 from wikistream_lakehouse_spark.queries.registry import register
 from wikistream_lakehouse_spark.tables import table
 
@@ -362,7 +363,6 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_ivfpq_index.py; probed-partition pruning plan-asserted
     there too."""
     import os
-    import tempfile
 
     from wikistream_lakehouse_spark.operators.ivfpq import (
         build_ivf_pq_index,
@@ -375,7 +375,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = _IVFPQ_CACHE.get(sf_dir)
     if path is None:
-        path = os.path.join(tempfile.mkdtemp(prefix="wsls_ivfpq_"), "index")
+        path = os.path.join(scratch_tmp("ivfpq"), "index")
         build_ivf_pq_index(
             e, path, "vec_id", "embedding", k_clusters=16, m=8, k_codes=16
         )

@@ -157,3 +157,42 @@ def test_describe_table_and_view(spark, vt):
     # DESCRIBE HISTORY still routes to the commit log, not the schema
     hist = catalog.sql(spark, "DESCRIBE HISTORY vt")
     assert "op" in hist.columns
+
+
+def test_show_partitions_from_log_metadata(spark, tmp_path):
+    """SHOW PARTITIONS serves from the commit log's file paths — the
+    active set only (replaced/deleted partitions drop out), zero data
+    IO; unpartitioned tables and unregistered names refuse."""
+    from wikistream_lakehouse_spark.lakehouse.silver import (  # noqa: F401
+        curate_to_silver,
+    )
+
+    t = str(tmp_path / "p")
+    df = spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-01-02")],
+        "k long, ds string",
+    )
+    txn.append(df, t, partition_by=["ds"])
+    catalog.register_table(spark, "sp_t", t)
+    try:
+        got = [r.ds for r in catalog.sql(
+            spark, "SHOW PARTITIONS sp_t"
+        ).collect()]
+        assert sorted(got) == ["2024-01-01", "2024-01-02"]
+        # a CoW delete that empties a partition removes it from the set
+        txn.delete_where(spark, t, "ds = '2024-01-01'")
+        catalog.refresh_table(spark, "sp_t")
+        got = [r.ds for r in catalog.sql(
+            spark, "SHOW PARTITIONS sp_t"
+        ).collect()]
+        assert got == ["2024-01-02"]
+        with pytest.raises(ValueError, match="not a partitioned"):
+            u = str(tmp_path / "u")
+            txn.append(spark.createDataFrame([(1,)], "k long"), u)
+            catalog.register_table(spark, "sp_u", u)
+            catalog.sql(spark, "SHOW PARTITIONS sp_u")
+        with pytest.raises(ValueError, match="not a registered"):
+            catalog.sql(spark, "SHOW PARTITIONS nope")
+    finally:
+        catalog.unregister_table(spark, "sp_t")
+        catalog.unregister_table(spark, "sp_u")

@@ -325,3 +325,22 @@ def test_maintain_table_statement(spark, tmp_path):
     report2 = catalog.sql_dml(spark, "MAINTAIN tended WITH LOG RETENTION")
     assert ("cleanup_log" in report2) or ("cleanup_log_refused" in report2)
     assert spark.table("tended").count() == 50
+
+
+def test_vacuum_retain_hours(spark, reg):
+    """RETAIN n HOURS (the Delta default form): keeps the snapshot
+    current at the window edge plus everything newer. A large window
+    over a young table reclaims nothing; HOURS and VERSIONS agree when
+    the window covers the same snapshots."""
+    catalog.sql_dml(spark, "OPTIMIZE mnt_t")  # retire the small files
+    # the whole history is seconds old: a 1-hour window keeps it all
+    assert catalog.sql_dml(
+        spark, "VACUUM mnt_t RETAIN 1 HOURS DRY RUN"
+    ) == []
+    # a 0-hour window = only snapshots "current now" → same file list
+    # as RETAIN 1 VERSIONS
+    by_versions = catalog.sql_dml(
+        spark, "VACUUM mnt_t RETAIN 1 VERSIONS DRY RUN"
+    )
+    by_hours = catalog.sql_dml(spark, "VACUUM mnt_t RETAIN 0 HOURS DRY RUN")
+    assert sorted(by_hours) == sorted(by_versions)

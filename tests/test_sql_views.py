@@ -196,3 +196,23 @@ def test_show_partitions_from_log_metadata(spark, tmp_path):
     finally:
         catalog.unregister_table(spark, "sp_t")
         catalog.unregister_table(spark, "sp_u")
+
+
+def test_show_partitions_decodes_uri_values(spark, tmp_path):
+    t = str(tmp_path / "enc")
+    txn.append(
+        spark.createDataFrame(
+            [(1, "has space"), (2, "a/b")], "k long, tag string"
+        ),
+        t,
+        partition_by=["tag"],
+    )
+    catalog.register_table(spark, "sp_enc", t)
+    try:
+        got = sorted(
+            r.tag
+            for r in catalog.sql(spark, "SHOW PARTITIONS sp_enc").collect()
+        )
+        assert got == ["a/b", "has space"]
+    finally:
+        catalog.unregister_table(spark, "sp_enc")

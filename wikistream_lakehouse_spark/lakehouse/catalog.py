@@ -221,7 +221,8 @@ _OPTIMIZE_RE = re.compile(
     re.IGNORECASE | re.DOTALL,
 )
 _VACUUM_RE = re.compile(
-    rf"^\s*VACUUM\s+({_IDENT})(?:\s+RETAIN\s+(\d+)\s+VERSIONS?)?"
+    rf"^\s*VACUUM\s+({_IDENT})"
+    rf"(?:\s+RETAIN\s+(\d+)\s+(VERSIONS?|HOURS?))?"
     rf"(\s+DRY\s+RUN)?\s*;?\s*$",
     re.IGNORECASE,
 )
@@ -352,7 +353,8 @@ _DML_GRAMMAR = """supported DML grammar (registered txn names only):
     (clauses evaluate first-match-wins, in statement order)
 maintenance statements (same registered names):
   OPTIMIZE t [WHERE pcol = v [AND ...]] [ZORDER BY (c, ...)]
-  VACUUM t [RETAIN n VERSIONS] [DRY RUN]
+  VACUUM t [RETAIN n VERSIONS | RETAIN n HOURS] [DRY RUN]
+    (HOURS keeps the snapshot current at the window edge + newer)
   CHECKPOINT t
   RESTORE [TABLE] t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'
   GENERATE symlink_format_manifest FOR TABLE t
@@ -884,11 +886,27 @@ def _sql_maintenance(spark: SparkSession, statement: str):
         return v
     m = _VACUUM_RE.match(statement)
     if m:
-        name, retain, dry = m.groups()
+        name, retain, unit, dry = m.groups()
         b = _writable_binding(spark, name)
+        if retain and unit and unit.upper().startswith("HOUR"):
+            # Delta's RETAIN n HOURS: keep every snapshot a reader
+            # could have pinned within the window — the snapshot
+            # CURRENT at the window edge plus everything after it
+            import time as _time
+
+            threshold = _time.time() - int(retain) * 3600
+            head = txn.current_version(b.path, b.store)
+            try:
+                edge = txn.version_as_of(b.path, threshold, b.store)
+            except ValueError:
+                # whole history is younger than the window: keep all
+                edge = 0
+            retain_versions = head - edge + 1
+        else:
+            retain_versions = int(retain) if retain else 1
         return txn.vacuum(
             b.path,
-            retain_versions=int(retain) if retain else 1,
+            retain_versions=retain_versions,
             store=b.store,
             dry_run=bool(dry),
         )
@@ -1074,11 +1092,21 @@ def _sql_maintenance(spark: SparkSession, statement: str):
         files, _dvs = txn._replay_state(b.path, b.version, b.store)
         # log-metadata only: partition values come from the active
         # files' paths — zero data IO at any table size (the Delta
-        # SHOW PARTITIONS shape, but without even a directory listing)
+        # SHOW PARTITIONS shape, but without even a directory listing).
+        # Path segments are URI-encoded on disk (a space is %20):
+        # decode so the listed value equals the COLUMN value.
+        from urllib.parse import unquote
+
         seen = sorted(
             {txn._partition_values(f) for f in files}
         )
-        rows = [tuple(dict(pv).get(c) for c in pb) for pv in seen]
+        rows = [
+            tuple(
+                unquote(v) if (v := dict(pv).get(c)) is not None else None
+                for c in pb
+            )
+            for pv in seen
+        ]
         return spark.createDataFrame(
             sorted(set(rows)),
             ", ".join(f"{c} string" for c in pb),

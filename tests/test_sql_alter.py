@@ -114,3 +114,51 @@ def test_alter_refusals(spark, at):
             catalog.sql(spark, "ALTER TABLE alt_pin DROP COLUMN v")
     finally:
         catalog.unregister_table(spark, "alt_pin")
+
+
+def test_alter_set_partitioning_evolves_spec(spark, at):
+    """SET PARTITIONED BY: metadata-only partition evolution — future
+    writes land under the new spec, old files keep their layout, reads
+    span both."""
+    catalog.sql(spark, "ALTER TABLE alt_t ADD COLUMN ds STRING")
+    catalog.sql(spark, "UPDATE alt_t SET ds = 'old' WHERE ds IS NULL")
+    catalog.sql(spark, "ALTER TABLE alt_t SET PARTITIONED BY (ds)")
+    catalog.sql(spark, "INSERT INTO alt_t VALUES (7, 70.0, 'new')")
+    assert txn.table_detail(at)["partition_by"] == ["ds"]
+    got = {r.ds for r in spark.table("alt_t").select("ds").collect()}
+    assert got == {"old", "new"}
+
+
+def test_create_table_clone_and_convert(spark, at, tmp_path):
+    """CREATE TABLE ... CLONE (zero-copy snapshot clone, version-pinnable)
+    and CONVERT TO TXN 'dir' AS name (adopt plain parquet in place)."""
+    catalog.sql(spark, "INSERT INTO alt_t VALUES (100, 1.0)")  # v1
+    loc = str(tmp_path / "c")
+    v = catalog.sql(
+        spark,
+        f"CREATE TABLE alt_clone CLONE alt_t VERSION AS OF 0 "
+        f"LOCATION '{loc}'",
+    )
+    try:
+        assert spark.table("alt_clone").count() == 2  # v0 only
+        # independence: writes to the clone never touch the source
+        catalog.sql(spark, "INSERT INTO alt_clone VALUES (999, 9.0)")
+        assert spark.table("alt_clone").count() == 3
+        assert spark.table("alt_t").count() == 3  # 2 + the v1 insert
+        with pytest.raises(ValueError, match="already registered"):
+            catalog.sql(spark, f"CREATE TABLE alt_clone CLONE alt_t")
+    finally:
+        catalog.unregister_table(spark, "alt_clone")
+    # CONVERT: plain parquet dir becomes a txn table in place
+    plain = str(tmp_path / "plain")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, tag string"
+    ).coalesce(1).write.parquet(plain)
+    v = catalog.sql(spark, f"CONVERT TO TXN '{plain}' AS adopted")
+    try:
+        assert v == 0
+        assert spark.table("adopted").count() == 2
+        catalog.sql(spark, "INSERT INTO adopted VALUES (3, 'c')")
+        assert txn.read_table(spark, plain).count() == 3
+    finally:
+        catalog.unregister_table(spark, "adopted")

@@ -86,20 +86,20 @@ def test_ctas_and_merge_can_read_views(spark, vt, tmp_path):
     catalog.sql(spark, "CREATE VIEW big AS SELECT k, v FROM vt WHERE v >= 15")
     catalog.sql(
         spark,
-        f"CREATE TABLE snap LOCATION '{tmp_path}/snap' AS "
+        f"CREATE TABLE view_snap LOCATION '{tmp_path}/snap' AS "
         "SELECT * FROM big",
     )
     try:
-        assert spark.table("snap").count() == 1
+        assert spark.table("view_snap").count() == 1
         v = catalog.sql(
             spark,
-            """MERGE INTO snap AS t USING (SELECT k, v * 0 AS v FROM big) AS s
+            """MERGE INTO view_snap AS t USING (SELECT k, v * 0 AS v FROM big) AS s
                ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v""",
         )
         assert v == 1
-        assert spark.table("snap").first().v == 0.0
+        assert spark.table("view_snap").first().v == 0.0
     finally:
-        catalog.sql(spark, "DROP TABLE snap")
+        catalog.sql(spark, "DROP TABLE view_snap")
 
 
 def test_drop_view_and_refusals(spark, vt):

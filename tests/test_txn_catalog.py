@@ -39,13 +39,16 @@ def test_register_then_sql_and_table(spark, t):
 
 def test_snapshot_semantics_and_refresh(spark, t):
     catalog.register_table(spark, "snap", t)
-    txn.append(_kv(spark, 100, 200), t)
-    # the binding pins the registration-time snapshot (repeatable reads)
-    assert spark.sql("SELECT count(*) AS n FROM snap").first().n == 100
-    assert catalog.registered_version(spark, "snap") == 0
-    v = catalog.refresh_table(spark, "snap")
-    assert v == txn.current_version(t)
-    assert spark.sql("SELECT count(*) AS n FROM snap").first().n == 200
+    try:
+        txn.append(_kv(spark, 100, 200), t)
+        # the binding pins the registration-time snapshot (repeatable reads)
+        assert spark.sql("SELECT count(*) AS n FROM snap").first().n == 100
+        assert catalog.registered_version(spark, "snap") == 0
+        v = catalog.refresh_table(spark, "snap")
+        assert v == txn.current_version(t)
+        assert spark.sql("SELECT count(*) AS n FROM snap").first().n == 200
+    finally:
+        catalog.unregister_table(spark, "snap")
 
 
 def test_version_pinned_binding_is_sql_time_travel(spark, t):

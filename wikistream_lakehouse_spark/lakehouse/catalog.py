@@ -248,6 +248,20 @@ _MAINTAIN_RE = re.compile(
 _PART_EQ_RE = re.compile(
     rf"^\s*({_IDENT})\s*=\s*('[^']*'|\"[^\"]*\"|[\w.\-]+)\s*$"
 )
+_CLONE_RE = re.compile(
+    rf"^\s*CREATE\s+TABLE\s+({_IDENT})\s+(?:SHALLOW\s+)?CLONE\s+({_IDENT})"
+    rf"(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?"
+    rf"(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_CONVERT_RE = re.compile(
+    rf"^\s*CONVERT\s+TO\s+TXN\s+'([^']+)'(?:\s+AS\s+({_IDENT}))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_ALTER_SET_PARTITIONING_RE = re.compile(
+    rf"^SET\s+PARTITIONED\s+BY\s*\(\s*({_IDENT}(?:\s*,\s*{_IDENT})*)\s*\)$",
+    re.IGNORECASE,
+)
 _CREATE_EMPTY_HEAD_RE = re.compile(
     rf"^\s*CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+({_IDENT})\s*(?=\()",
     re.IGNORECASE,
@@ -376,7 +390,16 @@ DDL:
       | ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n
       | SET GENERATED c AS (expr) | DROP GENERATED c
       | SET STATS COLUMNS (a, b, ...)        (empty list clears)
+      | SET PARTITIONED BY (c, ...)          (partition evolution:
+          future writes use the new spec; compact migrates old files)
     (each is one metadata-only commit; binding auto-refreshes)
+  CREATE TABLE t2 [SHALLOW] CLONE t [VERSION AS OF n |
+      TIMESTAMP AS OF 'ts'] [LOCATION '/path']
+    (zero-copy: hard-links the snapshot's files — O(files) metadata,
+     no data read; the clone is fully independent from v0 on)
+  CONVERT TO TXN '/plain/parquet/dir' [AS name]
+    (adopt an existing parquet directory as version 0, in place —
+     single-writer migration step)
   CREATE [OR REPLACE] VIEW v AS SELECT ... | WITH ... | VALUES ...
     (stores TEXT, re-evaluated per read: a view over `t VERSION AS OF
      n` stays pinned, one over a latest-bound name or an open-ended
@@ -838,6 +861,12 @@ def _sql_alter(spark: SparkSession, name: str, action: str):
         v = txn.drop_generated_column(b.path, am.group(1), store=b.store)
         refresh_table(spark, name)
         return v
+    am = _ALTER_SET_PARTITIONING_RE.match(action)
+    if am:
+        cols = [c.strip() for c in am.group(1).split(",")]
+        v = txn.set_partitioning(spark, b.path, cols, store=b.store)
+        refresh_table(spark, name)
+        return v
     am = _ALTER_SET_STATS_RE.match(action)
     if am:
         cols = (
@@ -941,6 +970,35 @@ def _sql_maintenance(spark: SparkSession, statement: str):
         )
         refresh_table(spark, name)
         return report
+    m = _CLONE_RE.match(statement)
+    if m:
+        dst_name, src, ver, ts, location = m.groups()
+        sb = _session_bindings(spark).get(src)
+        if sb is None:
+            raise ValueError(f"{src!r} is not a registered txn table")
+        if _session_bindings(spark).get(dst_name) is not None:
+            raise ValueError(
+                f"{dst_name!r} is already registered — CLONE creates a "
+                "NEW table (DROP TABLE the name first to rebind it)"
+            )
+        dst = location or _warehouse_path(spark, dst_name)
+        version = int(ver) if ver is not None else None
+        # an unpinned source clones its BOUND snapshot (repeatable
+        # sessions); explicit VERSION/TIMESTAMP AS OF overrides
+        if version is None and ts is None and sb.pinned:
+            version = sb.version
+        v = txn.clone_table(
+            sb.path, dst, version=version, as_of=ts, store=sb.store
+        )
+        register_table(spark, dst_name, dst, store=sb.store)
+        return v
+    m = _CONVERT_RE.match(statement)
+    if m:
+        path, name = m.groups()
+        v = txn.convert_to_txn(spark, path)
+        if name:
+            register_table(spark, name, path)
+        return v
     ce = _parse_create_empty(statement)
     if ce:
         replace, name, cols_sql, part_sql, location = ce

@@ -366,3 +366,100 @@ def test_merge_subquery_nested_parens_and_literals(spark, changes_pair):
     )
     assert v == 1
     assert spark.table("m_t").filter("k = 2").first().v == -2.0
+
+
+# ---------------------------------------------------------------------------
+# INSERT OVERWRITE: dynamic partition overwrite on partitioned tables,
+# static PARTITION spec, full replace on unpartitioned tables
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def part_reg(spark, tmp_path):
+    t = str(tmp_path / "pt")
+    txn.append(
+        spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "x"), (3, "c", "y")],
+            "k long, tag string, ds string",
+        ),
+        t,
+        partition_by=["ds"],
+    )
+    catalog.register_table(spark, "ow_t", t)
+    yield t
+    catalog.unregister_table(spark, "ow_t")
+
+
+def test_insert_overwrite_dynamic_partitions(spark, part_reg):
+    """No PARTITION clause on a partitioned table = DYNAMIC overwrite:
+    exactly the partitions the source touches are replaced, others
+    keep their files."""
+    files_before = txn._replay_state(part_reg, txn.current_version(part_reg))[0]
+    y_files = [f for f in files_before if "ds=y" in f]
+    v = catalog.sql_dml(
+        spark,
+        "INSERT OVERWRITE ow_t VALUES (10, 'A', 'x'), (11, 'B', 'x')",
+    )
+    assert v == 1
+    got = {(r.k, r.ds) for r in spark.table("ow_t").collect()}
+    assert got == {(10, "x"), (11, "x"), (3, "y")}
+    files_after = txn._replay_state(part_reg, txn.current_version(part_reg))[0]
+    assert [f for f in files_after if "ds=y" in f] == y_files
+    # pre-overwrite state still time-travels
+    assert txn.read_table(spark, part_reg, version=0).count() == 3
+
+
+def test_insert_overwrite_static_partition_spec(spark, part_reg):
+    """PARTITION (ds='y'): the body supplies the non-partition columns,
+    the spec fills ds — only that partition is replaced."""
+    v = catalog.sql_dml(
+        spark,
+        "INSERT OVERWRITE ow_t PARTITION (ds = 'y') VALUES (30, 'Z')",
+    )
+    assert v == 1
+    got = {(r.k, r.ds) for r in spark.table("ow_t").collect()}
+    assert got == {(1, "x"), (2, "x"), (30, "y")}
+    with pytest.raises(ValueError, match="non-partition columns"):
+        catalog.sql_dml(
+            spark,
+            "INSERT OVERWRITE ow_t PARTITION (tag = 'z') VALUES (1, 'q')",
+        )
+    with pytest.raises(ValueError, match="arity"):
+        catalog.sql_dml(
+            spark,
+            "INSERT OVERWRITE ow_t PARTITION (ds = 'y') VALUES (1)",
+        )
+
+
+def test_insert_overwrite_unpartitioned_full_replace(spark, reg):
+    v = catalog.sql_dml(
+        spark,
+        "INSERT OVERWRITE dml_t SELECT k, v, tag FROM dml_t WHERE k < 5",
+    )
+    assert v == 1
+    assert spark.table("dml_t").count() == 5
+    assert txn.read_table(spark, reg, version=0).count() == 100
+    with pytest.raises(ValueError, match="not partitioned"):
+        catalog.sql_dml(
+            spark,
+            "INSERT OVERWRITE dml_t PARTITION (tag='a') VALUES (1, 1.0)",
+        )
+
+
+def test_time_travel_at_shorthand(spark, part_reg):
+    """The Delta @-shorthand: FROM t@vN rewrites like VERSION AS OF N."""
+    catalog.sql_dml(
+        spark, "INSERT OVERWRITE ow_t PARTITION (ds='y') VALUES (30, 'Z')"
+    )
+    df = catalog.sql(
+        spark,
+        """SELECT 'v0' AS snap, count(*) AS n FROM ow_t@v0
+           UNION ALL
+           SELECT 'v1' AS snap, count(*) AS n FROM ow_t
+           ORDER BY snap""",
+    )
+    assert [(r.snap, r.n) for r in df.collect()] == [("v0", 3), ("v1", 3)]
+    got = catalog.sql(
+        spark, "SELECT k FROM ow_t@v1 WHERE ds = 'y'"
+    ).first().k
+    assert got == 30

@@ -184,6 +184,12 @@ _UPDATE_RE = re.compile(
     rf"^\s*UPDATE\s+({_IDENT})\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_INSERT_OVERWRITE_RE = re.compile(
+    rf"^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?({_IDENT})"
+    rf"(?:\s+PARTITION\s*\(([^)]+)\))?"
+    rf"\s*(SELECT\s+.+|VALUES\s*.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _INSERT_RE = re.compile(
     rf"^\s*INSERT\s+INTO\s+({_IDENT})\s*(\(\s*{_IDENT}"
     rf"(?:\s*,\s*{_IDENT})*\s*\))?\s*(SELECT\s+.+|VALUES\s*.+?)\s*;?\s*$",
@@ -357,6 +363,11 @@ _DML_GRAMMAR = """supported DML grammar (registered txn names only):
   DELETE FROM t WHERE <predicate>
   UPDATE t SET col = <expr>[, ...] WHERE <predicate>
   INSERT INTO t [(col, ...)] SELECT ... | VALUES (...), ...
+  INSERT OVERWRITE [TABLE] t [PARTITION (p = v, ...)] SELECT ... | VALUES
+    (partitioned tables overwrite DYNAMICALLY — exactly the partitions
+     the source touches, atomic, touched-partition IO only; a PARTITION
+     spec pins static values the body omits; unpartitioned = full
+     replace, history time-travelable)
   MERGE INTO t [AS a] USING s [AS b] ON <condition>
     (s may also be a subquery or change feed — both need an alias:
      USING (SELECT ...) AS b | USING CHANGES(t2, start [, end]) AS b;
@@ -412,6 +423,7 @@ DDL:
 Reads (SELECT ...) go straight to spark.sql() — via catalog.sql they
 also get in-query time travel on registered names:
   SELECT ... FROM t VERSION AS OF n [JOIN u TIMESTAMP AS OF 'ts' ...]
+  SELECT ... FROM t@vN              (the Delta @-shorthand, same rewrite)
   SELECT ... FROM CHANGES(t, start [, end])   (row-level CDF: table
     columns + _change_type + _commit_version; start inclusive;
     bounds may be versions or 'timestamp' literals — a timestamp
@@ -706,6 +718,78 @@ def sql_dml(
             assigns[am.group(1)] = am.group(2)
         b = _writable_binding(spark, name)
         v = txn.update_where(spark, b.path, assigns, pred, store=b.store)
+        refresh_table(spark, name)
+        return v
+    m = _INSERT_OVERWRITE_RE.match(statement)
+    if m:
+        from pyspark.sql import functions as F
+
+        name, part_sql, body = m.groups()
+        b = _writable_binding(spark, name)
+        pb = txn.table_detail(b.path, b.store)["partition_by"]
+        target = txn.read_table(
+            spark, b.path, version=b.version, store=b.store
+        )
+        df = spark.sql(_rewrite_time_travel(spark, body))
+        if part_sql:
+            # static spec: the body supplies the NON-partition columns
+            # positionally; the spec's literals fill the partition
+            # columns — exactly Spark's INSERT OVERWRITE ... PARTITION
+            if not pb:
+                raise ValueError(
+                    f"{name!r} is not partitioned — drop the PARTITION "
+                    "clause for a full overwrite"
+                )
+            spec: dict[str, str] = {}
+            for part in _split_top_level(part_sql):
+                pm = _PART_EQ_RE.match(part)
+                if not pm:
+                    raise ValueError(
+                        "PARTITION spec accepts only `pcol = literal "
+                        f"[, ...]`; got {part!r}\n{_DML_GRAMMAR}"
+                    )
+                spec[pm.group(1)] = pm.group(2).strip("'\"")
+            unknown = sorted(set(spec) - set(pb))
+            if unknown:
+                raise ValueError(
+                    f"PARTITION spec names non-partition columns "
+                    f"{unknown} (partitioned by {pb})"
+                )
+            types = {f.name: f.dataType for f in target.schema.fields}
+            data_cols = [c for c in target.columns if c not in spec]
+            if len(df.columns) != len(data_cols):
+                raise ValueError(
+                    f"INSERT OVERWRITE arity mismatch: {len(df.columns)} "
+                    f"values for non-partition columns {data_cols}"
+                )
+            df = df.toDF(*data_cols)
+            out = df.select(
+                *[
+                    F.lit(spec[c]).cast(types[c]).alias(c)
+                    if c in spec
+                    else F.col(c).cast(types[c])
+                    for c in target.columns
+                ]
+            )
+        else:
+            if len(df.columns) != len(target.columns):
+                raise ValueError(
+                    f"INSERT OVERWRITE arity mismatch: {len(df.columns)} "
+                    f"values for columns {target.columns}"
+                )
+            df = df.toDF(*target.columns)
+            out = df.select(
+                *[
+                    F.col(f.name).cast(f.dataType)
+                    for f in target.schema.fields
+                ]
+            )
+        if pb:
+            # dynamic partition overwrite (the engine's scale-correct
+            # default: touched-partition IO only, atomic per commit)
+            v = txn.replace_partitions(spark, b.path, out, store=b.store)
+        else:
+            v = txn.replace_table(spark, b.path, out, store=b.store)
         refresh_table(spark, name)
         return v
     m = _INSERT_RE.match(statement)
@@ -1186,8 +1270,9 @@ def _sql_maintenance(spark: SparkSession, statement: str):
 
 
 _TIME_TRAVEL_RE = re.compile(
-    rf"(?is)\b(FROM|JOIN)\s+({_IDENT})\s+"
-    rf"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')"
+    rf"(?is)\b(FROM|JOIN)\s+({_IDENT})"
+    rf"(?:\s+(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')"
+    rf"|@v(\d+))"
 )
 _CHANGES_RE = re.compile(
     rf"(?is)\b(FROM|JOIN)\s+CHANGES\s*\(\s*({_IDENT})\s*,"
@@ -1234,7 +1319,8 @@ def _rewrite_time_travel(spark: SparkSession, statement: str) -> str:
                 "CREATE TABLE"
             )
         if kind == "tt":
-            ver, ts = m.group(3), m.group(4)
+            # group 5 is the Delta-style `name@vN` shorthand
+            ver, ts = m.group(3) or m.group(5), m.group(4)
             v = (
                 int(ver)
                 if ver is not None

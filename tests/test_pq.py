@@ -164,3 +164,63 @@ def test_fixture_embeddings_roundtrip(spark, sf_dir):
     assert stats.n == e.count()
     assert stats.lo == stats.hi == M
     assert 0 <= stats.cmin and stats.cmax < K
+
+
+def test_grid_face_has_no_midpoint_ties(spark, sf_dir):
+    """Determinism precondition of the pq/ivfpq_adc_rerank_exact oracle
+    faces (queries/similarity.py): encode_pq's argmin over the 0.1-step
+    grid codebook and DuckDB's round(x·10)/10 agree everywhere EXCEPT on
+    coordinates exactly halfway between grid points (argmin keeps the
+    lower grid value, SQL round goes away from zero). Pin that the
+    fixture embeddings contain no such coordinate and stay inside the
+    unclamped [-1, 1] grid range, so the faces stay engine-deterministic
+    for good."""
+    from wikistream_lakehouse_spark.tables import table
+
+    e = table(spark, sf_dir, "embeddings")
+    x = F.explode(F.col("embedding").cast("array<double>")).alias("x")
+    stats = (
+        e.select(x)
+        .select(
+            F.max(F.abs(F.col("x"))).alias("amax"),
+            F.sum(
+                (F.abs(F.col("x") * 10 - F.floor(F.col("x") * 10) - 0.5) == 0)
+                .cast("long")
+            ).alias("ties"),
+        )
+        .first()
+    )
+    assert stats.amax <= 1.0, "grid face would clamp — revisit the oracle"
+    assert stats.ties == 0, "exact 0.05-midpoint coordinate in fixtures"
+
+
+def test_pq_topk_candidate_filter_restricts_and_composes(spark, lattice):
+    """candidate_filter (the IVF-composition hook): scoring restricted to
+    a mod-bucket rule must (a) only emit in-bucket pairs and (b) equal
+    the unfiltered ranking recomputed over the allowed subset."""
+    df, _ = lattice
+    books = train_pq_codebooks(df, "vec_id", "embedding", m=2, k=4)
+    q = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    codes = encode_pq(df, "vec_id", "embedding", books)
+    flt = F.col("neighbor_id") % 2 == F.col("query_id") % 2
+    got = pq_topk(
+        codes, q, "vec_id", "embedding", "query_id", books, top_k=3,
+        candidate_filter=flt,
+    ).collect()
+    assert got, "filtered top-k came back empty"
+    assert all(r.neighbor_id % 2 == r.query_id % 2 for r in got)
+    # recompute from the unfiltered scoring: drop out-of-bucket rows,
+    # re-rank, take 3 — must be identical
+    full = pq_topk(
+        codes, q, "vec_id", "embedding", "query_id", books, top_k=16
+    ).collect()
+    expect = {}
+    for r in sorted(full, key=lambda r: (r.query_id, r.rk)):
+        if r.neighbor_id % 2 == r.query_id % 2:
+            expect.setdefault(r.query_id, []).append(r.neighbor_id)
+    got_ids = {}
+    for r in sorted(got, key=lambda r: (r.query_id, r.rk)):
+        got_ids.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert got_ids == {qid: ids[:3] for qid, ids in expect.items()}

@@ -126,12 +126,17 @@ def pq_topk(
     query_id_col: str,
     codebooks: np.ndarray,
     top_k: int = 5,
+    candidate_filter=None,
 ) -> DataFrame:
     """(query_id, neighbor_id, adist, rk): approximate top-k by PQ
     L2 distance over the ENCODED collection — the raw vectors are never
     read. ADC tables for every query ((n_q, m, k) floats) ride in the
     task closure; per-candidate cost is m gathers + a sum, vectorized
-    over each Arrow batch × all queries at once."""
+    over each Arrow batch × all queries at once.
+
+    ``candidate_filter`` (optional Column over query_id/neighbor_id) is
+    applied before ranking — the hook IVF-style composition uses to
+    restrict scoring to an inverted-list candidate set."""
     import pandas as pd
 
     books = np.asarray(codebooks, dtype=np.float64)
@@ -169,6 +174,8 @@ def pq_topk(
     scored = codes.mapInPandas(
         score, schema="query_id long, neighbor_id long, adist double"
     ).filter(F.col("query_id") != F.col("neighbor_id"))
+    if candidate_filter is not None:
+        scored = scored.filter(candidate_filter)
     w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("long"))
@@ -187,6 +194,7 @@ def pq_topk_rerank(
     top_k: int = 5,
     n_candidates: int = 25,
     cosine_fn=None,
+    candidate_filter=None,
 ) -> DataFrame:
     """PQ shortlist → exact cosine re-rank: ADC selects ``n_candidates``
     per query from the code table; only those rows' raw vectors are
@@ -197,7 +205,7 @@ def pq_topk_rerank(
     codes = encode_pq(collection, id_col, vec_col, codebooks)
     cand = pq_topk(
         codes, queries, id_col, vec_col, query_id_col, codebooks,
-        top_k=n_candidates,
+        top_k=n_candidates, candidate_filter=candidate_filter,
     ).select("query_id", "neighbor_id")
     qv = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")

@@ -282,6 +282,84 @@ def dedup_canonical_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- X2/X3: SemDeDup assignment stage, oracle-certified (✦) -----------------
+@register(
+    "semantic_dedup_assignments",
+    oracle="""
+        WITH c AS (SELECT vec_id AS cluster,
+                          CAST(embedding AS DOUBLE[]) AS cv
+                   FROM embeddings WHERE vec_id < 8),
+             v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev
+                   FROM embeddings),
+             scored AS (
+                SELECT v.vec_id, c.cluster,
+                       list_cosine_similarity(v.ev, c.cv) AS cos,
+                       row_number() OVER (
+                           PARTITION BY v.vec_id
+                           ORDER BY list_cosine_similarity(v.ev, c.cv) DESC,
+                                    c.cluster) AS rk
+                FROM v CROSS JOIN c
+             )
+        SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+               ROUND(cos, 6) AS centroid_sim
+        FROM scored WHERE rk = 1
+        ORDER BY vec_id
+    """,
+    tags=("X2", "X3", "dedup", "embeddings", "semdedup", "extra"),
+)
+def semantic_dedup_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup's cluster-assignment stage with PINNED centroids,
+    oracle-certified (VERDICT r10 #1): the centroids are the unit-
+    normalized embeddings of vec_id < 8 — a set DuckDB can read off the
+    same table — and assignment runs through the REAL operator
+    (``_assign_pandas``'s per-batch ‖c‖² − 2·v·c argmin, the exact code
+    semantic_dedup/ivf use), which over unit centroids equals
+    argmax-cosine. DuckDB recomputes argmax list_cosine_similarity with
+    the same lowest-id tie-break, so every row's cluster label and
+    rounded centroid cosine must match; only k-means TRAINING (the
+    Lloyd iterations producing centroids) stays rows-only, pinned by
+    tests/test_semdedup.py."""
+    import numpy as np
+
+    from wikistream_lakehouse_spark.functions.vectors import cosine
+    from wikistream_lakehouse_spark.operators.ivf import _assign_pandas
+
+    e = table(spark, sf_dir, "embeddings")
+    crows = (
+        e.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )  # 8 rows — bounded by construction
+    cents = np.array([r["embedding"] for r in crows], dtype=np.float64)
+    norms = np.linalg.norm(cents, axis=1)
+    norms[norms == 0.0] = 1.0
+    unit = cents / norms[:, None]
+
+    assign = _assign_pandas(e, "vec_id", "embedding", unit, n_probe=1).select(
+        "vec_id", "cluster"
+    )
+    # cluster index i IS centroid vec_id i (centroid rows ordered by id),
+    # so the centroid vectors join back from the table itself — cosine is
+    # scale-invariant, raw centroid vectors give the same similarity.
+    cent_df = e.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cluster"), F.col("embedding").alias("cvec")
+    )
+    return (
+        e.select("vec_id", "embedding")
+        .join(assign, "vec_id")
+        .join(F.broadcast(cent_df), "cluster")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("long").alias("cluster"),
+            F.round(cosine(F.col("embedding"), F.col("cvec")), 6).alias(
+                "centroid_sim"
+            ),
+        )
+        .orderBy("vec_id")
+    )
+
+
 # --- X2/X3: SemDeDup semantic dedup over embeddings (rows-only ◇) ----------
 @register(
     "semantic_dedup_keep",

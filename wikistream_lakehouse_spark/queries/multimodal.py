@@ -112,3 +112,47 @@ def media_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "media_frame_arithmetic",
+    oracle="""
+        WITH v AS (
+            SELECT doc_id, octet_length(encode(text)) AS n
+            FROM documents WHERE doc_id < 300 AND doc_id % 3 = 2
+        ), f AS (
+            SELECT doc_id, n,
+                   unnest(generate_series(
+                       0,
+                       CAST(greatest(ceil(n / 256.0), 1) AS BIGINT) - 1,
+                       4)) AS i
+            FROM v
+        )
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS frame_idx,
+               CAST(least(256, n - i * 256) AS BIGINT) AS frame_len
+        FROM f
+        ORDER BY doc_id, frame_idx
+    """,
+    tags=("X5", "multimodal", "pandas-udf", "frames", "extra"),
+)
+def media_frame_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frame-sampler's fan-out geometry, oracle-certified (VERDICT
+    r10 #1): ``sample_frames`` (the REAL mapInPandas operator, same call
+    as media_frame_samples) emits one row per kept frame; which frames
+    exist and how many bytes each holds is pure integer arithmetic —
+    indices 0, 4, 8, … below ceil(payload/256) and length
+    min(256, payload − idx·256) — that DuckDB recomputes with
+    generate_series over octet_length. Certifies row multiplicity, the
+    every-Nth stride, the tail-frame length, and the video-only media
+    routing; only the byte-content statistics (frame_mean) stay in the
+    rows-only twin."""
+    from wikistream_lakehouse_spark.operators.multimodal import sample_frames
+
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    frames = sample_frames(_with_media_columns(d), stride=4, frame_bytes=256)
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.octet_length("frame").cast("long").alias("frame_len"),
+    ).orderBy("doc_id", "frame_idx")

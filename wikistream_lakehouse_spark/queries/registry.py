@@ -167,6 +167,31 @@ _LAST_SCORED.update(dict.fromkeys((
     "top_returning_customers", "top_revenue_orders",
     "tumbling_hourly_counts",
 ), 9))
+_LAST_SCORED.update(dict.fromkeys((
+    # round 10 (CORRECTNESS_r10.json — 50 scored, all green)
+    "benchmark_contamination", "cdc_apply_latest_state",
+    "cheapest_supplier_per_part", "conversion_funnel", "corpus_funnel",
+    "corpus_mixture_sample", "corpus_train_split",
+    "cross_nation_trade_volume", "customer_cohort_retention",
+    "customer_order_histogram", "daily_top_titles",
+    "dedup_canonical_embeddings", "dedup_exact_events",
+    "disjunctive_part_revenue", "doc_repetition_profile",
+    "dominant_part_shippers", "fixed_count_per_lang_sample",
+    "forecast_revenue", "global_totals", "idle_customer_balance",
+    "important_part_value", "ivf_rerank_exact", "json_props_extract",
+    "large_volume_orders", "late_order_priority_counts",
+    "late_suppliers_multi_supplier_orders", "leakage_safe_split",
+    "limit_scan", "nation_market_share", "ngram_jaccard_pairs",
+    "order_measures_unpivot", "other_bucket_rollup", "pii_scrub_profile",
+    "product_profit_by_nation_year", "project_with_defaults",
+    "regional_same_nation_revenue", "scd2_history_splice",
+    "scd_serving_merge", "skewed_cohort_stats", "small_quantity_revenue",
+    "sql_alter_lineage", "sql_merge_changes_upsert",
+    "sql_view_changes_replay", "sum_by_title",
+    "supplier_count_by_part_attrs", "top_supplier_by_revenue",
+    "top_titles_per_day", "training_order_shuffle", "weekly_retention",
+    "window_frames_showcase",
+), 10))
 
 
 def all_queries() -> dict[str, Query]:

@@ -122,6 +122,47 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sequence_packing_accounting",
+    oracle="""
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+                    AS BIGINT) AS n_tokens,
+               CAST(CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),
+                                        1, 8) AS BIGINT) % 32 AS BIGINT)
+                   AS bucket,
+               len(list_filter(string_split(text, ' '), x -> x != '')) > 512
+                   AS oversize
+        FROM documents
+        ORDER BY doc_id
+    """,
+    tags=("sampling", "pipeline", "packing", "pandas-udf", "extra"),
+)
+def sequence_packing_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing operator's doc-level accounting, oracle-certified
+    (VERDICT r10 #1): every column of ``pack_sequences``'s output that is
+    deterministic REGARDLESS of first-fit choices — exactly-once doc
+    membership, token fidelity, md5-mod bucket routing (recovered from
+    the emitted pack_id, so the operator's own routing is what's
+    checked), and the oversize flag. DuckDB recomputes all four from the
+    raw documents; only the in-bucket pack NUMBERING (iterative FFD)
+    stays outside SQL, and that is pinned by tests/test_packing.py's
+    budget/determinism invariants."""
+    d = table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", whitespace_token_count(F.col("text"))
+    )
+    assignments = pack_sequences(d, max_tokens=512, n_buckets=32)
+    return (
+        assignments.select(
+            "doc_id",
+            "n_tokens",
+            F.split(F.col("pack_id"), "/").getItem(0).cast("long").alias("bucket"),
+            "oversize",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "leakage_safe_split",
     oracle=f"""
         WITH RECURSIVE sh AS (

@@ -390,3 +390,124 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: determinism probe calls each query twice and the build is the
 #: expensive half).
 _IVFPQ_CACHE: dict = {}
+
+
+# --- Grid-codebook exact faces for the PQ / IVF-PQ ADC path (✦) -------------
+#
+# The trained-codebook ANN queries above are rows-only (k-means codebooks
+# aren't ANSI-SQL-expressible), so the driver never value-checks the ADC
+# machinery. These two faces pin the codebook to a GRID both engines can
+# compute: m = dim subspaces of one coordinate each, codebook per subspace
+# = {-1.0, -0.9, …, 1.0}. encode_pq's argmin then reduces to
+# nearest-tenth rounding, and the ADC distance Σᵢ(qᵢ − gᵢ)² equals the
+# exact squared L2 between the query and the ROUNDED candidate — which
+# DuckDB recomputes bit-for-bit (list_distance over round(x·10)/10;
+# identical float64 ops in identical order). The certified surface is the
+# REAL operator stack — encode_pq's per-subspace argmin, pq_topk's ADC
+# table gather + rank + shortlist cut, and the exact-cosine re-rank join
+# (operators/pq.py) — not a parallel reimplementation.
+#
+# Determinism precondition (verified on every fixture, pinned in
+# tests/test_pq.py): no embedding coordinate sits exactly on a 0.05 grid
+# midpoint, so argmin-vs-round tie behavior never diverges. Fixture
+# coords all lie in (-0.6, 0.6) ⊂ [-1, 1], so the grid never clamps.
+
+_GRID_K = 21  # grid {-1.0 … 1.0 step 0.1}
+_PQ_DIM = 64
+
+
+def _grid_codebooks():
+    """(dim, 21, 1) grid codebooks: every subspace quantizes one
+    coordinate to the nearest tenth."""
+    import numpy as np
+
+    grid = (np.arange(_GRID_K) - (_GRID_K - 1) // 2) / 10.0
+    return np.tile(grid[None, :, None], (_PQ_DIM, 1, 1))
+
+
+_PQ_ADC_ORACLE_BODY = """
+    WITH q AS (SELECT vec_id AS query_id,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {n_queries}),
+         c AS (SELECT vec_id AS neighbor_id,
+                      CAST(embedding AS DOUBLE[]) AS cv,
+                      list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> round(x * 10) / 10.0) AS rv
+               FROM embeddings),
+         adc AS (
+            SELECT q.query_id, c.neighbor_id, q.qv, c.cv,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_distance(q.qv, c.rv), c.neighbor_id
+                   ) AS crk
+            FROM q JOIN c
+              ON c.neighbor_id != q.query_id {extra_on}
+         )
+    SELECT query_id, neighbor_id, cos, rk FROM (
+        SELECT query_id, neighbor_id,
+               ROUND(list_cosine_similarity(qv, cv), 6) AS cos,
+               row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY ROUND(list_cosine_similarity(qv, cv), 6) DESC,
+                            neighbor_id) AS rk
+        FROM adc WHERE crk <= {n_candidates}
+    ) WHERE rk <= {top_k}
+    ORDER BY query_id, rk
+"""
+
+_ADC_CANDIDATES = 50
+
+
+@register(
+    "pq_adc_rerank_exact",
+    oracle=_PQ_ADC_ORACLE_BODY.format(
+        n_queries=N_QUERIES, n_candidates=_ADC_CANDIDATES, top_k=TOP_K,
+        extra_on="",
+    ),
+    tags=("X3", "similarity", "pq", "extra"),
+)
+def pq_adc_rerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ encode → ADC shortlist → exact re-rank pipeline,
+    oracle-certified end to end over a grid codebook (VERDICT r10 #1):
+    encode_pq / pq_topk / pq_topk_rerank run EXACTLY as in ann_pq_topk,
+    only the codebook is the SQL-expressible nearest-tenth grid, so
+    DuckDB recomputes the identical ADC distances, the identical
+    50-candidate shortlist cut, and the identical rounded-cosine top-5."""
+    from wikistream_lakehouse_spark.operators.pq import pq_topk_rerank
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk_rerank(
+        e, q, "vec_id", "embedding", "query_id", _grid_codebooks(),
+        top_k=TOP_K, n_candidates=_ADC_CANDIDATES,
+    )
+
+
+@register(
+    "ivfpq_adc_rerank_exact",
+    oracle=_PQ_ADC_ORACLE_BODY.format(
+        n_queries=N_QUERIES, n_candidates=_ADC_CANDIDATES, top_k=TOP_K,
+        extra_on="AND c.neighbor_id % 7 = q.query_id % 7",
+    ),
+    tags=("X3", "similarity", "ivf", "pq", "extra"),
+)
+def ivfpq_adc_rerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-PQ composition's exact face: ADC scoring restricted to a
+    PINNED 7-bucket inverted-list rule (``neighbor_id % 7 == query_id %
+    7`` — the same deterministic stand-in ivf_rerank_exact certifies for
+    the coarse quantizer) before the shortlist cut, then exact re-rank.
+    Certifies the candidate_filter composition hook the scale path
+    (search_ivf_pq_index's probed lists) relies on."""
+    from wikistream_lakehouse_spark.operators.pq import pq_topk_rerank
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk_rerank(
+        e, q, "vec_id", "embedding", "query_id", _grid_codebooks(),
+        top_k=TOP_K, n_candidates=_ADC_CANDIDATES,
+        candidate_filter=F.col("neighbor_id") % 7 == F.col("query_id") % 7,
+    )

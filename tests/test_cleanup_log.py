@@ -3,7 +3,9 @@ deleted, every read at or after the checkpoint is byte-identical
 (checkpoints snapshot sizes, per-file stats, declared stats columns,
 and the physical-schema stamp), time travel and lagging change feeds
 below the horizon refuse with clear errors, and feature-bearing tables
-refuse cleanup outright."""
+(partition-evolved and cloned ones included) clean too — their replay
+state is checkpoint-snapshotted; only a stale pre-snapshot checkpoint
+refuses."""
 
 from __future__ import annotations
 
@@ -106,15 +108,107 @@ def test_change_feed_guards_lagging_consumers(spark, cleaned):
     assert delta.count() == 5
 
 
-def test_partition_evolution_tables_refuse(spark, tmp_path):
+def test_partition_evolved_table_cleans_and_mixed_reads_survive(
+    spark, tmp_path
+):
+    """VERDICT r10 next #3: partition-evolved tables clean. The
+    set_partitioning entry that stamped the physical-schema authority
+    is deleted; the checkpoint copy must keep typing the path-encoded
+    column (numeric-LOOKING string values are the trap: directory
+    inference would corrupt "01" → 1)."""
     path = str(tmp_path / "pe")
     txn.append(
-        spark.createDataFrame([(1, "a")], "k long, b string"), path
+        spark.createDataFrame(
+            [(1, "01"), (2, "02")], "k long, b string"
+        ).coalesce(1),
+        path,
+    )  # v0 flat layout
+    txn.set_partitioning(spark, path, ["b"])  # v1: the stamping commit
+    txn.append(
+        spark.createDataFrame([(3, "03")], "k long, b string"), path
+    )  # v2 under b=… — the active set now mixes layouts
+    pre = sorted(map(tuple, txn.read_table(spark, path).collect()))
+    cpv = txn.checkpoint(path)
+    removed = txn.cleanup_log(path)
+    assert removed, "evolved table must actually clean"
+    got = txn.read_table(spark, path)
+    assert dict(got.dtypes)["b"] == "string", (
+        "path-encoded column type must survive via the checkpoint stamp"
+    )
+    assert sorted(map(tuple, got.collect())) == pre
+    # time travel at the horizon itself still serves
+    assert txn.read_table(spark, path, version=cpv).count() == 3
+    # DML over the mixed layout post-cleanup
+    txn.delete_where(spark, path, "k = 1")
+    assert sorted(
+        map(tuple, txn.read_table(spark, path).collect())
+    ) == [(2, "02"), (3, "03")]
+    # change feed resumes from the horizon
+    txn.append(
+        spark.createDataFrame([(9, "09")], "k long, b string"), path
+    )
+    delta = txn.table_changes(spark, path, from_version=cpv + 1)
+    assert delta.count() == 1
+    # the reader-feature gate survives the stamping entry's deletion:
+    # a foreign engine without the grouped read path must still refuse
+    assert "partitionEvolution" in txn.writer_features(path)
+
+
+def test_cloned_table_cleans_and_stays_independent(spark, tmp_path):
+    """VERDICT r10 next #3: cloned tables clean. The v0 clone entry
+    (lineage + schema authority for the linked snapshot) is deleted;
+    reads, DML, compact and vacuum on the clone must keep working and
+    never perturb the source's bytes."""
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    txn.append(_kv(spark, 0, 50), src)
+    txn.append(_kv(spark, 50, 100, 2.0), src)
+    txn.clone_table(src, dst)  # dst v0 (the clone entry)
+    txn.append(_kv(spark, 100, 110, 3.0), dst)  # dst v1
+    pre = sorted(map(tuple, txn.read_table(spark, dst).collect()))
+    cpv = txn.checkpoint(dst)
+    removed = txn.cleanup_log(dst)
+    assert removed, "cloned table must actually clean"
+    assert sorted(map(tuple, txn.read_table(spark, dst).collect())) == pre
+    assert txn.read_table(spark, dst, version=cpv).count() == len(pre)
+    txn.delete_where(spark, dst, "k < 10")
+    txn.compact(spark, dst)
+    txn.vacuum(dst, retain_versions=1)
+    assert txn.read_table(spark, dst).count() == len(pre) - 10
+    # physical independence survives the clone entry's deletion
+    assert txn.read_table(spark, src).count() == 100
+
+
+def test_cleanup_gate_refuses_stale_checkpoint_for_evolution(
+    spark, tmp_path
+):
+    """A legacy checkpoint missing the physical-schema snapshot must
+    refuse to clean an evolved table — deleting the stamping commit
+    with no checkpoint copy would leave path-encoded columns untyped."""
+    import json
+
+    path = str(tmp_path / "pe")
+    txn.append(
+        spark.createDataFrame([(1, "01")], "k long, b string"), path
     )
     txn.set_partitioning(spark, path, ["b"])
-    txn.checkpoint(path)
-    with pytest.raises(ValueError, match="partitionEvolution"):
+    cpv = txn.checkpoint(path)
+    cp_file = os.path.join(
+        path, "_txnlog", f"{cpv:020d}.checkpoint.json"
+    )
+    doc = json.loads(open(cp_file).read())
+    doc.pop("physicalSchemaJson", None)
+    open(cp_file, "w").write(json.dumps(doc))
+    with pytest.raises(ValueError, match="predates metadata snapshots"):
         txn.cleanup_log(path)
+    # fresh commit + fresh checkpoint unblocks (same recovery as the
+    # constraints/stats gate)
+    txn.append(
+        spark.createDataFrame([(2, "02")], "k long, b string"), path
+    )
+    txn.checkpoint(path)
+    assert txn.cleanup_log(path)
+    assert dict(txn.read_table(spark, path).dtypes)["b"] == "string"
 
 
 def test_widened_table_cleans_and_keeps_wide_reads(spark, tmp_path):

@@ -1869,8 +1869,23 @@ def _logged_schema(table_path: str, store: LogStore | None = None):
     DELETE keeps its shape; an append's ``physicalSchemaJson`` serves
     as the fallback — mapped back to logical names — so a declared-
     schema CREATE TABLE whose empty partitioned write produced zero
-    files still reads with its shape), or None."""
+    files still reads with its shape), or None. Checkpoint fallback:
+    after cleanup_log the newest schema-bearing entry may be gone while
+    the retained window holds only metadata-only commits — the
+    checkpoint's physical-schema snapshot is the remaining authority."""
     from pyspark.sql.types import StructField, StructType
+
+    def from_physical(p: str):
+        st = StructType.fromJson(json.loads(p))
+        mapping, dropped = _column_mapping_state(table_path, store=store)
+        inv = {ph: lg for lg, ph in mapping.items()}
+        return StructType(
+            [
+                StructField(inv.get(f.name, f.name), f.dataType, True)
+                for f in st.fields
+                if f.name not in dropped
+            ]
+        )
 
     for v in reversed(_committed_versions(table_path, store)):
         e = _load_entry(table_path, v, store) or {}
@@ -1881,16 +1896,10 @@ def _logged_schema(table_path: str, store: LogStore | None = None):
             "physicalSchemaJson"
         )
         if p:
-            st = StructType.fromJson(json.loads(p))
-            mapping, dropped = _column_mapping_state(table_path, store=store)
-            inv = {ph: lg for lg, ph in mapping.items()}
-            return StructType(
-                [
-                    StructField(inv.get(f.name, f.name), f.dataType, True)
-                    for f in st.fields
-                    if f.name not in dropped
-                ]
-            )
+            return from_physical(p)
+    cp = _checkpoint_doc(table_path, store)
+    if cp and cp.get("physicalSchemaJson"):
+        return from_physical(cp["physicalSchemaJson"])
     return None
 
 
@@ -3130,13 +3139,18 @@ def cleanup_log(
     Delta's behavior when the log is cleaned). Returns the deleted log
     file names.
 
-    REFUSED when the table's feature union includes metadata whose
-    state this engine replays from commit entries rather than the
-    checkpoint (columnMapping, typeWidening, partitionEvolution,
-    checkConstraints, generatedColumns, schemaEvolution, clone) — an
-    honest conservative gate: those tables keep their full log. The
-    measured payoff (SCALING.md): the directory listing and every
-    O(commits) walk drop from 10⁵ entries to commits-since-checkpoint.
+    Every metadata family this engine replays from commit entries is
+    snapshotted INTO the checkpoint at write time (columnMapping,
+    constraints, generated columns, wide/evolution schemas, the
+    physical-schema stamp that types path-encoded partition columns,
+    per-file stats), and every reader of that state is
+    checkpoint-anchored — so feature-bearing tables (partition-evolved
+    and cloned ones included) clean like plain ones. The only refusal
+    left is a STALE checkpoint: one written before a family it now
+    needs was snapshotted (legacy format) — commit once more,
+    re-checkpoint, retry. The measured payoff (SCALING.md): the
+    directory listing and every O(commits) walk drop from 10⁵ entries
+    to commits-since-checkpoint.
     """
     st = _store(store)
     cp = _latest_checkpoint(table_path, store)
@@ -3147,18 +3161,6 @@ def cleanup_log(
         )
     horizon = cp[0]
     feats = writer_features(table_path, store)
-    # columnMapping / constraints / generated / widening / evolution
-    # state is snapshotted INTO the checkpoint (readers are
-    # checkpoint-anchored), so those tables may clean; the remaining
-    # features stamp per-layout schemas into arbitrary history
-    blocked = feats & {"partitionEvolution", "clone"}
-    if blocked:
-        raise ValueError(
-            f"cleanup_log({table_path}) refused: the table relies on "
-            f"{sorted(blocked)}, whose state replays from commit "
-            "entries the cleanup would delete; this engine keeps the "
-            "full log for such tables"
-        )
     doc = _checkpoint_doc(table_path, store) or {}
     needed = {
         "columnMapping": ("columnMapping",),
@@ -3166,6 +3168,15 @@ def cleanup_log(
         "schemaEvolution": ("wideSchemaJson", "schemaEvolved"),
         "checkConstraints": ("constraints",),
         "generatedColumns": ("generated",),
+        # mixed-layout reads type path-encoded columns from the
+        # physical-schema stamp; after cleanup the stamping
+        # set_partitioning entry may be gone, so the checkpoint copy
+        # is load-bearing (_stamped_physical_types falls back to it)
+        "partitionEvolution": ("physicalSchemaJson", "schemaEvolved"),
+        # a clone's v0 entry carries wide/evolution schema authority
+        # for the linked snapshot; post-cleanup readers anchor on the
+        # checkpoint copies instead
+        "clone": ("wideSchemaJson", "schemaEvolved"),
     }
     # stats/statsCols are advisory (not protocol features) but replay
     # from commit entries too — a legacy checkpoint missing them would

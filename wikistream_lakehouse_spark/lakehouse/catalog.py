@@ -28,7 +28,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from wikistream_lakehouse_spark.lakehouse import txn
+from wikistream_lakehouse_spark.lakehouse import sqltext, txn
 
 
 @dataclass(frozen=True)
@@ -352,6 +352,9 @@ _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
 _SHOW_PARTITIONS_RE = re.compile(
     rf"^\s*SHOW\s+PARTITIONS\s+({_IDENT})\s*;?\s*$", re.IGNORECASE
 )
+_SHOW_CREATE_RE = re.compile(
+    rf"^\s*SHOW\s+CREATE\s+TABLE\s+({_IDENT})\s*;?\s*$", re.IGNORECASE
+)
 _DESCRIBE_TABLE_RE = re.compile(
     rf"^\s*DESCRIBE\s+(?:TABLE\s+)?({_IDENT})\s*;?\s*$", re.IGNORECASE
 )
@@ -420,6 +423,9 @@ DDL:
   SHOW PARTITIONS t        (active partition values — log metadata
                             only, zero data IO at any table size)
   DESCRIBE [TABLE] t_or_v  (col_name, data_type, nullable)
+  SHOW CREATE TABLE t_or_v (one-row round-trippable DDL script:
+    CREATE TABLE + the ALTERs for constraints/generated columns/
+    stats columns; a view returns its CREATE VIEW text)
 Reads (SELECT ...) go straight to spark.sql() — via catalog.sql they
 also get in-query time travel on registered names:
   SELECT ... FROM t VERSION AS OF n [JOIN u TIMESTAMP AS OF 'ts' ...]
@@ -435,37 +441,9 @@ txn API directly (txn.delete_where / update_where / merge_builder.merge)."""
 
 def _split_top_level(s: str) -> list[str]:
     """Split on commas at paren/quote depth zero (SET lists can contain
-    function calls and string literals with commas)."""
-    parts, buf, depth, quote = [], [], 0, None
-    i = 0
-    while i < len(s):
-        c = s[i]
-        if quote:
-            buf.append(c)
-            if c == quote:
-                # '' / "" escapes inside SQL literals stay in the token
-                if i + 1 < len(s) and s[i + 1] == quote:
-                    buf.append(s[i + 1])
-                    i += 1
-                else:
-                    quote = None
-        elif c in "'\"":
-            quote = c
-            buf.append(c)
-        elif c in "([":
-            depth += 1
-            buf.append(c)
-        elif c in ")]":
-            depth -= 1
-            buf.append(c)
-        elif c == "," and depth == 0:
-            parts.append("".join(buf))
-            buf = []
-        else:
-            buf.append(c)
-        i += 1
-    parts.append("".join(buf))
-    return [p.strip() for p in parts if p.strip()]
+    function calls and string literals with commas). One shared
+    scanner: sqltext (VERDICT r10 next #8)."""
+    return sqltext.split_top_level(s)
 
 
 def _ansi_quotes(statement: str) -> str:
@@ -477,68 +455,15 @@ def _ansi_quotes(statement: str) -> str:
     IDENTIFIER; raw ``spark.sql`` would read it as a string literal and
     aggregate a constant (VERDICT r9 next #5). Backtick spans pass
     through untouched, so already-Spark-quoted statements are stable
-    under re-application."""
-    out: list[str] = []
-    i, n = 0, len(statement)
-    while i < n:
-        c = statement[i]
-        if c == "'" or c == "`":
-            j = i + 1
-            while j < n:
-                if statement[j] == c:
-                    if j + 1 < n and statement[j + 1] == c:
-                        j += 2
-                        continue
-                    break
-                j += 1
-            out.append(statement[i : j + 1])
-            i = j + 1
-        elif c == '"':
-            j, buf = i + 1, []
-            while j < n:
-                if statement[j] == '"':
-                    if j + 1 < n and statement[j + 1] == '"':
-                        buf.append('"')
-                        j += 2
-                        continue
-                    break
-                buf.append(statement[j])
-                j += 1
-            if j >= n:
-                raise ValueError(
-                    f'unterminated "-quoted identifier at offset {i}: '
-                    f"{statement[i:i + 40]!r}"
-                )
-            out.append("`" + "".join(buf).replace("`", "``") + "`")
-            i = j + 1
-        else:
-            out.append(c)
-            i += 1
-    return "".join(out)
+    under re-application. One shared scanner: sqltext."""
+    return sqltext.ansi_quotes(statement)
 
 
 def _scan_balanced(s: str, start: int) -> int:
     """Index just PAST the paren group opening at ``s[start]`` ('('),
-    quote-aware: parens inside '...'/"..."/`...` spans don't count."""
-    depth, quote, i = 0, None, start
-    while i < len(s):
-        c = s[i]
-        if quote:
-            if c == quote:
-                if i + 1 < len(s) and s[i + 1] == quote:
-                    i += 1
-                else:
-                    quote = None
-        elif c in "'\"`":
-            quote = c
-        elif c == "(":
-            depth += 1
-        elif c == ")":
-            depth -= 1
-            if depth == 0:
-                return i + 1
-        i += 1
-    raise ValueError(f"unbalanced parentheses in {s[start:start + 40]!r}...")
+    quote-aware: parens inside '...'/"..."/`...` spans don't count.
+    One shared scanner: sqltext."""
+    return sqltext.scan_balanced(s, start)
 
 
 def _parse_merge(statement: str):
@@ -1222,6 +1147,69 @@ def _sql_maintenance(spark: SparkSession, statement: str):
         views.pop(vname)
         spark.catalog.dropTempView(vname)
         return None
+    m = _SHOW_CREATE_RE.match(statement)
+    if m:
+        name = m.group(1)
+        views = _session_views(spark)
+        if name in views:
+            ddl = f"CREATE VIEW {name} AS {' '.join(views[name].split())}"
+            return spark.createDataFrame(
+                [(ddl,)], "createtab_stmt string"
+            )
+        b = _session_bindings(spark).get(name)
+        if b is None:
+            raise ValueError(
+                f"{name!r} is not a registered table or created view"
+            )
+        # round-trippable DDL: the returned script, run through
+        # sql_script with a fresh name/LOCATION, recreates an empty
+        # table with the same logical schema, layout, constraints,
+        # generated columns and declared stats columns (tested). The
+        # metadata families the CREATE grammar doesn't carry become
+        # ALTER statements after it — exactly the statements a user
+        # would have run.
+        df = txn.read_table(
+            spark, b.path, version=b.version, store=b.store
+        )
+        mapping, _dropped = txn._column_mapping_state(
+            b.path, b.version, b.store
+        )
+        inv = {ph: lg for lg, ph in mapping.items()}
+        pb = [
+            inv.get(c, c)
+            for c in txn._current_partitioning(
+                b.path, b.store, upto=b.version
+            )
+        ]
+        cols = ",\n  ".join(
+            f"{f.name} {f.dataType.simpleString().upper()}"
+            for f in df.schema.fields
+        )
+        head = [f"CREATE TABLE {name} (\n  {cols}\n)"]
+        if pb:
+            head.append(f"PARTITIONED BY ({', '.join(pb)})")
+        head.append(f"LOCATION '{b.path}'")
+        stmts = ["\n".join(head)]
+        for cn, expr in sorted(
+            txn.constraints(b.path, b.store, upto=b.version).items()
+        ):
+            stmts.append(
+                f"ALTER TABLE {name} ADD CONSTRAINT {cn} CHECK ({expr})"
+            )
+        for col, expr in sorted(
+            txn.generated_columns(b.path, b.store, upto=b.version).items()
+        ):
+            stmts.append(
+                f"ALTER TABLE {name} SET GENERATED {col} AS ({expr})"
+            )
+        sc = txn.stats_columns(b.path, b.store, upto=b.version)
+        if sc:
+            stmts.append(
+                f"ALTER TABLE {name} SET STATS COLUMNS ({', '.join(sc)})"
+            )
+        return spark.createDataFrame(
+            [(";\n".join(stmts) + ";",)], "createtab_stmt string"
+        )
     m = _SHOW_PARTITIONS_RE.match(statement)
     if m:
         name = m.group(1)
@@ -1439,42 +1427,13 @@ def sql_script(spark: SparkSession, script: str) -> list:
     reads, versions/reports for writes). The reference's analyst
     surface is exactly this shape — a pasted multi-statement block with
     ``--`` comments (README.md:99-110 runs two statements in one Athena
-    block). Splitting is quote-aware (a ``;`` inside a string literal
-    stays in its statement) and ``--`` line comments are stripped
-    outside literals; empty statements are skipped. Statements run in
-    order, so a CTAS can feed the SELECT after it; the first failure
-    raises with the 1-based statement index named."""
-    # strip -- comments outside quoted spans, track ; at quote depth;
-    # quoted spans are '…' literals, "…" identifiers (ANSI — converted
-    # downstream by _ansi_quotes), and `…` identifiers, so a ; or --
-    # inside ANY of them stays in its statement (ADVICE r9 low #2)
-    stmts: list[str] = []
-    buf: list[str] = []
-    i, n, quote = 0, len(script), None
-    while i < n:
-        c = script[i]
-        if quote:
-            buf.append(c)
-            if c == quote:
-                if i + 1 < n and script[i + 1] == quote:
-                    buf.append(script[i + 1])
-                    i += 1
-                else:
-                    quote = None
-        elif c in "'\"`":
-            quote = c
-            buf.append(c)
-        elif c == "-" and i + 1 < n and script[i + 1] == "-":
-            while i < n and script[i] != "\n":
-                i += 1
-            continue
-        elif c == ";":
-            stmts.append("".join(buf))
-            buf = []
-        else:
-            buf.append(c)
-        i += 1
-    stmts.append("".join(buf))
+    block). Splitting is quote-aware (a ``;`` or ``--`` inside a '…'
+    literal, an ANSI "…" identifier, or a `…` identifier stays in its
+    statement — ADVICE r9 low #2) via the one shared scanner
+    (sqltext.split_statements); empty statements are skipped.
+    Statements run in order, so a CTAS can feed the SELECT after it;
+    the first failure raises with the 1-based statement index named."""
+    stmts = sqltext.split_statements(script)
     out = []
     for idx, s in enumerate(stmts, 1):
         if not s.strip():

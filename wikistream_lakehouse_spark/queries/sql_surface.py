@@ -385,3 +385,86 @@ def sql_merge_changes_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY priority
         """,
     )
+
+
+@register(
+    "sql_show_create_roundtrip",
+    oracle="""
+        SELECT c_mktsegment AS segment,
+               count(*) AS n_cust,
+               ROUND(SUM(c_acctbal), 2) AS total_bal
+        FROM customer
+        WHERE c_custkey > 0
+        GROUP BY c_mktsegment
+        ORDER BY segment
+    """,
+    tags=("catalog", "sql", "ddl", "show_create"),
+)
+def sql_show_create_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW CREATE TABLE as a LOAD-BEARING statement (VERDICT r10 next
+    #6): CTAS a partitioned customer table, declare a CHECK constraint
+    and stats columns, then rebuild a twin FROM THE EMITTED DDL SCRIPT
+    alone — name and LOCATION swapped, everything else verbatim — fill
+    it by INSERT INTO … SELECT through the SQL front door, and
+    aggregate from the TWIN. The oracle restates the aggregate over the
+    raw source, so the DDL text must round-trip schema, partition
+    layout, constraint and stats declarations exactly (a lossy SHOW
+    CREATE shows up as a refused insert or a wrong shape). Reference
+    anchor: the reference's analysts read table DDL out of the Glue
+    catalog console (README.md:55-60); here the catalog emits it as a
+    runnable script."""
+    import shutil
+
+    from wikistream_lakehouse_spark.lakehouse import catalog
+    from wikistream_lakehouse_spark.tables import table
+
+    table(spark, sf_dir, "customer").createOrReplaceTempView("cust_src")
+    # path names deliberately share NO substring with the table names:
+    # the twin DDL is produced by textual name substitution, which must
+    # touch identifiers only, never the LOCATION path
+    base = scratch_dir("sc_rt", sf_dir)
+    loc = os.path.join(base, "t_orig").replace("'", "''")
+    catalog.sql_script(
+        spark,
+        f"""
+        CREATE OR REPLACE TABLE cust_sc PARTITIONED BY (c_mktsegment)
+            LOCATION '{loc}' AS
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+        FROM cust_src
+        WHERE c_custkey > 0;
+
+        ALTER TABLE cust_sc ADD CONSTRAINT custkey_pos CHECK (c_custkey > 0);
+        ALTER TABLE cust_sc SET STATS COLUMNS (c_custkey);
+        """,
+    )
+    ddl = (
+        catalog.sql(spark, "SHOW CREATE TABLE cust_sc")
+        .first()
+        .createtab_stmt
+    )
+    # the twin: same script, fresh name + LOCATION (the determinism
+    # probe runs twice per process — start the twin from a clean slate)
+    twin_loc = os.path.join(base, "t_twin")
+    try:
+        catalog.unregister_table(spark, "cust_sc2")
+    except Exception:
+        pass
+    shutil.rmtree(twin_loc, ignore_errors=True)
+    ddl2 = ddl.replace("cust_sc", "cust_sc2").replace(
+        f"LOCATION '{loc}'", f"LOCATION '{twin_loc}'"
+    )
+    catalog.sql_script(spark, ddl2)
+    return catalog.sql_script(
+        spark,
+        """
+        INSERT INTO cust_sc2
+        SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM cust_sc;
+
+        SELECT c_mktsegment AS segment,
+               count(*) AS n_cust,
+               ROUND(SUM(c_acctbal), 2) AS total_bal
+        FROM cust_sc2
+        GROUP BY c_mktsegment
+        ORDER BY segment;
+        """,
+    )[-1]

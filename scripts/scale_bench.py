@@ -68,6 +68,10 @@ DEFAULT_QUERIES = [
     "heavy_hitter_tokens",        # MG sketch + exact verify pass (watch)
     # round-9 additions
     "sql_time_travel_diff",       # two-version txn build + in-query time travel
+    # round-11 additions (VERDICT r10 next #7: the new SQL surface)
+    "sql_alter_lineage",          # ALTER chain: rename/add/constraint/generated
+    "sql_view_changes_replay",    # views over pinned snapshot + change feed
+    "sql_merge_changes_upsert",   # MERGE USING CHANGES(t, start)
 ]
 
 

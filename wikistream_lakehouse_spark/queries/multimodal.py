@@ -156,3 +156,67 @@ def media_frame_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_idx").cast("long").alias("frame_idx"),
         F.octet_length("frame").cast("long").alias("frame_len"),
     ).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "media_features_exact",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, text,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS media_type
+            FROM documents
+            WHERE doc_id < 300
+              AND octet_length(encode(text)) = length(text)
+        ), c AS (
+            SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) AS b
+            FROM (SELECT doc_id, text,
+                         unnest(generate_series(1, length(text))) AS i
+                  FROM d) u
+        ), grp AS (
+            SELECT doc_id, b, count(*) AS cnt FROM c GROUP BY doc_id, b
+        ), tot AS (
+            SELECT doc_id, sum(cnt) AS n, sum(b * cnt) AS s
+            FROM grp GROUP BY doc_id
+        ), ent AS (
+            SELECT g.doc_id,
+                   -sum((g.cnt / t.n) * log2(g.cnt / t.n)) AS entropy
+            FROM grp g JOIN tot t USING (doc_id)
+            GROUP BY g.doc_id
+        )
+        SELECT d.doc_id, d.media_type,
+               CAST(length(d.text) AS BIGINT) AS size_bytes,
+               ROUND(COALESCE(t.s / t.n, 0.0), 6) AS byte_mean,
+               ROUND(COALESCE(e.entropy, 0.0), 6) AS byte_entropy
+        FROM d LEFT JOIN tot t ON d.doc_id = t.doc_id
+               LEFT JOIN ent e ON d.doc_id = e.doc_id
+        ORDER BY d.doc_id
+    """,
+    tags=("X5", "multimodal", "pandas-udf", "exact-face", "extra"),
+)
+def media_features_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The media feature extractor, oracle-certified end to end: the
+    REAL Arrow-batched ``extract_media_features`` pipeline (same
+    mapInPandas kernel as the rows-only ``media_features`` twin) whose
+    deterministic stand-in codec decodes payload = utf-8 bytes — so on
+    ASCII documents (guarded identically on both sides) the byte MEAN
+    and byte-distribution ENTROPY are exactly recomputable in SQL from
+    per-character codepoints. Certifies the full UDF data path: Arrow
+    batch shape, per-row decode, histogram statistics, rounding —
+    leaving only genuinely non-SQL codecs to the ◇ twin. (The driver
+    never re-scores rows-only queries; this face makes X5's feature
+    kernel driver-visible — VERDICT r10 next #1's pattern.)"""
+    d = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .filter(F.octet_length(F.encode("text", "utf-8")) == F.length("text"))
+    )
+    f = extract_media_features(_with_media_columns(d))
+    return f.select(
+        "doc_id",
+        "media_type",
+        F.col("size_bytes").cast("long").alias("size_bytes"),
+        "byte_mean",
+        "byte_entropy",
+    ).orderBy("doc_id")

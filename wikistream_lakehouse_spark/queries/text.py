@@ -126,7 +126,58 @@ def lang_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "language_id_ngram",
-    oracle=None,  # heuristic classifier — accuracy asserted in unit tests
+    # the classifier is HEURISTIC but fully DETERMINISTIC (explicit
+    # tie-breaks at both row_number sites), so the whole pipeline —
+    # distinct char bigrams, top-20-by-df profiles, overlap argmax —
+    # is ANSI-SQL-recomputable; rows-only since r1 only by oversight
+    # (VERDICT r10: shrink the driver-unverifiable surface)
+    oracle="""
+        WITH grams AS (
+            SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 2) AS g
+            FROM (SELECT doc_id, text,
+                         unnest(generate_series(1, length(text) - 1)) AS i
+                  FROM documents) u
+        ), labeled AS (
+            SELECT g.doc_id, d.lang AS profile_lang, g.g
+            FROM grams g JOIN documents d USING (doc_id)
+        ), df_counts AS (
+            SELECT profile_lang, g, count(*) AS df
+            FROM labeled GROUP BY 1, 2
+        ), prof AS (
+            SELECT profile_lang, g
+            FROM (SELECT profile_lang, g,
+                         row_number() OVER (PARTITION BY profile_lang
+                                            ORDER BY df DESC, g) AS rk
+                  FROM df_counts)
+            WHERE rk <= 20
+        ), ovl AS (
+            SELECT gr.doc_id, p.profile_lang, count(*) AS overlap
+            FROM grams gr JOIN prof p USING (g)
+            GROUP BY 1, 2
+        ), universe AS (
+            SELECT d.doc_id, p.profile_lang
+            FROM documents d
+            CROSS JOIN (SELECT DISTINCT profile_lang FROM prof) p
+        ), scored AS (
+            SELECT u.doc_id, u.profile_lang,
+                   COALESCE(o.overlap, 0) AS overlap
+            FROM universe u LEFT JOIN ovl o
+                ON u.doc_id = o.doc_id
+               AND u.profile_lang = o.profile_lang
+        ), picked AS (
+            SELECT doc_id, profile_lang AS predicted_lang
+            FROM (SELECT doc_id, profile_lang,
+                         row_number() OVER (
+                             PARTITION BY doc_id
+                             ORDER BY overlap DESC, profile_lang) AS rk
+                  FROM scored)
+            WHERE rk = 1
+        )
+        SELECT d.doc_id, d.lang, p.predicted_lang,
+               d.lang = p.predicted_lang AS correct
+        FROM documents d JOIN picked p USING (doc_id)
+        ORDER BY d.doc_id
+    """,
     tags=("X4", "text", "langid"),
     check=checks.langid_check,
 )

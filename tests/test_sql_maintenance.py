@@ -135,7 +135,12 @@ def test_maintenance_refused_on_version_pinned_binding(spark, reg):
 
 
 def test_unknown_statement_still_refused_loudly(spark, reg):
+    # ANALYZE graduated to a supported statement (r11); GRANT stands in
+    # as the canonical out-of-grammar form
     with pytest.raises(ValueError, match="unsupported DML"):
+        catalog.sql_dml(spark, "GRANT SELECT ON mnt_t TO analyst")
+    # ANALYZE itself routes — and refuses helpfully without columns
+    with pytest.raises(ValueError, match="no columns"):
         catalog.sql_dml(spark, "ANALYZE TABLE mnt_t COMPUTE STATISTICS")
 
 

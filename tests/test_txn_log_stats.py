@@ -205,3 +205,101 @@ def test_checkpointed_open_reads_constant_log_files(tmp_path):
         reads[n] = cs.reads
     assert reads[60] == reads[240], reads  # O(1), not O(commits)
     assert reads[240] <= 5, reads
+
+
+# ---------------------------------------------------------------- analyze
+
+
+def _analyze_fixture(spark, tmp_path, n_files=4):
+    """A converted legacy table: clustered k, multiple files, ZERO
+    logged stats (convert_to_txn adopts footers as-is)."""
+    plain = str(tmp_path / "legacy")
+    for i in range(n_files):
+        (
+            spark.range(i * 100, (i + 1) * 100)
+            .select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(plain)
+        )
+    txn.convert_to_txn(spark, plain)
+    return plain
+
+
+def test_analyze_backfills_stats_and_pruning_turns_on(spark, tmp_path):
+    """VERDICT-r11 ANALYZE TABLE: a converted table prunes nothing
+    until analyze_table backfills per-file envelopes — then a point
+    lookup opens O(matching files), no data rewritten."""
+    t = _analyze_fixture(spark, tmp_path)
+    got, n_read, n_total = skipping.point_lookup(spark, t, {"k": 150})
+    assert n_read == n_total == 4, "no stats yet: every file opened"
+    v, n = txn.analyze_table(spark, t, cols=["k"])
+    assert n == 4
+    got, n_read, n_total = skipping.point_lookup(spark, t, {"k": 150})
+    assert [r.k for r in got.collect()] == [150]
+    assert n_read == 1 < n_total, "envelopes must prune after analyze"
+    # metadata-only: same active files, one more commit
+    assert txn.current_version(t) == v
+    assert len(txn._replay(t, v)) == 4
+
+
+def test_analyze_is_idempotent_and_incremental(spark, tmp_path):
+    t = _analyze_fixture(spark, tmp_path)
+    v1, n1 = txn.analyze_table(spark, t, cols=["k"])
+    assert n1 == 4
+    # second call: nothing missing, NO commit
+    v2, n2 = txn.analyze_table(spark, t, cols=["k"])
+    assert (v2, n2) == (v1, 0)
+    # a new append with declared stats is already covered; analyze
+    # touches only the still-unstated files (here: none)
+    txn.set_stats_columns(t, ["k"])
+    txn.append(
+        spark.range(1000, 1100)
+        .select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+        .coalesce(1),
+        t,
+    )
+    v3, n3 = txn.analyze_table(spark, t)
+    assert n3 == 0, "append under declared stats needs no backfill"
+
+
+def test_analyze_refuses_without_columns(spark, tmp_path):
+    t = _analyze_fixture(spark, tmp_path, n_files=1)
+    with pytest.raises(ValueError, match="no columns"):
+        txn.analyze_table(spark, t)
+
+
+def test_analyze_composes_with_checkpoint_cleanup(spark, tmp_path):
+    """The analyze entry's stats payload must survive log retention via
+    the checkpoint's stats snapshot."""
+    t = _analyze_fixture(spark, tmp_path)
+    txn.analyze_table(spark, t, cols=["k"])
+    txn.append(
+        spark.range(400, 500)
+        .select(F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+        .coalesce(1),
+        t,
+    )
+    txn.checkpoint(t)
+    assert txn.cleanup_log(t)
+    got, n_read, n_total = skipping.point_lookup(spark, t, {"k": 150})
+    assert [r.k for r in got.collect()] == [150]
+    assert n_read < n_total, "backfilled stats must survive cleanup"
+
+
+def test_analyze_sql_statement_routes(spark, tmp_path):
+    from wikistream_lakehouse_spark.lakehouse import catalog
+
+    t = _analyze_fixture(spark, tmp_path)
+    catalog.register_table(spark, "an_t", t)
+    try:
+        rep = catalog.sql(spark, "ANALYZE TABLE an_t FOR COLUMNS (k)")
+        assert rep["analyzed_files"] == 4
+        rep2 = catalog.sql(
+            spark, "ANALYZE TABLE an_t COMPUTE STATISTICS FOR COLUMNS (k)"
+        )
+        assert rep2["analyzed_files"] == 0
+        got, n_read, n_total = skipping.point_lookup(spark, t, {"k": 10})
+        assert n_read == 1
+    finally:
+        catalog.unregister_table(spark, "an_t")

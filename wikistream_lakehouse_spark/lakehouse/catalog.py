@@ -235,6 +235,12 @@ _VACUUM_RE = re.compile(
 _CHECKPOINT_RE = re.compile(
     rf"^\s*CHECKPOINT\s+({_IDENT})\s*;?\s*$", re.IGNORECASE
 )
+_ANALYZE_RE = re.compile(
+    rf"^\s*ANALYZE\s+TABLE\s+({_IDENT})"
+    rf"(?:\s+COMPUTE\s+STATISTICS)?"
+    rf"(?:\s+FOR\s+COLUMNS\s*\(([^)]+)\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
 _RESTORE_RE = re.compile(
     rf"^\s*RESTORE\s+(?:TABLE\s+)?({_IDENT})\s+TO\s+"
     rf"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')"
@@ -384,6 +390,10 @@ maintenance statements (same registered names):
   VACUUM t [RETAIN n VERSIONS | RETAIN n HOURS] [DRY RUN]
     (HOURS keeps the snapshot current at the window edge + newer)
   CHECKPOINT t
+  ANALYZE TABLE t [COMPUTE STATISTICS] [FOR COLUMNS (a, b, ...)]
+    (backfills per-file skipping stats + Blooms for active files that
+     lack them — metadata-only, O(missing files); default columns =
+     the declared SET STATS COLUMNS)
   RESTORE [TABLE] t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'
   GENERATE symlink_format_manifest FOR TABLE t
   MAINTAIN [TABLE] t [WITH LOG RETENTION]   (one-call tending: compact/
@@ -435,6 +445,8 @@ also get in-query time travel on registered names:
     bounds may be versions or 'timestamp' literals — a timestamp
     start means "changes after the snapshot as of that time")
   DESCRIBE HISTORY t | DESCRIBE DETAIL t
+  EXPLAIN [EXTENDED|FORMATTED] SELECT ...   (plan inspection; the
+    time-travel/CHANGES rewrite applies to the inner body)
 (INSERT/CTAS SELECT bodies get the same grammar.) Richer writes use the
 txn API directly (txn.delete_where / update_where / merge_builder.merge)."""
 
@@ -922,6 +934,19 @@ def _sql_maintenance(spark: SparkSession, statement: str):
         )
         refresh_table(spark, name)
         return v
+    m = _ANALYZE_RE.match(statement)
+    if m:
+        name, cols_sql = m.groups()
+        b = _writable_binding(spark, name)
+        cols = (
+            [c.strip().strip("`") for c in cols_sql.split(",")]
+            if cols_sql
+            else None
+        )
+        v, n = txn.analyze_table(spark, b.path, cols=cols, store=b.store)
+        if n:
+            refresh_table(spark, name)
+        return {"version": v, "analyzed_files": n}
     m = _VACUUM_RE.match(statement)
     if m:
         name, retain, unit, dry = m.groups()
@@ -1385,7 +1410,10 @@ def sql(spark: SparkSession, statement: str):
     door's.
     """
     statement = _ansi_quotes(statement)
-    if re.match(r"(?is)^\s*(SELECT|WITH|VALUES|\()", statement):
+    # EXPLAIN rides the read path: Spark executes it natively and the
+    # in-query time-travel/CHANGES rewrite applies to the inner body,
+    # so an analyst can inspect the PLAN of a historical read too
+    if re.match(r"(?is)^\s*(EXPLAIN\b|SELECT|WITH|VALUES|\()", statement):
         if _session_views(spark):
             _materialize_views(spark, statement)
         return spark.sql(_rewrite_time_travel(spark, statement))

@@ -832,6 +832,75 @@ def set_stats_columns(
     raise CommitConflict(f"set_stats_columns conflicted {max_retries} times")
 
 
+def analyze_table(
+    spark: SparkSession,
+    table_path: str,
+    cols: "list[str] | None" = None,
+    max_retries: int = 5,
+    store: LogStore | None = None,
+) -> "tuple[int, int]":
+    """Backfill per-file data-skipping stats (min/max envelopes + Bloom
+    filters) for ACTIVE files that have none logged — the Delta
+    ``ANALYZE TABLE`` analogue this log was missing. ``set_stats_columns``
+    only covers FUTURE writes; a table adopted via ``convert_to_txn``
+    (or written before the declaration) served every point lookup and
+    merge probe with zero pruning until its first full compact. This
+    is the metadata-only alternative: one footer-only + column-pruned
+    pass over exactly the UNSTATED files (O(missing files), never
+    O(table), no data rewritten), committed as an ``analyze`` metadata
+    entry whose ``stats`` payload replays like any writer's.
+
+    ``cols`` are logical names; default = the declared stats columns
+    (declare first or pass explicitly — analyzing nothing is refused
+    loudly rather than silently succeeding). Files are immutable, so
+    the collected stats stay valid across commit races; the retry only
+    re-reads the version counter. Returns (committed version,
+    n files analyzed); nothing missing returns (current version, 0)
+    with no commit — idempotent by construction.
+
+    At 100 TB: adopting a 10⁶-file legacy table costs one distributed
+    footer pass; from then on point lookups open O(matching files)
+    (skipping.point_lookup) instead of every footer. Stats are
+    advisory metadata, not a protocol feature — a foreign engine
+    ignoring them stays correct, just unpruned."""
+    _check_writer_features(table_path, store)
+    logical = list(cols) if cols is not None else stats_columns(
+        table_path, store
+    )
+    if not logical:
+        raise ValueError(
+            f"analyze_table({table_path}): no columns — declare "
+            "set_stats_columns first or pass cols=[...]"
+        )
+    base = current_version(table_path, store)
+    if base < 0:
+        raise ValueError(f"nothing committed under {table_path}")
+    have = _logged_file_stats_raw(table_path, base, store)
+    mapping, _dropped = _column_mapping_state(table_path, store=store)
+    want_phys = {mapping.get(c, c) for c in logical}
+    todo = [
+        f
+        for f in _replay(table_path, base, store)
+        if f not in have or not want_phys <= set(have[f].get("cols", []))
+    ]
+    if not todo:
+        return base, 0
+    stats = _collect_commit_stats(spark, table_path, todo, logical, store)
+    for _ in range(max_retries):
+        base = current_version(table_path, store)
+        entry = _entry(
+            "analyze",
+            [],
+            [],
+            _current_partitioning(table_path, store),
+            {"analyzedFiles": len(todo), "cols": logical},
+        )
+        entry["stats"] = stats
+        if _try_commit(table_path, base + 1, entry, store):
+            return base + 1, len(todo)
+    raise CommitConflict(f"analyze_table conflicted {max_retries} times")
+
+
 def stats_columns(
     table_path: str,
     store: LogStore | None = None,
@@ -1110,6 +1179,7 @@ _METADATA_OPS = (
     "drop_column",
     "set_partitioning",
     "set_stats_columns",
+    "analyze",
 )  # no content change
 
 

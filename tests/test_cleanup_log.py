@@ -445,3 +445,42 @@ def test_retention_marker_is_versioned_and_max_wins(spark, cleaned):
         json.dumps({"horizon": 1})
     )
     assert txn._retention_horizon(path) == cpv
+
+
+def test_compacted_evolved_table_cleans_and_duckdb_reads(spark, tmp_path):
+    """The full lifecycle a 100 TB table would actually live: evolve the
+    partition spec, let a FULL compact migrate the layout physically,
+    clean the log — then the independent DuckDB planner (zero Spark)
+    must still serve the snapshot, reading the physical-schema authority
+    from the checkpoint."""
+    from wikistream_lakehouse_spark.lakehouse.interop import (
+        read_snapshot_duckdb,
+    )
+
+    path = str(tmp_path / "pe")
+    txn.append(
+        spark.createDataFrame(
+            [(1, "01"), (2, "02"), (3, "03")], "k long, b string"
+        ).coalesce(1),
+        path,
+    )
+    txn.set_partitioning(spark, path, ["b"])
+    txn.append(
+        spark.createDataFrame([(4, "04")], "k long, b string"), path
+    )
+    txn.compact(spark, path)  # migrates every file to the b= layout
+    txn.checkpoint(path)
+    assert txn.cleanup_log(path)
+    got_spark = sorted(
+        map(tuple, txn.read_table(spark, path).collect())
+    )
+    tbl = read_snapshot_duckdb(path)
+    got_duck = sorted(
+        zip(
+            tbl.column("k").to_pylist(),
+            tbl.column("b").to_pylist(),
+        )
+    )
+    assert got_spark == got_duck == [(1, "01"), (2, "02"), (3, "03"), (4, "04")]
+    # the value "01" survived as a STRING in both engines
+    assert all(isinstance(b, str) for _k, b in got_duck)

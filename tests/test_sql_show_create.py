@@ -126,3 +126,19 @@ def test_show_create_mixes_into_a_script(spark, bound):
     )
     assert "CREATE TABLE sc_t" in out[0].first().createtab_stmt
     assert out[1].first().n == 2
+
+
+def test_explain_routes_through_the_front_door(spark, bound):
+    """EXPLAIN rides the read path with the time-travel rewrite applied
+    to the inner body — the analyst can inspect a historical read's
+    physical plan through the same front door."""
+    df = catalog.sql(spark, "EXPLAIN SELECT count(*) FROM sc_t")
+    out = "\n".join(r[0] for r in df.collect())
+    assert "Physical Plan" in out
+    # v3 = the INSERT commit (0 create, 1 constraint, 2 stats): the
+    # pinned snapshot has files, so the plan shows the parquet scan
+    df2 = catalog.sql(
+        spark, "EXPLAIN FORMATTED SELECT k FROM sc_t VERSION AS OF 3"
+    )
+    out2 = "\n".join(r[0] for r in df2.collect())
+    assert "Scan parquet" in out2 or "FileScan" in out2

@@ -103,10 +103,36 @@ def main() -> None:
     calibration_probe(spark)  # untimed: JIT + codegen warm-up
     cal_pre = [calibration_probe(spark) for _ in range(3)]
 
+    # Wall budget (r11): the query set grew past the point where 1
+    # warm-up + 5 timed sweeps fit any plausible driver timeout on a
+    # loaded host. The artifact must ALWAYS materialize — a truncated
+    # run with fewer sweeps beats a killed process with none (the fate
+    # of BENCH_r01/r03) — so sweeps stop early when the next one would
+    # overrun the budget; at least one timed sweep always runs.
+    try:
+        budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "1200"))
+    except ValueError:
+        print("bench: bad SPARK_GRAFT_BENCH_BUDGET_SEC, using 1200", file=sys.stderr)
+        budget = 1200.0
+    t_sweeps = time.perf_counter()
+    done_sweeps = 0
+
     samples: dict[str, list[float]] = {name: [] for name in qs}
     errors: dict[str, str] = {}
     for sweep in range(n_runs + 1):
         warmup = sweep == 0
+        if done_sweeps >= 1:
+            elapsed = time.perf_counter() - t_sweeps
+            per_sweep = elapsed / (done_sweeps + 1)  # warm-up included
+            if elapsed + per_sweep > budget:
+                print(
+                    f"bench: wall budget {budget:.0f}s — stopping after "
+                    f"{done_sweeps} timed sweep(s)",
+                    file=sys.stderr,
+                )
+                break
+        if not warmup:
+            done_sweeps += 1
         for name in sorted(qs):
             if name in errors:
                 continue
@@ -148,7 +174,7 @@ def main() -> None:
     ) or [0.0]
     iqrs = sorted(iqr(ts) for ts in samples.values() if ts) or [0.0]
     spread = {
-        "runs": n_runs,
+        "runs": done_sweeps,
         "per_query_range_p50": round(median(spreads), 2),
         "per_query_range_max": round(spreads[-1], 2),
         "per_query_iqr_p50": round(median(iqrs), 3),
@@ -175,7 +201,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": infer_sf(sf_dir),
-        "runs": n_runs,
+        "runs": done_sweeps,
         "calibration": calibration,
         "queries": {
             n: {

@@ -56,10 +56,9 @@ MUTATIONS = {
     "ann_ivf_pq_topk": lambda df: df.withColumn(
         "neighbor_id", F.col("query_id")
     ),
-    # label outside the corpus universe
-    "language_id_ngram": lambda df: df.withColumn(
-        "predicted_lang", F.lit("zz")
-    ),
+    # language_id_ngram graduated to an oracle-backed ✦ query in r11
+    # (text.py:128) — the DuckDB recomputation is the stronger gate, so
+    # it leaves the rows-only mutation corpus
 }
 
 ROWS_ONLY = sorted(n for n, q in QUERIES.items() if q.oracle is None)

@@ -124,3 +124,26 @@ def test_merge_after_evolution_keeps_union_schema(spark, tmp_path):
     # time travel across the evolution boundary still reads v0 in its
     # ORIGINAL two-column shape
     assert set(snapshot(spark, t, version=0).columns) == {"k", "v"}
+
+
+def test_mor_merge_with_schema_evolution(spark, tmp_path):
+    """MERGE WITH SCHEMA EVOLUTION (r11): the MoR merge's source may
+    carry a NEW column — one atomic commit upserts the rows AND widens
+    the table; pre-merge rows read the new column as NULL."""
+    from wikistream_lakehouse_spark.lakehouse.txn import merge_on_read_upsert
+
+    t = str(tmp_path / "t")
+    append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), t)
+    src = spark.createDataFrame(
+        [(2, "b2", 9.5), (3, "c", 1.0)], "k long, v string, score double"
+    )
+    # strict mode refuses the new column
+    with pytest.raises(ValueError, match="schema mismatch"):
+        merge_on_read_upsert(spark, t, src, keys=["k"])
+    merge_on_read_upsert(spark, t, src, keys=["k"], merge_schema=True)
+    got = {r.k: (r.v, r.score) for r in read_table(spark, t).collect()}
+    assert got == {1: ("a", None), 2: ("b2", 9.5), 3: ("c", 1.0)}
+    assert _is_evolved(t)
+    # the widened column participates in later DML
+    delete_where(spark, t, "score > 5.0")
+    assert sorted(r.k for r in read_table(spark, t).collect()) == [1, 3]

@@ -112,8 +112,8 @@ def test_unsupported_and_malformed_statements_refuse_loudly(spark, reg):
     for stmt in (
         "SELECT * FROM dml_t",
         "ALTER TABLE dml_t SET LOCATION '/x'",  # ALTER beyond the grammar
-        "DELETE FROM dml_t",  # no WHERE: full-table delete stays explicit
-        "TRUNCATE TABLE dml_t",
+        "DELETE FROM dml_t",  # no WHERE: TRUNCATE TABLE is the explicit verb
+        "COPY INTO dml_t FROM '/x'",  # FILEFORMAT is mandatory
     ):
         with pytest.raises(ValueError, match="grammar|unsupported"):
             catalog.sql_dml(spark, stmt)

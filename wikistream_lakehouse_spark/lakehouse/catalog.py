@@ -346,6 +346,56 @@ _ALTER_SET_GENERATED_RE = re.compile(
 _ALTER_DROP_GENERATED_RE = re.compile(
     rf"^DROP\s+GENERATED\s+({_IDENT})$", re.IGNORECASE
 )
+_ALTER_SET_IDENTITY_RE = re.compile(
+    rf"^SET\s+IDENTITY\s+({_IDENT})"
+    r"(?:\s+START\s+(-?\d+))?(?:\s+STEP\s+(-?\d+))?"
+    r"(?:\s+(BY\s+DEFAULT|ALWAYS))?$",
+    re.IGNORECASE,
+)
+_ALTER_DROP_IDENTITY_RE = re.compile(
+    rf"^DROP\s+IDENTITY\s+({_IDENT})$", re.IGNORECASE
+)
+_TRUNCATE_RE = re.compile(
+    rf"^\s*TRUNCATE\s+TABLE\s+({_IDENT})\s*;?\s*$", re.IGNORECASE
+)
+_COPY_INTO_RE = re.compile(
+    rf"^\s*COPY\s+INTO\s+({_IDENT})\s+FROM\s+'([^']+)'"
+    r"\s+FILEFORMAT\s*=\s*([A-Za-z]+)"
+    r"(?:\s+PATTERN\s*=\s*'([^']+)')?"
+    r"(?:\s+FORMAT_OPTIONS\s*\((.*?)\))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_FMT_OPT_RE = re.compile(r"^\s*'([^']+)'\s*=\s*'([^']*)'\s*$")
+#: column clause tail: GENERATED {ALWAYS|BY DEFAULT} AS IDENTITY
+#: [(START WITH n [INCREMENT BY n])] — Delta's CREATE TABLE grammar
+_IDENTITY_COL_RE = re.compile(
+    r"^(.*?)\s+GENERATED\s+(ALWAYS|BY\s+DEFAULT)\s+AS\s+IDENTITY"
+    r"(?:\s*\(\s*START\s+WITH\s+(-?\d+)"
+    r"(?:\s+INCREMENT\s+BY\s+(-?\d+))?\s*\))?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _extract_identity_clauses(cols_sql: str):
+    """Strip per-column identity clauses from a declared-schema CREATE's
+    column list → (plain cols_sql, [(col, start, step, always), …])."""
+    out_cols, specs = [], []
+    for p in _split_top_level(cols_sql):
+        m = _IDENTITY_COL_RE.match(p.strip())
+        if m:
+            base = m.group(1).strip()
+            out_cols.append(base)
+            specs.append(
+                (
+                    base.split()[0],
+                    int(m.group(3) or 1),
+                    int(m.group(4) or 1),
+                    "ALWAYS" in m.group(2).upper(),
+                )
+            )
+        else:
+            out_cols.append(p.strip())
+    return ", ".join(out_cols), specs
 _CREATE_VIEW_RE = re.compile(
     rf"^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+({_IDENT})\s+AS\s+"
     rf"(SELECT\s+.+|WITH\s+.+|VALUES\s*.+?)\s*;?\s*$",
@@ -385,6 +435,14 @@ _DML_GRAMMAR = """supported DML grammar (registered txn names only):
       WHEN NOT MATCHED [AND <cond>] THEN INSERT * | INSERT (c,...) VALUES (e,...)
       WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE | UPDATE SET c=e,...
     (clauses evaluate first-match-wins, in statement order)
+  TRUNCATE TABLE t
+    (one commit removes every row; schema/layout/constraints/identity
+     survive, history stays time-travelable — RESTORE undoes it)
+  COPY INTO t FROM '/path' FILEFORMAT = PARQUET|JSON|CSV
+      [PATTERN = '*.glob'] [FORMAT_OPTIONS ('k' = 'v', ...)]
+    (idempotent file loading: each source FILE loads exactly once —
+     the loaded-file ledger rides in commit metadata; re-runs no-op,
+     a grown source loads only its new files)
 maintenance statements (same registered names):
   OPTIMIZE t [WHERE pcol = v [AND ...]] [ZORDER BY (c, ...)]
   VACUUM t [RETAIN n VERSIONS | RETAIN n HOURS] [DRY RUN]
@@ -401,7 +459,9 @@ maintenance statements (same registered names):
 DDL:
   CREATE [OR REPLACE] TABLE t (col TYPE, ...)
       [PARTITIONED BY (c, ...)] [LOCATION '/path']
-    (empty table with a declared schema — first INSERT/append fills it)
+    (empty table with a declared schema — first INSERT/append fills it;
+     a column may add GENERATED {ALWAYS | BY DEFAULT} AS IDENTITY
+     [(START WITH n [INCREMENT BY n])])
   CREATE [OR REPLACE] TABLE t [PARTITIONED BY (c, ...)]
       [LOCATION '/path'] AS SELECT ... | VALUES ...
     (default location: <spark.sql.warehouse.dir>/txn/<t>; OR REPLACE
@@ -413,6 +473,10 @@ DDL:
       | ADD COLUMN c <type>                  (existing rows read NULL)
       | ADD CONSTRAINT n CHECK (expr) | DROP CONSTRAINT n
       | SET GENERATED c AS (expr) | DROP GENERATED c
+      | SET IDENTITY c [START n] [STEP n] [BY DEFAULT | ALWAYS]
+      | DROP IDENTITY c
+        (engine-allocated unique BIGINTs on ingest; ALWAYS refuses
+         explicit values, BY DEFAULT folds them into the mark)
       | SET STATS COLUMNS (a, b, ...)        (empty list clears)
       | SET PARTITIONED BY (c, ...)          (partition evolution:
           future writes use the new spec; compact migrates old files)
@@ -572,10 +636,12 @@ def _insert_frame(
     unknown = [c for c in names if c not in by_name]
     if unknown:
         raise ValueError(f"INSERT names unknown columns {unknown}")
-    # GENERATED columns the user did not list stay OMITTED (the write
-    # path computes them); null-filling would count as "supplied NULL"
-    # and fail the generated-column validation
-    gen = set(txn.generated_columns(b.path, b.store) or {})
+    # GENERATED and IDENTITY columns the user did not list stay OMITTED
+    # (the write path computes/allocates them); null-filling would count
+    # as "supplied NULL" and fail the generation/ALWAYS validation
+    gen = set(txn.generated_columns(b.path, b.store) or {}) | set(
+        txn.identity_columns(b.path, b.store) or {}
+    )
     out = df.select(
         *[
             F.col(f.name).cast(f.dataType)
@@ -729,6 +795,37 @@ def sql_dml(
             v = txn.replace_table(spark, b.path, out, store=b.store)
         refresh_table(spark, name)
         return v
+    m = _TRUNCATE_RE.match(statement)
+    if m:
+        b = _writable_binding(spark, m.group(1))
+        v = txn.truncate_table(spark, b.path, store=b.store)
+        refresh_table(spark, m.group(1))
+        return v
+    m = _COPY_INTO_RE.match(statement)
+    if m:
+        name, src, fmt, pattern, opts_sql = m.groups()
+        b = _writable_binding(spark, name)
+        options = {}
+        for part in _split_top_level(opts_sql) if opts_sql else []:
+            om = _FMT_OPT_RE.match(part)
+            if not om:
+                raise ValueError(
+                    f"unparseable FORMAT_OPTIONS entry {part!r} — use "
+                    "'key' = 'value'"
+                )
+            options[om.group(1)] = om.group(2)
+        r = txn.copy_into(
+            spark,
+            b.path,
+            src,
+            file_format=fmt.lower(),
+            options=options or None,
+            pattern=pattern,
+            store=b.store,
+        )
+        if r["version"] is not None:
+            refresh_table(spark, name)
+        return r["version"]
     m = _INSERT_RE.match(statement)
     if m:
         name, cols_sql, body = m.group(1), m.group(2), m.group(3)
@@ -880,6 +977,24 @@ def _sql_alter(spark: SparkSession, name: str, action: str):
     am = _ALTER_DROP_GENERATED_RE.match(action)
     if am:
         v = txn.drop_generated_column(b.path, am.group(1), store=b.store)
+        refresh_table(spark, name)
+        return v
+    am = _ALTER_SET_IDENTITY_RE.match(action)
+    if am:
+        v = txn.set_identity_column(
+            spark,
+            b.path,
+            am.group(1),
+            start=int(am.group(2) or 1),
+            step=int(am.group(3) or 1),
+            always="DEFAULT" not in (am.group(4) or "ALWAYS").upper(),
+            store=b.store,
+        )
+        refresh_table(spark, name)
+        return v
+    am = _ALTER_DROP_IDENTITY_RE.match(action)
+    if am:
+        v = txn.drop_identity_column(b.path, am.group(1), store=b.store)
         refresh_table(spark, name)
         return v
     am = _ALTER_SET_PARTITIONING_RE.match(action)
@@ -1038,6 +1153,7 @@ def _sql_maintenance(spark: SparkSession, statement: str):
         replace, name, cols_sql, part_sql, location = ce
         from pyspark.sql import types as T
 
+        cols_sql, identity_specs = _extract_identity_clauses(cols_sql)
         schema = T._parse_datatype_string(cols_sql)
         existing = _session_bindings(spark).get(name)
         if existing and not replace:
@@ -1065,6 +1181,11 @@ def _sql_maintenance(spark: SparkSession, statement: str):
             v = txn.replace_table(spark, path, df, partition_by=pb, store=store)
         else:
             v = txn.append(df, path, partition_by=pb, store=store)
+        for col, start, step, always in identity_specs:
+            v = txn.set_identity_column(
+                spark, path, col, start=start, step=step,
+                always=always, store=store,
+            )
         register_table(spark, name, path, store=store)
         return v
     m = _CTAS_RE.match(statement)
@@ -1226,6 +1347,14 @@ def _sql_maintenance(spark: SparkSession, statement: str):
         ):
             stmts.append(
                 f"ALTER TABLE {name} SET GENERATED {col} AS ({expr})"
+            )
+        for col, spec in sorted(
+            txn.identity_columns(b.path, b.store, upto=b.version).items()
+        ):
+            stmts.append(
+                f"ALTER TABLE {name} SET IDENTITY {col} "
+                f"START {spec['start']} STEP {spec['step']}"
+                + ("" if spec["always"] else " BY DEFAULT")
             )
         sc = txn.stats_columns(b.path, b.store, upto=b.version)
         if sc:

@@ -119,7 +119,11 @@ _READER_FEATURES = {
 }
 #: Features a WRITER must additionally understand to commit safely
 #: (ignoring these would write rows that violate declared invariants).
-_WRITER_FEATURES = _READER_FEATURES | {"generatedColumns", "checkConstraints"}
+_WRITER_FEATURES = _READER_FEATURES | {
+    "generatedColumns",
+    "checkConstraints",
+    "identityColumns",
+}
 
 
 def _stamp_features(entry: dict) -> dict:
@@ -160,6 +164,13 @@ def _stamp_features(entry: dict) -> dict:
         wf.add("generatedColumns")
     if entry.get("op") in ("set_constraint", "drop_constraint"):
         wf.add("checkConstraints")
+    if entry.get("op") in ("set_identity", "drop_identity") or entry.get(
+        "identityHighWaterMark"
+    ):
+        # an unaware writer supplying its own values would break the
+        # uniqueness invariant; reads of the plain BIGINT data stay
+        # correct, so this is a WRITER feature only (as in Delta)
+        wf.add("identityColumns")
     if rf:
         entry["readerFeatures"] = sorted(rf)
     if wf:
@@ -1170,11 +1181,249 @@ def _apply_generated(
     return df
 
 
+# --------------------------------------------------------------------------
+# Identity columns (GENERATED ALWAYS / BY DEFAULT AS IDENTITY) — the Delta
+# identity-column contract: the engine allocates unique BIGINT values on
+# ingest with no cross-writer coordination beyond the commit log itself.
+# Values are unique, congruent to ``start`` modulo ``step``, and strictly
+# beyond every earlier allocation in the step's direction; DENSITY is not
+# guaranteed (gaps arise from parallel tasks and retried transactions —
+# exactly Delta's documented contract). Allocation is a single pass over
+# the written batch (``monotonically_increasing_id`` — no shuffle, no
+# driver loop); the new high-water mark is recovered from the written
+# files' parquet footers (O(files-in-commit)) and stamped into the commit
+# entry, so replay — checkpoint-anchored like every other metadata family
+# — always knows the last allocated value. A writer that loses the commit
+# race to another allocator re-assigns and re-writes ITS OWN batch only.
+# --------------------------------------------------------------------------
+
+
+def identity_columns(
+    table_path: str,
+    store: LogStore | None = None,
+    upto: int | None = None,
+) -> dict[str, dict]:
+    """Active identity columns, name -> {"start", "step", "always"} —
+    replayed from the metadata commits, checkpoint-anchored like
+    ``generated_columns``."""
+    out, start = _cp_meta_seed(table_path, store, upto, "identity", {})
+    for v in _committed_versions(table_path, store):
+        if v < start:
+            continue
+        if upto is not None and v > upto:
+            break
+        e = _load_entry(table_path, v, store) or {}
+        m = e.get("meta") or {}
+        if e.get("op") == "set_identity":
+            out[m["name"]] = {
+                "start": int(m["start"]),
+                "step": int(m["step"]),
+                "always": bool(m["always"]),
+            }
+        elif e.get("op") == "drop_identity":
+            out.pop(m["name"], None)
+    return out
+
+
+def identity_high_water(
+    table_path: str,
+    name: str,
+    store: LogStore | None = None,
+    upto: int | None = None,
+) -> "int | None":
+    """Last allocated value of identity column ``name`` (None if nothing
+    was ever allocated). Commits that allocate stamp the batch's extreme
+    as ``identityHighWaterMark[name]``; versions are serialized by the
+    log, so the LAST stamp in version order is authoritative (a restore
+    carries no stamp, so the pre-restore mark survives — restored
+    tables never re-issue old values)."""
+    hwm, start = _cp_meta_seed(table_path, store, upto, "identityHwm", {})
+    for v in _committed_versions(table_path, store):
+        if v < start:
+            continue
+        if upto is not None and v > upto:
+            break
+        e = _load_entry(table_path, v, store) or {}
+        m = e.get("meta") or {}
+        if e.get("op") == "set_identity" and m.get("seedHwm") is not None:
+            hwm[m["name"]] = int(m["seedHwm"])
+        elif e.get("op") == "drop_identity":
+            hwm.pop(m["name"], None)
+        for c, val in (e.get("identityHighWaterMark") or {}).items():
+            hwm[c] = int(val)
+    v = hwm.get(name)
+    return int(v) if v is not None else None
+
+
+def set_identity_column(
+    spark: SparkSession,
+    table_path: str,
+    name: str,
+    start: int = 1,
+    step: int = 1,
+    always: bool = True,
+    max_retries: int = 5,
+    store: LogStore | None = None,
+) -> int:
+    """Declare ``name`` GENERATED {ALWAYS | BY DEFAULT} AS IDENTITY
+    (START WITH ``start`` INCREMENT BY ``step``). ALWAYS refuses
+    explicit values on ingest; BY DEFAULT accepts them and folds their
+    extreme into the high-water mark (uniqueness against future
+    engine-assigned values is then the supplier's contract, as in
+    Delta). On a non-empty table the column must already exist with an
+    integral type; its current extreme seeds the mark so the next
+    allocation lands beyond existing data. Identity assignment happens
+    on the APPEND path (the ingest path); merge/rewrite family writes
+    carry rows that already own their ids."""
+    if step == 0:
+        raise ValueError("identity step must be non-zero")
+    _check_writer_features(table_path, store)
+    if name in generated_columns(table_path, store):
+        raise ValueError(
+            f"{name!r} is already GENERATED ALWAYS AS (expr) — a column "
+            "cannot be both expression-generated and identity"
+        )
+    if name in _current_partitioning(table_path, store):
+        raise ValueError(
+            f"cannot declare identity on partition column {name!r}: its "
+            "values live in directory names, so no footer records the "
+            "allocation high-water mark"
+        )
+    for _ in range(max_retries):
+        base = current_version(table_path, store)
+        files, dvs = (
+            _replay_state(table_path, base, store) if base >= 0 else ([], [])
+        )
+        seed = None
+        if files:
+            live = _read_files(spark, table_path, files, store, dvs=dvs)
+            if name not in live.columns:
+                raise ValueError(
+                    f"cannot declare identity column {name!r}: it does "
+                    f"not exist in {table_path}'s schema — declare before "
+                    "the first write, or over an existing integral column"
+                )
+            t = dict(live.dtypes)[name]
+            if t not in ("bigint", "int", "smallint", "tinyint"):
+                raise ValueError(
+                    f"identity column {name!r} must be integral, got {t}"
+                )
+            agg = F.max(name) if step > 0 else F.min(name)
+            row = live.agg(agg.alias("m")).first()
+            seed = int(row["m"]) if row["m"] is not None else None
+        pb = _current_partitioning(table_path, store)
+        meta = {"name": name, "start": int(start), "step": int(step),
+                "always": bool(always)}
+        if seed is not None:
+            meta["seedHwm"] = seed
+        entry = _entry("set_identity", [], [], pb, meta)
+        if current_version(table_path, store) == base and _try_commit(
+            table_path, base + 1, entry, store
+        ):
+            return base + 1
+    raise CommitConflict(f"set_identity conflicted {max_retries} times")
+
+
+def drop_identity_column(
+    table_path: str,
+    name: str,
+    max_retries: int = 5,
+    store: LogStore | None = None,
+) -> int:
+    """Stop allocating/guarding ``name`` via a metadata-only commit (the
+    column and its values stay; subsequent appends must supply it)."""
+    _check_writer_features(table_path, store)
+    if name not in identity_columns(table_path, store):
+        raise ValueError(f"no identity column {name!r} on {table_path}")
+    for _ in range(max_retries):
+        base = current_version(table_path, store)
+        pb = _current_partitioning(table_path, store)
+        entry = _entry("drop_identity", [], [], pb, {"name": name})
+        if current_version(table_path, store) == base and _try_commit(
+            table_path, base + 1, entry, store
+        ):
+            return base + 1
+    raise CommitConflict(f"drop_identity conflicted {max_retries} times")
+
+
+def _apply_identity(
+    df: DataFrame, table_path: str, store: LogStore | None = None
+) -> "tuple[DataFrame, dict, list[str]]":
+    """Append-side identity enforcement: returns (df with omitted
+    identity columns allocated, {name: the high-water mark OBSERVED at
+    allocation time — None if nothing was ever allocated}, [BY-DEFAULT
+    names the writer supplied]). Allocation is one
+    row-local expression — ``base + step*(1 + monotonically_increasing_
+    id())`` — unique within the batch with zero shuffle; uniqueness
+    ACROSS writers is the commit loop's job (a lost race to another
+    allocator re-assigns)."""
+    ids = identity_columns(table_path, store)
+    if not ids:
+        return df, {}, []
+    assigned: dict[str, int] = {}
+    supplied: list[str] = []
+    for name, spec in ids.items():
+        if name in df.columns:
+            if spec["always"]:
+                raise ConstraintViolation(
+                    f"{name!r} is GENERATED ALWAYS AS IDENTITY: explicit "
+                    "values are refused (declare BY DEFAULT to allow them)"
+                )
+            supplied.append(name)
+        else:
+            hwm = identity_high_water(table_path, name, store)
+            base = hwm if hwm is not None else spec["start"] - spec["step"]
+            df = df.withColumn(
+                name,
+                (
+                    F.lit(base)
+                    + F.lit(spec["step"])
+                    * (F.monotonically_increasing_id() + F.lit(1))
+                ).cast("long"),
+            )
+            # record the OBSERVED mark (None = never allocated), not the
+            # synthesized base, so the commit loop's staleness check
+            # compares like with like
+            assigned[name] = hwm
+    return df, assigned, supplied
+
+
+def _identity_file_extremes(
+    spark: SparkSession,
+    table_path: str,
+    rels: list[str],
+    cols: list[str],
+    store: "LogStore | None",
+) -> dict[str, "int | None"]:
+    """(min, max)-derived extreme per identity column over a commit's
+    just-written files — one footer-only pass (O(files-in-commit)),
+    the same cost class as stats collection. Returns logical name →
+    (min, max) tuple packed as {name: (mn, mx)}."""
+    from wikistream_lakehouse_spark.lakehouse.skipping import collect_file_stats
+
+    mapping, _dropped = _column_mapping_state(table_path, store=store)
+    phys = {c: mapping.get(c, c) for c in cols}
+    abs_files = [os.path.join(table_path, f) for f in rels]
+    rows = collect_file_stats(
+        spark, table_path, sorted(set(phys.values())), files=abs_files
+    ).collect()
+    out: dict[str, tuple] = {}
+    for c, p in phys.items():
+        mns = [r[f"{p}_min"] for r in rows if r[f"{p}_min"] is not None]
+        mxs = [r[f"{p}_max"] for r in rows if r[f"{p}_max"] is not None]
+        out[c] = (
+            (int(min(mns)), int(max(mxs))) if mns and mxs else None
+        )
+    return out
+
+
 _METADATA_OPS = (
     "set_constraint",
     "drop_constraint",
     "set_generated",
     "drop_generated",
+    "set_identity",
+    "drop_identity",
     "rename_column",
     "drop_column",
     "set_partitioning",
@@ -1307,6 +1556,11 @@ def _refuse_expr_references(
                     f"cannot {verb} column {col!r}: {kind} {name!r} "
                     f"references it (expr: {expr}); drop the {kind} first"
                 )
+    if col in identity_columns(table_path, store):
+        raise ValueError(
+            f"cannot {verb} column {col!r}: it is an identity column — "
+            "drop the identity declaration first"
+        )
 
 
 def _rename_drop_commit(
@@ -2686,6 +2940,7 @@ def append(
     merge_schema: bool = False,
     store: LogStore | None = None,
     stats_cols: list[str] | None = None,
+    precommit: "Callable[[], bool] | None" = None,
 ) -> int:
     """Blind-append ``df`` as a new commit; returns the version written.
 
@@ -2716,6 +2971,8 @@ def append(
     ``txn_skipping_scan`` zero-IO pruning from log metadata alone.
     """
     _check_writer_features(table_path, store)
+    df0 = df  # pre-identity/generated shape, for a re-allocating retry
+    df, id_assigned, id_supplied = _apply_identity(df, table_path, store)
     df = _apply_generated(df, table_path, store)
     pb = _resolve_partition_by(table_path, partition_by, store)
     evolved, wide_json = _append_schema_state(df, table_path, store, merge_schema)
@@ -2729,8 +2986,93 @@ def append(
             if stats_cols
             else None
         )
+        id_specs = (
+            identity_columns(table_path, store)
+            if (id_assigned or id_supplied)
+            else {}
+        )
+        id_extremes = (
+            _identity_file_extremes(
+                df.sparkSession,
+                table_path,
+                adds,
+                [*id_assigned, *id_supplied],
+                store,
+            )
+            if id_specs
+            else {}
+        )
+
+        def _id_stamp() -> dict:
+            # recomputed per commit attempt: a BY-DEFAULT supplier's
+            # stamp folds the CURRENT mark, which a racer may have moved
+            stamp: dict[str, int] = {}
+            for c in id_assigned:
+                ex = id_extremes.get(c)
+                if ex is not None:
+                    stamp[c] = ex[1] if id_specs[c]["step"] > 0 else ex[0]
+            for c in id_supplied:
+                ex = id_extremes.get(c)
+                step = id_specs[c]["step"]
+                cand = [identity_high_water(table_path, c, store)]
+                if ex is not None:
+                    cand.append(ex[1] if step > 0 else ex[0])
+                cand = [x for x in cand if x is not None]
+                if cand:
+                    stamp[c] = max(cand) if step > 0 else min(cand)
+            return stamp
+
         for _ in range(max_retries):
+            # Identity safety: claim-version FIRST, mark-check SECOND,
+            # commit at exactly that version. Blind appends never
+            # conflict (each claims the next free version), so the
+            # allocation guard cannot live on the lost-race path alone:
+            # any allocator that lands between our check and our commit
+            # either already shows in the check (its commit precedes
+            # our _next_claim) or takes the very version we then fail
+            # to claim — there is no interleaving that lets two stale
+            # allocations both commit.
+            v = _next_claim(table_path, store)
+            if id_assigned and any(
+                identity_high_water(table_path, c, store) != b
+                for c, b in id_assigned.items()
+            ):
+                # someone allocated past our base — our baked-in ids
+                # may collide; re-allocate THIS batch against the new
+                # mark (batch-sized cost, allocator races only)
+                _drop_data_dir(table_path, sub)
+                if max_retries <= 1:
+                    raise CommitConflict(
+                        f"append lost the identity-allocation race on "
+                        f"{table_path} too many times"
+                    )
+                return append(
+                    df0,
+                    table_path,
+                    max_retries=max_retries - 1,
+                    meta=meta,
+                    partition_by=partition_by,
+                    merge_schema=merge_schema,
+                    store=store,
+                    stats_cols=stats_cols,
+                    precommit=precommit,
+                )
+            if precommit is not None and not precommit():
+                # caller-defined serializable precondition (e.g. COPY
+                # INTO's loaded-file dedup) went stale: same claim-pin
+                # proof as identity — a racer invalidating it either
+                # shows here or consumed the version we then fail to
+                # claim. The written files are cleaned up; the caller
+                # re-derives and retries.
+                _drop_data_dir(table_path, sub)
+                raise CommitConflict(
+                    f"append precommit gate failed on {table_path}"
+                )
             entry = _entry("append", adds, [], pb, meta)
+            if id_specs:
+                s = _id_stamp()
+                if s:
+                    entry["identityHighWaterMark"] = s
             # physical-type authority for readers: path-encoded columns
             # have no footer, and directory inference corrupts a string
             # partition value that looks numeric ("ds=01")
@@ -2742,10 +3084,10 @@ def append(
                 entry["wideSchemaJson"] = wide_json
             if stats:
                 entry["stats"] = stats
-            v = _next_claim(table_path, store)
             if _try_commit(table_path, v, entry, store):
                 return v
-            # lost the race: someone committed — re-validate against them
+            # lost the race: someone committed — re-validate against
+            # them (the identity mark-check re-runs at the loop top)
             ev2, wj2 = _append_schema_state(df, table_path, store, merge_schema)
             evolved = ev2 or evolved
             wide_json = wj2 or wide_json
@@ -2769,6 +3111,145 @@ def committed_meta(table_path: str, store: LogStore | None = None) -> list[dict]
     cost class as replay. Idempotent producers scan this to ask "did my
     (app_id, batch_id) already land?"."""
     return [h["meta"] for h in history(table_path, store)]
+
+
+def copied_files(
+    table_path: str,
+    store: LogStore | None = None,
+    upto: int | None = None,
+) -> set[str]:
+    """Every source file a COPY INTO commit has already loaded into this
+    table (absolute paths) — replayed from commit metadata,
+    checkpoint-anchored like the other metadata families, so the
+    idempotency ledger survives log retention."""
+    seed, start = _cp_meta_seed(table_path, store, upto, "copyFiles", [])
+    out = set(seed)
+    for v in _committed_versions(table_path, store):
+        if v < start:
+            continue
+        if upto is not None and v > upto:
+            break
+        e = _load_entry(table_path, v, store) or {}
+        m = e.get("meta") or {}
+        if m.get("replaceTable"):
+            # a full replace (CREATE OR REPLACE / INSERT OVERWRITE of an
+            # unpartitioned table / TRUNCATE) discards every loaded row,
+            # so the ledger resets with it — re-copying the same source
+            # into the fresh content is the correct outcome
+            out = set()
+        ci = m.get("copyInto")
+        if ci:
+            out |= set(ci.get("files", []))
+    return out
+
+
+def copy_into(
+    spark: SparkSession,
+    table_path: str,
+    source: "str | list[str]",
+    file_format: str = "parquet",
+    options: dict | None = None,
+    pattern: str | None = None,
+    max_retries: int = 5,
+    store: LogStore | None = None,
+    stats_cols: list[str] | None = None,
+) -> dict:
+    """Idempotent file loading (the Delta ``COPY INTO`` analogue): load
+    every file under ``source`` (a directory, or an explicit file list)
+    that this table has NOT already loaded, as one atomic append whose
+    commit metadata records the loaded file names. Re-running against
+    the same source is a no-op; a grown source loads only the new files
+    — exactly-once per source FILE, the batch face of incremental
+    ingest (the streaming face is the file source / ``txn_table``
+    stream). This is the scale-correct daily-ingest verb the
+    reference's re-runnable Glue job wanted: its ``mode("append")``
+    curation duplicated rows on re-run (glue/job_wiki_curate.py:48,
+    SURVEY §1.3); COPY INTO makes the re-run free instead.
+
+    Identity is the absolute file path; mutating a loaded file in place
+    is NOT re-loaded (document immutable sources — the lakehouse
+    contract everywhere else on this log). Concurrency-safe: the loaded
+    set is re-verified under the commit loop's claim-pin (``precommit``
+    gate), so two racing COPY INTOs of one source land each file once.
+
+    Returns {"version", "files_loaded", "files_skipped"} (version None
+    when nothing new)."""
+    ds = _data()
+    if isinstance(source, (list, tuple)):
+        files = sorted(os.path.abspath(f) for f in source)
+    else:
+        root = os.path.abspath(source)
+        # a directory walks; a single-file source loads itself
+        files = sorted(ds.walk_files(root)) or (
+            [root] if ds.exists(root) else []
+        )
+    if pattern is not None:
+        import fnmatch
+
+        files = [f for f in files if fnmatch.fnmatch(os.path.basename(f), pattern)]
+    # metadata/marker files are never data
+    files = [f for f in files if not os.path.basename(f).startswith(("_", "."))]
+    if not files:
+        raise ValueError(f"COPY INTO: no source files under {source!r}")
+
+    last_err: "Exception | None" = None
+    for _ in range(max_retries):
+        loaded = copied_files(table_path, store)
+        todo = [f for f in files if f not in loaded]
+        if not todo:
+            return {
+                "version": None,
+                "files_loaded": 0,
+                "files_skipped": len(files),
+            }
+        reader = spark.read.format(file_format)
+        for k, v in (options or {}).items():
+            reader = reader.option(k, v)
+        df = reader.load(todo)
+        todo_set = set(todo)
+
+        def gate() -> bool:
+            return copied_files(table_path, store).isdisjoint(todo_set)
+
+        try:
+            v = append(
+                df,
+                table_path,
+                meta={"copyInto": {"files": todo}},
+                store=store,
+                stats_cols=stats_cols,
+                precommit=gate,
+            )
+            return {
+                "version": v,
+                "files_loaded": len(todo),
+                "files_skipped": len(files) - len(todo),
+            }
+        except CommitConflict as e:
+            if "precommit" not in str(e):
+                raise
+            last_err = e  # a racer loaded some of our files — re-derive
+    raise CommitConflict(
+        f"copy_into({table_path}) kept losing the loaded-set race"
+    ) from last_err
+
+
+def truncate_table(
+    spark: SparkSession,
+    table_path: str,
+    store: LogStore | None = None,
+) -> int:
+    """TRUNCATE TABLE: one commit removing every row while keeping the
+    schema, partition layout, and declared metadata (constraints,
+    generated/identity columns — the identity mark does NOT restart, so
+    old values are never re-issued). Metadata cost only — no data file
+    is read or rewritten at any table size, and history stays
+    time-travelable: the pre-truncate snapshot is one RESTORE away."""
+    cur = read_table(spark, table_path, store=store).limit(0)
+    pb = _current_partitioning(table_path, store)
+    return replace_table(
+        spark, table_path, cur, partition_by=pb or None, store=store
+    )
 
 
 def rewrite(
@@ -3077,6 +3558,15 @@ def checkpoint(table_path: str, store: LogStore | None = None) -> int:
         "constraints": constraints(table_path, store, upto=v),
         "generated": generated_columns(table_path, store, upto=v),
     }
+    doc["copyFiles"] = sorted(copied_files(table_path, store, upto=v))
+    ids = identity_columns(table_path, store, upto=v)
+    doc["identity"] = ids
+    doc["identityHwm"] = {
+        c: h
+        for c in ids
+        if (h := identity_high_water(table_path, c, store, upto=v))
+        is not None
+    }
     mp, dr = _column_mapping_state(table_path, v, store)
     doc["columnMapping"] = {"mapping": mp, "dropped": sorted(dr)}
     ws = _wide_schema(table_path, store, upto=v)
@@ -3238,6 +3728,9 @@ def cleanup_log(
         "schemaEvolution": ("wideSchemaJson", "schemaEvolved"),
         "checkConstraints": ("constraints",),
         "generatedColumns": ("generated",),
+        # the high-water mark replays from commit stamps; a checkpoint
+        # without its snapshot would re-issue old values after cleanup
+        "identityColumns": ("identity", "identityHwm"),
         # mixed-layout reads type path-encoded columns from the
         # physical-schema stamp; after cleanup the stamping
         # set_partitioning entry may be gone, so the checkpoint copy
@@ -3251,7 +3744,9 @@ def cleanup_log(
     # stats/statsCols are advisory (not protocol features) but replay
     # from commit entries too — a legacy checkpoint missing them would
     # silently drop skipping stats after cleanup, so gate unconditionally
-    missing = [k for k in ("statsCols", "stats") if k not in doc]
+    missing = [
+        k for k in ("statsCols", "stats", "copyFiles") if k not in doc
+    ]
     for feat, keys in needed.items():
         if feat in feats:
             missing += [k for k in keys if k not in doc]
@@ -3848,6 +4343,15 @@ def clone_table(
             _entry("set_generated", [], [], pb, {"name": name, "expr": expr}),
             store,
         )
+    for name, spec in identity_columns(src_path, store, upto=v).items():
+        # carry the declaration AND the mark as of the cloned version,
+        # so the clone's first allocation lands beyond the linked data
+        m = {"name": name, **spec}
+        hw = identity_high_water(src_path, name, store, upto=v)
+        if hw is not None:
+            m["seedHwm"] = hw
+        tail += 1
+        _try_commit(dst_path, tail, _entry("set_identity", [], [], pb, m), store)
     return tail
 
 
@@ -4503,10 +5007,16 @@ def merge_on_read_upsert(
     meta: dict | None = None,
     store: LogStore | None = None,
     stats_cols: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """MERGE at O(delta) IO: ONE atomic commit that adds the source
     rows as new data files AND kills the superseded/deleted rows with a
     deletion vector — no existing data file is read-rewritten, ever.
+
+    ``merge_schema=True`` is the Delta ``MERGE WITH SCHEMA EVOLUTION``
+    analogue: the source may carry NEW columns (widening evolution,
+    exactly the ``append(merge_schema=True)`` contract — existing rows
+    read the new columns as NULL; type changes still refused).
 
     Semantics per key: rows of ``source`` replace any current rows with
     the same ``keys`` (upsert); ``deletes`` (a frame containing at
@@ -4561,7 +5071,9 @@ def merge_on_read_upsert(
                 )
             except CommitConflict:
                 continue  # another writer created the table; merge into it
-        _check_schema(source, table_path, store)
+        evolved, wide_json = _append_schema_state(
+            source, table_path, store, merge_schema
+        )
         files, dvs = _replay_state(table_path, base, store)
         pb = _current_partitioning(table_path, store)
         # probe pruning: only files whose logged key min/max can
@@ -4597,6 +5109,11 @@ def merge_on_read_upsert(
                 _data().remove_tree(dv_out)
             raise
         entry = _entry("merge", adds, [], pb, meta)
+        if evolved:
+            entry["schemaEvolved"] = True
+        if wide_json:
+            entry["typeWidened"] = True
+            entry["wideSchemaJson"] = wide_json
         if stats_cols and adds:
             entry["stats"] = _collect_commit_stats(
                 spark, table_path, adds, stats_cols, store

@@ -43,3 +43,33 @@ def scratch_tmp(label: str) -> str:
     their fixture each invocation), still under the swept root — the
     drop-in for bare ``tempfile.mkdtemp(prefix=...)`` leaks."""
     return tempfile.mkdtemp(prefix=f"{label}_", dir=scratch_root())
+
+
+_FIXTURES: set = set()
+
+
+def fixture_once(label: str, key: str, builder, valid=None) -> str:
+    """Stable per-(label, key) fixture directory, built AT MOST once per
+    process: on first use the directory is wiped and ``builder(dir)``
+    runs (marked done only on success, so a failed build retries on the
+    next call); later calls return the path untouched. ``valid()`` (if
+    given) can veto the skip — e.g. a catalog binding the fixture
+    registered was dropped — forcing a rebuild.
+
+    This exists because query fixtures here CONVERGE: re-running the
+    CDC applies / DDL scripts produces byte-identical table state, so
+    when the driver's determinism probe and the bench's 6 sweeps each
+    re-call ``build()``, re-running the fixture is pure wasted wall
+    (r11: ~40 s of the ~160 s bench sweep), not extra correctness —
+    the per-query unit tests exercise the construction paths directly.
+    """
+    d = os.path.join(scratch_root(), "fixtures", label,
+                     key.strip("/").replace("/", "_") or "default")
+    k = (label, key)
+    if k in _FIXTURES and (valid is None or valid()):
+        return d
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    builder(d)
+    _FIXTURES.add(k)
+    return d

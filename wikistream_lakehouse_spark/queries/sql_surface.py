@@ -17,8 +17,23 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from wikistream_lakehouse_spark.queries._scratch import scratch_dir
+from wikistream_lakehouse_spark.queries._scratch import (
+    fixture_once,
+    scratch_dir,
+)
 from wikistream_lakehouse_spark.queries.registry import register
+
+
+def _bound(spark: SparkSession, *names: str):
+    """valid= hook for fixture_once: the fixture's catalog bindings are
+    still registered in this session (a dropped binding forces rebuild)."""
+    from wikistream_lakehouse_spark.lakehouse import catalog
+
+    def check() -> bool:
+        b = catalog._session_bindings(spark)
+        return all(n in b for n in names)
+
+    return check
 
 #: sf_dir → curated txn table path, one curation per process (the
 #: driver's determinism probe runs each query twice; re-curation would
@@ -229,25 +244,29 @@ def sql_alter_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikistream_lakehouse_spark.tables import table
 
     table(spark, sf_dir, "orders").createOrReplaceTempView("orders_src")
-    loc = os.path.join(
-        scratch_dir("ord_ddl", sf_dir), "ord_ddl"
-    ).replace("'", "''")
-    catalog.sql_script(
-        spark,
-        f"""
-        CREATE OR REPLACE TABLE ord_ddl LOCATION '{loc}' AS
-        SELECT o_orderkey, o_orderpriority, o_totalprice
-        FROM orders_src;
 
-        ALTER TABLE ord_ddl RENAME COLUMN o_orderpriority TO priority;
-        ALTER TABLE ord_ddl ADD COLUMN price_band STRING;
+    def _build(d: str) -> None:
+        loc = os.path.join(d, "ord_ddl").replace("'", "''")
+        catalog.sql_script(
+            spark,
+            f"""
+            CREATE OR REPLACE TABLE ord_ddl LOCATION '{loc}' AS
+            SELECT o_orderkey, o_orderpriority, o_totalprice
+            FROM orders_src;
 
-        UPDATE ord_ddl SET price_band =
-            CASE WHEN o_totalprice < 100000 THEN 'low'
-                 WHEN o_totalprice < 200000 THEN 'mid'
-                 ELSE 'high' END
-        WHERE price_band IS NULL;
-        """,
+            ALTER TABLE ord_ddl RENAME COLUMN o_orderpriority TO priority;
+            ALTER TABLE ord_ddl ADD COLUMN price_band STRING;
+
+            UPDATE ord_ddl SET price_band =
+                CASE WHEN o_totalprice < 100000 THEN 'low'
+                     WHEN o_totalprice < 200000 THEN 'mid'
+                     ELSE 'high' END
+            WHERE price_band IS NULL;
+            """,
+        )
+
+    fixture_once(
+        "ord_ddl", sf_dir, _build, valid=_bound(spark, "ord_ddl")
     )
     return catalog.sql(
         spark,
@@ -343,38 +362,42 @@ def sql_merge_changes_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = _orders_two_versions(spark, sf_dir)
     catalog.register_table(spark, "orders_tt", path)
-    serve_loc = os.path.join(
-        scratch_dir("ord_serve", sf_dir), "ord_serve"
-    ).replace("'", "''")
-    catalog.sql_script(
-        spark,
-        f"""
-        -- seed: the v0 snapshot's aggregate state (even orderkeys)
-        CREATE OR REPLACE TABLE ord_serve LOCATION '{serve_loc}' AS
-        SELECT o_orderpriority AS priority,
-               count(*) AS n_orders,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
-                    AS DECIMAL(28,2)) AS total
-        FROM orders_tt VERSION AS OF 0
-        GROUP BY o_orderpriority;
 
-        -- consume: fold v1's change feed into the serving table
-        MERGE INTO ord_serve AS t USING (
+    def _build(d: str) -> None:
+        serve_loc = os.path.join(d, "ord_serve").replace("'", "''")
+        catalog.sql_script(
+            spark,
+            f"""
+            -- seed: the v0 snapshot's aggregate state (even orderkeys)
+            CREATE OR REPLACE TABLE ord_serve LOCATION '{serve_loc}' AS
             SELECT o_orderpriority AS priority,
                    count(*) AS n_orders,
                    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
                         AS DECIMAL(28,2)) AS total
-            FROM CHANGES(orders_tt, 1, 1)
-            WHERE _change_type = 'insert'
-            GROUP BY o_orderpriority
-        ) AS s ON t.priority = s.priority
-        WHEN MATCHED THEN UPDATE SET
-            n_orders = t.n_orders + s.n_orders,
-            total = CAST(t.total + s.total AS DECIMAL(28,2))
-        WHEN NOT MATCHED THEN
-            INSERT (priority, n_orders, total)
-            VALUES (s.priority, s.n_orders, s.total);
-        """,
+            FROM orders_tt VERSION AS OF 0
+            GROUP BY o_orderpriority;
+
+            -- consume: fold v1's change feed into the serving table
+            MERGE INTO ord_serve AS t USING (
+                SELECT o_orderpriority AS priority,
+                       count(*) AS n_orders,
+                       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                            AS DECIMAL(28,2)) AS total
+                FROM CHANGES(orders_tt, 1, 1)
+                WHERE _change_type = 'insert'
+                GROUP BY o_orderpriority
+            ) AS s ON t.priority = s.priority
+            WHEN MATCHED THEN UPDATE SET
+                n_orders = t.n_orders + s.n_orders,
+                total = CAST(t.total + s.total AS DECIMAL(28,2))
+            WHEN NOT MATCHED THEN
+                INSERT (priority, n_orders, total)
+                VALUES (s.priority, s.n_orders, s.total);
+            """,
+        )
+
+    fixture_once(
+        "ord_serve", sf_dir, _build, valid=_bound(spark, "ord_serve")
     )
     return catalog.sql(
         spark,
@@ -419,52 +442,190 @@ def sql_show_create_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wikistream_lakehouse_spark.tables import table
 
     table(spark, sf_dir, "customer").createOrReplaceTempView("cust_src")
-    # path names deliberately share NO substring with the table names:
-    # the twin DDL is produced by textual name substitution, which must
-    # touch identifiers only, never the LOCATION path
-    base = scratch_dir("sc_rt", sf_dir)
-    loc = os.path.join(base, "t_orig").replace("'", "''")
-    catalog.sql_script(
-        spark,
-        f"""
-        CREATE OR REPLACE TABLE cust_sc PARTITIONED BY (c_mktsegment)
-            LOCATION '{loc}' AS
-        SELECT c_custkey, c_name, c_acctbal, c_mktsegment
-        FROM cust_src
-        WHERE c_custkey > 0;
 
-        ALTER TABLE cust_sc ADD CONSTRAINT custkey_pos CHECK (c_custkey > 0);
-        ALTER TABLE cust_sc SET STATS COLUMNS (c_custkey);
-        """,
+    def _build(base: str) -> None:
+        # path names deliberately share NO substring with the table
+        # names: the twin DDL is produced by textual name substitution,
+        # which must touch identifiers only, never the LOCATION path
+        loc = os.path.join(base, "t_orig").replace("'", "''")
+        catalog.sql_script(
+            spark,
+            f"""
+            CREATE OR REPLACE TABLE cust_sc PARTITIONED BY (c_mktsegment)
+                LOCATION '{loc}' AS
+            SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+            FROM cust_src
+            WHERE c_custkey > 0;
+
+            ALTER TABLE cust_sc ADD CONSTRAINT custkey_pos
+                CHECK (c_custkey > 0);
+            ALTER TABLE cust_sc SET STATS COLUMNS (c_custkey);
+            """,
+        )
+        ddl = (
+            catalog.sql(spark, "SHOW CREATE TABLE cust_sc")
+            .first()
+            .createtab_stmt
+        )
+        # the twin: same script, fresh name + LOCATION
+        twin_loc = os.path.join(base, "t_twin")
+        try:
+            catalog.unregister_table(spark, "cust_sc2")
+        except Exception:
+            pass
+        shutil.rmtree(twin_loc, ignore_errors=True)
+        ddl2 = ddl.replace("cust_sc", "cust_sc2").replace(
+            f"LOCATION '{loc}'", f"LOCATION '{twin_loc}'"
+        )
+        catalog.sql_script(spark, ddl2)
+        catalog.sql(
+            spark,
+            "INSERT INTO cust_sc2 SELECT c_custkey, c_name, c_acctbal, "
+            "c_mktsegment FROM cust_sc",
+        )
+
+    fixture_once(
+        "sc_rt", sf_dir, _build,
+        valid=_bound(spark, "cust_sc", "cust_sc2"),
     )
-    ddl = (
-        catalog.sql(spark, "SHOW CREATE TABLE cust_sc")
-        .first()
-        .createtab_stmt
-    )
-    # the twin: same script, fresh name + LOCATION (the determinism
-    # probe runs twice per process — start the twin from a clean slate)
-    twin_loc = os.path.join(base, "t_twin")
-    try:
-        catalog.unregister_table(spark, "cust_sc2")
-    except Exception:
-        pass
-    shutil.rmtree(twin_loc, ignore_errors=True)
-    ddl2 = ddl.replace("cust_sc", "cust_sc2").replace(
-        f"LOCATION '{loc}'", f"LOCATION '{twin_loc}'"
-    )
-    catalog.sql_script(spark, ddl2)
-    return catalog.sql_script(
+    return catalog.sql(
         spark,
         """
-        INSERT INTO cust_sc2
-        SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM cust_sc;
-
         SELECT c_mktsegment AS segment,
                count(*) AS n_cust,
                ROUND(SUM(c_acctbal), 2) AS total_bal
         FROM cust_sc2
         GROUP BY c_mktsegment
-        ORDER BY segment;
+        ORDER BY segment
         """,
-    )[-1]
+    )
+
+
+@register(
+    "sql_identity_allocation",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               count(*) AS n_ids,
+               CAST(1 AS INT) AS min_ok,
+               CAST(1 AS INT) AS batches_monotone,
+               count(DISTINCT n_name) AS n_names
+        FROM nation
+    """,
+    tags=("catalog", "sql", "ddl", "identity"),
+)
+def sql_identity_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity columns end to end (r11): CREATE TABLE with a
+    ``GENERATED ALWAYS AS IDENTITY`` column, two INSERT batches that
+    OMIT it, then verify the engine's allocation contract as SQL-checkable
+    invariants — every row got a value (n_ids = n_rows: uniqueness),
+    no value below START (min_ok), and the second transaction allocated
+    strictly beyond the first (batches_monotone: the commit-log
+    high-water mark serializes allocators). The oracle restates the
+    invariants as constants over the source — they hold for ANY correct
+    allocator, while absolute ids stay engine-owned (density is
+    deliberately not promised, as in Delta). Reference anchor: the
+    reference delegates key generation to Postgres PRIMARY KEY
+    (upsert_athena_aggregates.py:95-101); this is the lakehouse-native
+    answer."""
+    from wikistream_lakehouse_spark.lakehouse import catalog
+    from wikistream_lakehouse_spark.tables import table
+
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation_src")
+
+    def _build(d: str) -> None:
+        loc = os.path.join(d, "idalloc").replace("'", "''")
+        catalog.sql_script(
+            spark,
+            f"""
+            CREATE OR REPLACE TABLE idalloc (
+                id BIGINT GENERATED ALWAYS AS IDENTITY,
+                n_name STRING,
+                batch BIGINT
+            ) LOCATION '{loc}';
+
+            INSERT INTO idalloc (n_name, batch)
+            SELECT n_name, 1 FROM nation_src WHERE n_nationkey % 2 = 0;
+
+            INSERT INTO idalloc (n_name, batch)
+            SELECT n_name, 2 FROM nation_src WHERE n_nationkey % 2 = 1;
+            """,
+        )
+
+    fixture_once(
+        "id_alloc", sf_dir, _build, valid=_bound(spark, "idalloc")
+    )
+    return catalog.sql(
+        spark,
+        """
+        SELECT count(*) AS n_rows,
+               count(DISTINCT id) AS n_ids,
+               CAST(min(id) >= 1 AS INT) AS min_ok,
+               CAST(max(CASE WHEN batch = 1 THEN id END)
+                    < min(CASE WHEN batch = 2 THEN id END) AS INT)
+                   AS batches_monotone,
+               count(DISTINCT n_name) AS n_names
+        FROM idalloc
+        """,
+    )
+
+
+@register(
+    "sql_copy_into_idempotent",
+    oracle="""
+        SELECT r_name,
+               CAST(CASE WHEN r_regionkey < 2 THEN 2 ELSE 1 END AS BIGINT)
+                   AS n_rows
+        FROM region
+        ORDER BY r_name
+    """,
+    tags=("catalog", "sql", "copy_into", "ingest"),
+)
+def sql_copy_into_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY INTO end to end (r11): load a parquet directory, re-run the
+    SAME statement (must no-op — the loaded-file ledger in commit
+    metadata makes each source file exactly-once), then grow the source
+    by one file holding the r_regionkey < 2 rows and copy again (must
+    load ONLY the new file). Final counts: grown keys appear twice,
+    the rest once — the oracle restates that directly over the source,
+    so a double-load or a missed file both hash-mismatch. Reference
+    anchor: the reference's re-runnable Glue curation APPENDS on re-run
+    and duplicates rows (glue/job_wiki_curate.py:48, SURVEY §1.3);
+    COPY INTO is the verb that makes re-ingest free instead."""
+    from wikistream_lakehouse_spark.lakehouse import catalog
+    from wikistream_lakehouse_spark.tables import table
+
+    region = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+    def _build(d: str) -> None:
+        src = os.path.join(d, "src")
+        region.coalesce(1).write.parquet(os.path.join(src, "full"))
+        loc = os.path.join(d, "cpy_t").replace("'", "''")
+        catalog.sql_script(
+            spark,
+            f"""
+            CREATE OR REPLACE TABLE cpy_t (r_regionkey INT, r_name STRING)
+                LOCATION '{loc}';
+            COPY INTO cpy_t FROM '{src}' FILEFORMAT = PARQUET;
+            COPY INTO cpy_t FROM '{src}' FILEFORMAT = PARQUET;
+            """,
+        )
+        # the source grows by one file; only it may load
+        region.filter("r_regionkey < 2").coalesce(1).write.parquet(
+            os.path.join(src, "grow")
+        )
+        catalog.sql(
+            spark, f"COPY INTO cpy_t FROM '{src}' FILEFORMAT = PARQUET"
+        )
+
+    fixture_once(
+        "cpy_tbl", sf_dir, _build, valid=_bound(spark, "cpy_t")
+    )
+    return catalog.sql(
+        spark,
+        """
+        SELECT r_name, count(*) AS n_rows
+        FROM cpy_t
+        GROUP BY r_name
+        ORDER BY r_name
+        """,
+    )

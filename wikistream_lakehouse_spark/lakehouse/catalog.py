@@ -65,6 +65,20 @@ _VIEWS: "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
     weakref.WeakKeyDictionary()
 )
 
+#: session → {MV name → (view table path, store, on_mutation)}. The
+#: authoritative spec lives in the view's own commit metadata
+#: (incremental.refresh_aggregate stamps mv_spec/mv_source); the session
+#: map only names it. MV reads serve the LAST REFRESHED state (standard
+#: MV semantics) via a temp view over incremental.read_view, re-created
+#: on every REFRESH.
+_MV_REGISTRY: "weakref.WeakKeyDictionary[SparkSession, dict[str, tuple]]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def _session_mvs(spark: SparkSession) -> "dict[str, tuple]":
+    return _MV_REGISTRY.setdefault(spark, {})
+
 
 def _session_views(spark: SparkSession) -> "dict[str, str]":
     return _VIEWS.setdefault(spark, {})
@@ -355,6 +369,17 @@ _ALTER_SET_IDENTITY_RE = re.compile(
 _ALTER_DROP_IDENTITY_RE = re.compile(
     rf"^DROP\s+IDENTITY\s+({_IDENT})$", re.IGNORECASE
 )
+_ALTER_CREATE_TAG_RE = re.compile(
+    rf"^CREATE\s+TAG\s+({_IDENT})"
+    r"(?:\s+(?:AS\s+OF\s+)?VERSION\s+(?:AS\s+OF\s+)?(\d+))?$",
+    re.IGNORECASE,
+)
+_ALTER_DROP_TAG_RE = re.compile(
+    rf"^DROP\s+TAG\s+({_IDENT})$", re.IGNORECASE
+)
+_SHOW_TAGS_RE = re.compile(
+    rf"^\s*SHOW\s+TAGS\s+({_IDENT})\s*;?\s*$", re.IGNORECASE
+)
 _TRUNCATE_RE = re.compile(
     rf"^\s*TRUNCATE\s+TABLE\s+({_IDENT})\s*;?\s*$", re.IGNORECASE
 )
@@ -403,6 +428,34 @@ _CREATE_VIEW_RE = re.compile(
 )
 _DROP_VIEW_RE = re.compile(
     rf"^\s*DROP\s+VIEW\s+({_IDENT})\s*;?\s*$", re.IGNORECASE
+)
+_CREATE_MV_RE = re.compile(
+    rf"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+({_IDENT})"
+    rf"(?:\s+LOCATION\s+'([^']+)')?"
+    r"(?:\s+(WITH\s+RETRACTION))?"
+    rf"\s+AS\s+SELECT\s+(.+?)\s+FROM\s+({_IDENT})"
+    r"(?:\s+WHERE\s+(.+?))?"
+    r"\s+GROUP\s+BY\s+(.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_REFRESH_MV_RE = re.compile(
+    rf"^\s*REFRESH\s+MATERIALIZED\s+VIEW\s+({_IDENT})\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_MV_RE = re.compile(
+    rf"^\s*DROP\s+MATERIALIZED\s+VIEW\s+({_IDENT})(\s+PURGE)?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_MV_MEASURE_RE = re.compile(
+    rf"^(COUNT|SUM|MIN|MAX|APPROX_DISTINCT)\s*\((.+)\)\s+AS\s+({_IDENT})$",
+    re.IGNORECASE | re.DOTALL,
+)
+_MV_HOLISTIC_RE = re.compile(
+    r"^(AVG|MEAN|MEDIAN|PERCENTILE|STDDEV|VARIANCE|COUNT\s*\(\s*DISTINCT)",
+    re.IGNORECASE,
+)
+_MV_KEY_AS_RE = re.compile(
+    rf"^(.+?)\s+AS\s+({_IDENT})$", re.IGNORECASE | re.DOTALL
 )
 _SHOW_TABLES_RE = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
 _SHOW_PARTITIONS_RE = re.compile(
@@ -480,6 +533,10 @@ DDL:
       | SET STATS COLUMNS (a, b, ...)        (empty list clears)
       | SET PARTITIONED BY (c, ...)          (partition evolution:
           future writes use the new spec; compact migrates old files)
+      | CREATE TAG name [VERSION AS OF n] | DROP TAG name
+        (named immutable snapshot reference: read via VERSION AS OF
+         'name' or t@name; VACUUM keeps its files, cleanup_log refuses
+         to pass it — readable until dropped)
     (each is one metadata-only commit; binding auto-refreshes)
   CREATE TABLE t2 [SHALLOW] CLONE t [VERSION AS OF n |
       TIMESTAMP AS OF 'ts'] [LOCATION '/path']
@@ -493,6 +550,16 @@ DDL:
      n` stays pinned, one over a latest-bound name or an open-ended
      CHANGES(t, start) follows the table; recursion refused)
   DROP VIEW v
+  CREATE MATERIALIZED VIEW mv [LOCATION '/p'] [WITH RETRACTION] AS
+      SELECT <keys..., measures...> FROM t [WHERE <pred>] GROUP BY <keys>
+    (incrementally maintained: first build = full aggregate, each
+     REFRESH folds only the commits since the last one — O(delta);
+     measures must be re-mergeable: COUNT/SUM/MIN/MAX/APPROX_DISTINCT,
+     AVG decomposes into SUM + COUNT; WITH RETRACTION stays O(delta)
+     across deletion-vector deletes, invertible measures only; reads
+     of mv serve the LAST REFRESHED state)
+  REFRESH MATERIALIZED VIEW mv
+  DROP MATERIALIZED VIEW mv [PURGE]
   SHOW TABLES              (bindings + views, one row each)
   SHOW PARTITIONS t        (active partition values — log metadata
                             only, zero data IO at any table size)
@@ -503,7 +570,10 @@ DDL:
 Reads (SELECT ...) go straight to spark.sql() — via catalog.sql they
 also get in-query time travel on registered names:
   SELECT ... FROM t VERSION AS OF n [JOIN u TIMESTAMP AS OF 'ts' ...]
-  SELECT ... FROM t@vN              (the Delta @-shorthand, same rewrite)
+  SELECT ... FROM t VERSION AS OF 'tag' | t@tag | t@vN
+    (tags are named snapshots — ALTER TABLE t CREATE TAG; @vN is the
+     Delta version shorthand, so 'vN' tag names are reserved)
+  SHOW TAGS t
   SELECT ... FROM CHANGES(t, start [, end])   (row-level CDF: table
     columns + _change_type + _commit_version; start inclusive;
     bounds may be versions or 'timestamp' literals — a timestamp
@@ -997,6 +1067,17 @@ def _sql_alter(spark: SparkSession, name: str, action: str):
         v = txn.drop_identity_column(b.path, am.group(1), store=b.store)
         refresh_table(spark, name)
         return v
+    am = _ALTER_CREATE_TAG_RE.match(action)
+    if am:
+        ver = int(am.group(2)) if am.group(2) is not None else None
+        v = txn.create_tag(b.path, am.group(1), version=ver, store=b.store)
+        refresh_table(spark, name)
+        return v
+    am = _ALTER_DROP_TAG_RE.match(action)
+    if am:
+        v = txn.drop_tag(b.path, am.group(1), store=b.store)
+        refresh_table(spark, name)
+        return v
     am = _ALTER_SET_PARTITIONING_RE.match(action)
     if am:
         cols = [c.strip() for c in am.group(1).split(",")]
@@ -1014,6 +1095,131 @@ def _sql_alter(spark: SparkSession, name: str, action: str):
     raise ValueError(
         f"unsupported ALTER TABLE action {action!r}\n{_DML_GRAMMAR}"
     )
+
+
+def _sql_create_mv(spark: SparkSession, m: "re.Match"):
+    """CREATE MATERIALIZED VIEW name [LOCATION '/p'] [WITH RETRACTION]
+    AS SELECT <keys…, measures…> FROM <registered txn table>
+    [WHERE <row-local predicate>] GROUP BY <keys> — the SQL face of
+    ``incremental.refresh_aggregate``: the first build is a full
+    aggregate, every REFRESH folds only the source commits since the
+    last one (O(delta), exactly-once via the version offset in the
+    view's commit meta). Measures must be RE-MERGEABLE —
+    COUNT/SUM/MIN/MAX/APPROX_DISTINCT — because an incremental view
+    combines partial aggregates; AVG is refused with the sum+count
+    decomposition hint, exact DISTINCT/medians are holistic. WITH
+    RETRACTION keeps refreshes O(delta) across deletion-vector deletes
+    (invertible measures only). Reads of the MV name serve the LAST
+    REFRESHED state — standard MV semantics."""
+    from wikistream_lakehouse_spark.lakehouse import incremental
+
+    name, loc, retract, select_sql, src, where_sql, group_sql = m.groups()
+    if name in _session_views(spark) or _session_bindings(spark).get(name):
+        raise ValueError(
+            f"{name!r} already names a view or registered table"
+        )
+    if name in _session_mvs(spark):
+        raise ValueError(
+            f"materialized view {name!r} already exists; DROP "
+            "MATERIALIZED VIEW first"
+        )
+    b = _session_bindings(spark).get(src)
+    if b is None:
+        raise ValueError(
+            f"{src!r} is not a registered txn table — a materialized "
+            "view maintains incrementally over the commit log, so its "
+            "source must be one"
+        )
+    if b.pinned:
+        raise ValueError(
+            f"{src!r} is a version-pinned binding — a materialized view "
+            "follows its source's NEW commits, which a pin forbids"
+        )
+    group_by: list[str] = []
+    measures: dict[str, tuple] = {}
+    for item in _split_top_level(select_sql):
+        item = item.strip()
+        mm = _MV_MEASURE_RE.match(item)
+        if mm:
+            kind = mm.group(1).lower()
+            inner = mm.group(2).strip()
+            if kind == "count" and inner == "*":
+                inner = "1"
+            measures[mm.group(3)] = (kind, inner)
+            continue
+        if _MV_HOLISTIC_RE.match(item):
+            raise ValueError(
+                f"measure {item!r} is not incrementally maintainable — "
+                "only re-mergeable aggregates (COUNT/SUM/MIN/MAX/"
+                "APPROX_DISTINCT) can fold deltas; decompose AVG into "
+                "SUM + COUNT, use APPROX_DISTINCT for distinct counts"
+            )
+        km = _MV_KEY_AS_RE.match(item)
+        group_by.append(
+            f"{km.group(1).strip()} AS {km.group(2)}" if km else item
+        )
+    # GROUP BY must name exactly the key items (by output name, full
+    # expression, or 1-based position) — a mismatch means the SELECT
+    # list and the grouping disagree, which the fold would silently
+    # aggregate wrong
+    from wikistream_lakehouse_spark.lakehouse.incremental import _group_names
+
+    names = _group_names(group_by)
+    exprs = [g.split(" AS ")[0].strip() if " AS " in g else g for g in group_by]
+    norm = lambda s: re.sub(r"\s+", " ", s.strip()).lower()  # noqa: E731
+    allowed = (
+        {norm(n) for n in names}
+        | {norm(e) for e in exprs}
+        | {str(i + 1) for i in range(len(group_by))}
+    )
+    tokens = [norm(t) for t in _split_top_level(group_sql)]
+    if len(tokens) != len(group_by) or any(t not in allowed for t in tokens):
+        raise ValueError(
+            f"GROUP BY {group_sql.strip()!r} does not match the SELECT "
+            f"list's key items {names} — list each key by name, "
+            "expression, or position"
+        )
+    on_mut = "retract" if retract else "rebuild"
+    path = loc or _warehouse_path(spark, name)
+    v = incremental.refresh_aggregate(
+        spark, b.path, path, group_by, measures,
+        where=where_sql.strip() if where_sql else None,
+        store=b.store, on_mutation=on_mut,
+    )
+    _session_mvs(spark)[name] = (path, b.store, on_mut)
+    incremental.read_view(spark, path, store=b.store).createOrReplaceTempView(
+        name
+    )
+    return v
+
+
+def _sql_refresh_mv(spark: SparkSession, name: str):
+    """REFRESH MATERIALIZED VIEW name → delta-only fold of the source
+    commits since the last refresh (the spec and source ride in the
+    view's own commit metadata). Returns the new view version, or None
+    when already current (no commit — idempotent)."""
+    from wikistream_lakehouse_spark.lakehouse import incremental
+
+    mv = _session_mvs(spark).get(name)
+    if mv is None:
+        raise ValueError(f"{name!r} is not a created materialized view")
+    path, store, on_mut = mv
+    _ver, _src_ver, meta = incremental._view_state(path, store)
+    spec = meta["mv_spec"]
+    v = incremental.refresh_aggregate(
+        spark,
+        meta[incremental._META_SOURCE],
+        path,
+        list(spec["group_by"]),
+        {k: tuple(kv) for k, kv in spec["measures"].items()},
+        where=spec.get("where"),
+        store=store,
+        on_mutation=on_mut,
+    )
+    incremental.read_view(spark, path, store=store).createOrReplaceTempView(
+        name
+    )
+    return v
 
 
 def _sql_maintenance(spark: SparkSession, statement: str):
@@ -1249,6 +1455,22 @@ def _sql_maintenance(spark: SparkSession, statement: str):
     m = _ALTER_RE.match(statement)
     if m:
         return _sql_alter(spark, m.group(1), m.group(2).strip())
+    m = _CREATE_MV_RE.match(statement)
+    if m:
+        return _sql_create_mv(spark, m)
+    m = _REFRESH_MV_RE.match(statement)
+    if m:
+        return _sql_refresh_mv(spark, m.group(1))
+    m = _DROP_MV_RE.match(statement)
+    if m:
+        name, purge = m.group(1), bool(m.group(2))
+        mv = _session_mvs(spark).pop(name, None)
+        if mv is None:
+            raise ValueError(f"{name!r} is not a created materialized view")
+        spark.catalog.dropTempView(name)
+        if purge:
+            txn.drop_table(mv[0], mv[1])
+        return None
     m = _CREATE_VIEW_RE.match(statement)
     if m:
         replace, vname, body = m.groups()
@@ -1395,6 +1617,16 @@ def _sql_maintenance(spark: SparkSession, statement: str):
             sorted(set(rows)),
             ", ".join(f"{c} string" for c in pb),
         )
+    m = _SHOW_TAGS_RE.match(statement)
+    if m:
+        name = m.group(1)
+        b = _session_bindings(spark).get(name)
+        if b is None:
+            raise ValueError(f"{name!r} is not a registered txn table")
+        return spark.createDataFrame(
+            sorted(txn.table_tags(b.path, b.store).items()),
+            "tag string, version long",
+        )
     if _SHOW_TABLES_RE.match(statement):
         rows = [
             (n, "table", b.path, b.version, b.pinned, None)
@@ -1402,6 +1634,10 @@ def _sql_maintenance(spark: SparkSession, statement: str):
         ] + [
             (n, "view", None, None, None, " ".join(body.split()))
             for n, body in sorted(_session_views(spark).items())
+        ] + [
+            (n, "materialized view", mv[0],
+             txn.current_version(mv[0], mv[1]), False, None)
+            for n, mv in sorted(_session_mvs(spark).items())
         ]
         return spark.createDataFrame(
             rows,
@@ -1413,8 +1649,9 @@ def _sql_maintenance(spark: SparkSession, statement: str):
 
 _TIME_TRAVEL_RE = re.compile(
     rf"(?is)\b(FROM|JOIN)\s+({_IDENT})"
-    rf"(?:\s+(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')"
-    rf"|@v(\d+))"
+    rf"(?:\s+(?:VERSION\s+AS\s+OF\s+(?:(\d+)|'([^']+)')"
+    rf"|TIMESTAMP\s+AS\s+OF\s+'([^']+)')"
+    rf"|@(v\d+|[A-Za-z_][A-Za-z0-9_]*))"
 )
 _CHANGES_RE = re.compile(
     rf"(?is)\b(FROM|JOIN)\s+CHANGES\s*\(\s*({_IDENT})\s*,"
@@ -1461,13 +1698,21 @@ def _rewrite_time_travel(spark: SparkSession, statement: str) -> str:
                 "CREATE TABLE"
             )
         if kind == "tt":
-            # group 5 is the Delta-style `name@vN` shorthand
-            ver, ts = m.group(3) or m.group(5), m.group(4)
-            v = (
-                int(ver)
-                if ver is not None
-                else txn.version_as_of(b.path, ts, b.store)
-            )
+            # groups: 3 = numeric version, 4 = quoted tag name, 5 =
+            # timestamp literal, 6 = the @-shorthand (vN = version,
+            # anything else = a tag — vN is reserved at create_tag)
+            num, tag, ts, at = m.group(3), m.group(4), m.group(5), m.group(6)
+            if at is not None:
+                if re.fullmatch(r"(?i)v\d+", at):
+                    num = at[1:]
+                else:
+                    tag = at
+            if num is not None:
+                v = int(num)
+            elif tag is not None:
+                v = txn.resolve_version(b.path, tag, b.store)
+            else:
+                v = txn.version_as_of(b.path, ts, b.store)
             view = f"__tt_{name}_v{v}"
             txn.read_table(
                 spark, b.path, version=v, store=b.store

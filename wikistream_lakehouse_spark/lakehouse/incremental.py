@@ -162,6 +162,11 @@ def _combine(
     """Fold delta partials into the current view: full-outer on the group
     keys so brand-new groups appear and untouched groups pass through."""
     keys = _group_names(group_by)
+    # the view's stored column types are the contract: DECIMAL addition
+    # widens precision by one digit per fold (sum DECIMAL(28,2) + partial
+    # → DECIMAL(29,2)), so without the cast-back every refresh would grow
+    # the schema until the append refuses (caught by the r11 SQL MV query)
+    view_types = dict(view.dtypes)
     v = view.alias("v")
     p = partial.alias("p")
     joined = v.join(p, on=keys, how="full_outer")
@@ -180,6 +185,8 @@ def _combine(
                 .when(b.isNull(), a)
                 .otherwise(F.hll_union(a, b))
             )
+        if out in view_types:
+            merged = merged.cast(view_types[out])
         cols.append(merged.alias(out))
     return joined.select(*cols)
 

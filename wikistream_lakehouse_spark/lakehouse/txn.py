@@ -123,6 +123,7 @@ _WRITER_FEATURES = _READER_FEATURES | {
     "generatedColumns",
     "checkConstraints",
     "identityColumns",
+    "tags",
 }
 
 
@@ -171,6 +172,10 @@ def _stamp_features(entry: dict) -> dict:
         # uniqueness invariant; reads of the plain BIGINT data stay
         # correct, so this is a WRITER feature only (as in Delta)
         wf.add("identityColumns")
+    if entry.get("op") in ("create_tag", "drop_tag"):
+        # an unaware writer's vacuum would delete a tagged snapshot's
+        # files — writer feature; reads need nothing extra
+        wf.add("tags")
     if rf:
         entry["readerFeatures"] = sorted(rf)
     if wf:
@@ -1417,6 +1422,129 @@ def _identity_file_extremes(
     return out
 
 
+# --------------------------------------------------------------------------
+# Version tags (the Iceberg TAG analogue): a named, immutable reference to
+# one snapshot. Reads resolve the name (`read_table(version="audit_q3")`,
+# SQL `VERSION AS OF 'audit_q3'` / `t@audit_q3`), VACUUM retains the tagged
+# snapshot's files however small retain_versions is, and cleanup_log
+# refuses to move the log horizon past a tag — so a tag makes "keep THIS
+# state readable" survive every maintenance policy until it is dropped.
+# --------------------------------------------------------------------------
+
+_TAG_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def table_tags(
+    table_path: str,
+    store: LogStore | None = None,
+    upto: int | None = None,
+) -> dict[str, int]:
+    """Active tags, name -> pinned version — replayed from metadata
+    commits, checkpoint-anchored like the other families."""
+    out, start = _cp_meta_seed(table_path, store, upto, "tags", {})
+    for v in _committed_versions(table_path, store):
+        if v < start:
+            continue
+        if upto is not None and v > upto:
+            break
+        e = _load_entry(table_path, v, store) or {}
+        m = e.get("meta") or {}
+        if e.get("op") == "create_tag":
+            out[m["name"]] = int(m["version"])
+        elif e.get("op") == "drop_tag":
+            out.pop(m["name"], None)
+    return {k: int(v) for k, v in out.items()}
+
+
+def create_tag(
+    table_path: str,
+    name: str,
+    version: int | None = None,
+    as_of: "float | str | datetime | None" = None,
+    max_retries: int = 5,
+    store: LogStore | None = None,
+) -> int:
+    """Tag a snapshot (default: the current one) under ``name`` — one
+    metadata commit. The tagged version must be replayable at creation
+    time; from then on vacuum keeps its files and cleanup_log keeps its
+    log entries (or its checkpoint anchor), so it stays readable until
+    ``drop_tag``. Names are identifiers; ``vN`` is reserved for the
+    ``@vN`` version shorthand."""
+    _check_writer_features(table_path, store)
+    if not _TAG_NAME_RE.match(name) or re.fullmatch(r"v\d+", name):
+        raise ValueError(
+            f"invalid tag name {name!r}: identifier required, and 'vN' "
+            "is reserved for the @vN version shorthand"
+        )
+    if version is not None and as_of is not None:
+        raise ValueError("pass version= or as_of=, not both")
+    if as_of is not None:
+        version = version_as_of(table_path, as_of, store)
+    for _ in range(max_retries):
+        base = current_version(table_path, store)
+        if base < 0:
+            raise ValueError(f"nothing committed under {table_path}")
+        v = base if version is None else int(version)
+        if v < 0 or v > base:
+            raise ValueError(
+                f"cannot tag version {v}: table is at version {base}"
+            )
+        if name in table_tags(table_path, store):
+            raise ValueError(
+                f"tag {name!r} already exists on {table_path}; drop_tag "
+                "first (tags are immutable references)"
+            )
+        _replay_state(table_path, v, store)  # must be replayable NOW
+        pb = _current_partitioning(table_path, store)
+        entry = _entry("create_tag", [], [], pb, {"name": name, "version": v})
+        if current_version(table_path, store) == base and _try_commit(
+            table_path, base + 1, entry, store
+        ):
+            return base + 1
+    raise CommitConflict(f"create_tag conflicted {max_retries} times")
+
+
+def drop_tag(
+    table_path: str,
+    name: str,
+    max_retries: int = 5,
+    store: LogStore | None = None,
+) -> int:
+    """Release a tag (metadata-only commit) — its snapshot becomes
+    subject to ordinary vacuum/log retention again."""
+    _check_writer_features(table_path, store)
+    if name not in table_tags(table_path, store):
+        raise ValueError(f"no tag {name!r} on {table_path}")
+    for _ in range(max_retries):
+        base = current_version(table_path, store)
+        pb = _current_partitioning(table_path, store)
+        entry = _entry("drop_tag", [], [], pb, {"name": name})
+        if current_version(table_path, store) == base and _try_commit(
+            table_path, base + 1, entry, store
+        ):
+            return base + 1
+    raise CommitConflict(f"drop_tag conflicted {max_retries} times")
+
+
+def resolve_version(
+    table_path: str,
+    ref: "int | str",
+    store: LogStore | None = None,
+) -> int:
+    """Version number for a read reference: an int (or digit string)
+    passes through; anything else must be a tag name."""
+    if isinstance(ref, int):
+        return ref
+    if isinstance(ref, str) and ref.isdigit():
+        return int(ref)
+    tags = table_tags(table_path, store)
+    if ref in tags:
+        return tags[ref]
+    raise ValueError(
+        f"no tag {ref!r} on {table_path} (tags: {sorted(tags)})"
+    )
+
+
 _METADATA_OPS = (
     "set_constraint",
     "drop_constraint",
@@ -1424,6 +1552,8 @@ _METADATA_OPS = (
     "drop_generated",
     "set_identity",
     "drop_identity",
+    "create_tag",
+    "drop_tag",
     "rename_column",
     "drop_column",
     "set_partitioning",
@@ -2451,12 +2581,16 @@ def read_table(
     store: LogStore | None = None,
 ) -> DataFrame:
     """User-facing read with time travel: ``read_table(spark, p)`` for
-    latest, ``version=k`` for an exact snapshot, ``as_of=<ts>`` for the
-    newest commit at-or-before a timestamp (Delta ``timestampAsOf``)."""
+    latest, ``version=k`` for an exact snapshot (or a TAG name — the
+    Iceberg-style named reference, ``create_tag``), ``as_of=<ts>`` for
+    the newest commit at-or-before a timestamp (Delta
+    ``timestampAsOf``)."""
     if version is not None and as_of is not None:
         raise ValueError("pass version= or as_of=, not both")
     if as_of is not None:
         version = version_as_of(table_path, as_of, store)
+    if isinstance(version, str):
+        version = resolve_version(table_path, version, store)
     return snapshot(spark, table_path, version, store)
 
 
@@ -3559,6 +3693,7 @@ def checkpoint(table_path: str, store: LogStore | None = None) -> int:
         "generated": generated_columns(table_path, store, upto=v),
     }
     doc["copyFiles"] = sorted(copied_files(table_path, store, upto=v))
+    doc["tags"] = table_tags(table_path, store, upto=v)
     ids = identity_columns(table_path, store, upto=v)
     doc["identity"] = ids
     doc["identityHwm"] = {
@@ -3731,6 +3866,9 @@ def cleanup_log(
         # the high-water mark replays from commit stamps; a checkpoint
         # without its snapshot would re-issue old values after cleanup
         "identityColumns": ("identity", "identityHwm"),
+        # vacuum honors tags via replay; losing them would let a
+        # maintenance pass delete a pinned snapshot's files
+        "tags": ("tags",),
         # mixed-layout reads type path-encoded columns from the
         # physical-schema stamp; after cleanup the stamping
         # set_partitioning entry may be gone, so the checkpoint copy
@@ -3758,6 +3896,17 @@ def cleanup_log(
             f"cleanup_log({table_path}) refused: the newest checkpoint "
             f"predates metadata snapshots for {sorted(set(missing))} — "
             "commit once more, run checkpoint(), then retry"
+        )
+    pinned = {
+        n: v for n, v in table_tags(table_path, store).items() if v < horizon
+    }
+    if pinned:
+        raise ValueError(
+            f"cleanup_log({table_path}) refused: tag(s) {pinned} pin "
+            f"versions below the checkpoint horizon {horizon} — their "
+            "log entries (or anchor) would be deleted and the tagged "
+            "snapshots would stop replaying; drop_tag them or re-tag at "
+            "a newer version first"
         )
     log = _log_path(table_path)
     listing = sorted(st.list_dir(log))
@@ -3852,6 +4001,12 @@ def vacuum(
     for v in range(horizon, latest + 1):
         fs, ds = _replay_state(table_path, v, store)
         keep |= set(fs) | set(ds)
+    # tagged snapshots are pinned regardless of retain_versions — the
+    # whole point of a tag is that no maintenance policy can eat it
+    for tname, tv in table_tags(table_path, store).items():
+        if tv < horizon:
+            fs, ds = _replay_state(table_path, tv, store)
+            keep |= set(fs) | set(ds)
     # every file (data or deletion vector) any commit ever added — plus
     # the retained replay states themselves: after cleanup_log the
     # adding entries below the horizon are gone, but their still-active

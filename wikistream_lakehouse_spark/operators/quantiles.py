@@ -13,9 +13,10 @@ memory:
      per group; per-partition sorting is Spark's external (spillable)
      sort, never an in-memory array of the group.
   2. ``row_number`` per (partition, group) — bounded window state.
-  3. Per-(partition, group) counts → cumulative offsets via a triangular
-     self-join over that tiny frame (P × G rows; P = shuffle partitions,
-     cluster-bounded) → global rank = offset + local rank.
+  3. Per-(partition, group) counts → cumulative offsets via a window
+     running sum over that tiny frame (P × G rows; P = shuffle
+     partitions, cluster-bounded; the window partitions by group, so
+     its state is O(P) per group) → global rank = offset + local rank.
   4. For each requested prob q: target position pos = q·(n-1)+1; the two
      bracketing ranks ⌊pos⌋/⌈pos⌉ per group form a tiny "needed" frame
      that is broadcast back; matching rows interpolate
@@ -61,19 +62,19 @@ def exact_group_quantiles(
     local = ranged.withColumn("lrn", F.row_number().over(local_w))
 
     counts = ranged.groupBy("pid", *group_cols).agg(F.count(F.lit(1)).alias("cnt"))
-    a, b = counts.alias("a"), counts.alias("b")
-    same_group = functools.reduce(
-        operator.and_,
-        [F.col(f"a.{g}").eqNullSafe(F.col(f"b.{g}")) for g in group_cols],
-        F.lit(True),
+    # running sum of earlier partitions' counts per group: a window over
+    # the P×G count frame replaces the r1-r10 triangular self-join —
+    # same offsets, one pass instead of an O(P²·G) join, and the window
+    # state is the partial sum alone (bounded by construction)
+    off_w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = (
-        a.join(b, same_group & (F.col("b.pid") < F.col("a.pid")), "left")
-        .groupBy(
-            F.col("a.pid").alias("pid"),
-            *[F.col(f"a.{g}").alias(g) for g in group_cols],
-        )
-        .agg(F.coalesce(F.sum("b.cnt"), F.lit(0)).alias("offset"))
+    offsets = counts.select(
+        "pid",
+        *group_cols,
+        F.coalesce(F.sum("cnt").over(off_w), F.lit(0)).alias("offset"),
     )
     ranked = local.join(offsets, ["pid", *group_cols]).withColumn(
         "rn", (F.col("offset") + F.col("lrn")).cast("long")

@@ -629,3 +629,126 @@ def sql_copy_into_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY r_name
         """,
     )
+
+
+@register(
+    "sql_mv_incremental_refresh",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               count(*) AS n_orders,
+               ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE), 2) AS total
+        FROM orders
+        GROUP BY 1
+        ORDER BY priority
+    """,
+    tags=("catalog", "sql", "mv", "incremental"),
+)
+def sql_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized views through the SQL front door (r11): CREATE
+    MATERIALIZED VIEW builds the aggregate over the source's v0 (the
+    even-orderkey half), the source then grows by the odd half, and ONE
+    REFRESH folds exactly that delta — O(changed rows), no snapshot
+    rescan (the version offset in the view's commit meta is the
+    exactly-once cursor). The oracle restates the post-refresh state as
+    a single-pass aggregate over ALL orders, so a wrong delta fold — a
+    missed commit, a double fold, a group the combiner dropped — breaks
+    the hash. Sums fold in DECIMAL(18,2) so seed + delta is bit-exact.
+    Reference anchor: the reference's daily CTAS aggregate tables
+    (dag/wiki_pipeline_dag.py:29-39) rebuild from scratch every run;
+    this maintains the same shape incrementally."""
+    from wikistream_lakehouse_spark.lakehouse import catalog, txn
+    from wikistream_lakehouse_spark.tables import table
+
+    orders = table(spark, sf_dir, "orders")
+
+    def _valid() -> bool:
+        return (
+            _bound(spark, "mv_orders")()
+            and "ord_mv" in catalog._session_mvs(spark)
+        )
+
+    def _build(d: str) -> None:
+        src = os.path.join(d, "mv_src_orders")
+        txn.append(orders.filter("o_orderkey % 2 = 0"), src)
+        catalog.register_table(spark, "mv_orders", src)
+        try:
+            catalog.sql(spark, "DROP MATERIALIZED VIEW ord_mv")
+        except ValueError:
+            pass
+        catalog.sql(
+            spark,
+            f"CREATE MATERIALIZED VIEW ord_mv LOCATION '{d}/ord_mv' AS "
+            "SELECT o_orderpriority AS priority, "
+            "COUNT(*) AS n_orders, "
+            "SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_raw "
+            "FROM mv_orders GROUP BY priority",
+        )
+        txn.append(orders.filter("o_orderkey % 2 = 1"), src)
+        catalog.sql(spark, "REFRESH MATERIALIZED VIEW ord_mv")
+
+    fixture_once("ord_mv", sf_dir, _build, valid=_valid)
+    return spark.sql(
+        """
+        SELECT priority, n_orders,
+               ROUND(CAST(total_raw AS DOUBLE), 2) AS total
+        FROM ord_mv
+        ORDER BY priority
+        """
+    )
+
+
+@register(
+    "sql_version_tags",
+    oracle="""
+        WITH tagged AS (
+            SELECT o_orderpriority AS priority, count(*) AS n_orders
+            FROM orders WHERE o_orderkey % 2 = 0
+            GROUP BY 1
+        ), head AS (
+            SELECT o_orderpriority AS priority, count(*) AS n_orders
+            FROM orders
+            GROUP BY 1
+        )
+        SELECT 'seed' AS snap, priority, n_orders FROM tagged
+        UNION ALL
+        SELECT 'head' AS snap, priority, n_orders FROM head
+        ORDER BY snap, priority
+    """,
+    tags=("catalog", "sql", "tags", "time_travel"),
+)
+def sql_version_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named snapshot references (r11, the Iceberg TAG analogue): v0 of
+    the two-version orders table is tagged ``seed`` via ALTER TABLE, and
+    ONE statement reads the tag by name (``orders_tt@seed``) next to the
+    table head — the `@tag` rewrite resolves through the commit log's
+    tag map, so a wrong pin (stale map, tag drift after more commits,
+    name/version confusion) breaks the hash. Tags also pin VACUUM and
+    log retention (test_txn_tags); this query certifies the read face.
+    Reference anchor: the reference re-creates one CTAS table per day
+    partly to keep old days addressable by name
+    (dag/wiki_pipeline_dag.py:29-39) — a tag names a snapshot without
+    copying anything."""
+    from wikistream_lakehouse_spark.lakehouse import catalog, txn
+
+    path = _orders_two_versions(spark, sf_dir)
+    catalog.register_table(spark, "orders_tt", path)
+    if "seed" not in txn.table_tags(path):
+        catalog.sql(
+            spark, "ALTER TABLE orders_tt CREATE TAG seed VERSION AS OF 0"
+        )
+    return catalog.sql(
+        spark,
+        """
+        SELECT 'seed' AS snap, o_orderpriority AS priority,
+               count(*) AS n_orders
+        FROM orders_tt@seed
+        GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'head' AS snap, o_orderpriority AS priority,
+               count(*) AS n_orders
+        FROM orders_tt
+        GROUP BY o_orderpriority
+        ORDER BY snap, priority
+        """,
+    )

@@ -148,3 +148,28 @@ def test_stream_auto_checkpoints_the_commit_log(spark, tmp_path):
     cp = _latest_checkpoint(str(table))
     assert cp is not None and cp[0] >= 2
     assert snapshot(spark, str(table)).count() == 30
+
+
+def test_streaming_ingest_allocates_identity(spark, tmp_path):
+    """Identity columns compose with the streaming append sink (r11):
+    the table declares a GENERATED ALWAYS AS IDENTITY column the events
+    don't carry, and every micro-batch's txn.append allocates it —
+    unique across batches because the claim-pinned commit loop
+    serializes allocators exactly as it does for batch writers."""
+    from wikistream_lakehouse_spark.lakehouse.txn import set_identity_column
+
+    src = tmp_path / "src"
+    for f in range(N_FILES):
+        write_ndjson(
+            src / f"part-{f}.ndjson",
+            [wiki_event(f * ROWS + i) for i in range(ROWS)],
+        )
+    table = tmp_path / "table"
+    set_identity_column(spark, str(table), "row_id")
+    _run_stream(spark, src, table, tmp_path / "ckpt")
+
+    got = snapshot(spark, str(table))
+    n = got.count()
+    assert n == N_FILES * ROWS
+    assert got.select("row_id").distinct().count() == n
+    assert got.agg(F.min("row_id")).first()[0] >= 1

@@ -84,6 +84,30 @@ def test_refusals(spark, tmp_path):
     assert "tags" in txn.writer_features(t)
 
 
+def test_restore_and_clone_resolve_tags(spark, tmp_path):
+    t, c = str(tmp_path / "t"), str(tmp_path / "c")
+    txn.append(_df(spark, [(1, "a")]), t)
+    txn.create_tag(t, "good")
+    txn.append(_df(spark, [(2, "bad")]), t)
+    txn.clone_table(t, c, version="good")
+    assert {r.k for r in txn.read_table(spark, c).collect()} == {1}
+    txn.restore(t, version="good")
+    assert {r.k for r in txn.read_table(spark, t).collect()} == {1}
+
+
+def test_sql_restore_to_tag(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txn.append(_df(spark, [(1, "a")]), t)
+    catalog.register_table(spark, "rt_t", t)
+    try:
+        catalog.sql(spark, "ALTER TABLE rt_t CREATE TAG good")
+        catalog.sql(spark, "INSERT INTO rt_t VALUES (2, 'bad')")
+        catalog.sql(spark, "RESTORE TABLE rt_t TO TAG 'good'")
+        assert {r.k for r in spark.table("rt_t").collect()} == {1}
+    finally:
+        catalog.unregister_table(spark, "rt_t")
+
+
 def test_sql_surface_create_read_show_drop(spark, tmp_path):
     t = str(tmp_path / "t")
     txn.append(_df(spark, [(1, "a")]), t)

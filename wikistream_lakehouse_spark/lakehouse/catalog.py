@@ -257,7 +257,8 @@ _ANALYZE_RE = re.compile(
 )
 _RESTORE_RE = re.compile(
     rf"^\s*RESTORE\s+(?:TABLE\s+)?({_IDENT})\s+TO\s+"
-    rf"(?:VERSION\s+AS\s+OF\s+(\d+)|TIMESTAMP\s+AS\s+OF\s+'([^']+)')"
+    rf"(?:VERSION\s+AS\s+OF\s+(?:(\d+)|'([^']+)')"
+    rf"|TIMESTAMP\s+AS\s+OF\s+'([^']+)'|TAG\s+'([^']+)')"
     rf"\s*;?\s*$",
     re.IGNORECASE,
 )
@@ -505,7 +506,8 @@ maintenance statements (same registered names):
     (backfills per-file skipping stats + Blooms for active files that
      lack them — metadata-only, O(missing files); default columns =
      the declared SET STATS COLUMNS)
-  RESTORE [TABLE] t TO VERSION AS OF n | TO TIMESTAMP AS OF 'ts'
+  RESTORE [TABLE] t TO VERSION AS OF n | 'tag' | TO TIMESTAMP AS OF 'ts'
+    | TO TAG 'tag'                      (roll back to a named snapshot)
   GENERATE symlink_format_manifest FOR TABLE t
   MAINTAIN [TABLE] t [WITH LOG RETENTION]   (one-call tending: compact/
     checkpoint/cleanup per the measured policy; returns the action report)
@@ -1300,10 +1302,12 @@ def _sql_maintenance(spark: SparkSession, statement: str):
         return txn.checkpoint(b.path, store=b.store)
     m = _RESTORE_RE.match(statement)
     if m:
-        name, ver, ts = m.groups()
+        name, ver, vtag, ts, tag = m.groups()
         b = _writable_binding(spark, name)
         if ver is not None:
             v = txn.restore(b.path, version=int(ver), store=b.store)
+        elif vtag is not None or tag is not None:
+            v = txn.restore(b.path, version=vtag or tag, store=b.store)
         else:
             v = txn.restore(b.path, as_of=ts, store=b.store)
         refresh_table(spark, name)

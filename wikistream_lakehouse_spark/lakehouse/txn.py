@@ -2596,7 +2596,7 @@ def read_table(
 
 def restore(
     table_path: str,
-    version: int | None = None,
+    version: "int | str | None" = None,
     as_of: "float | str | datetime | None" = None,
     max_retries: int = 5,
     store: LogStore | None = None,
@@ -2605,6 +2605,8 @@ def restore(
     table back to a historical snapshot as a NEW commit — history is
     never rewritten, so the rolled-back-over versions stay
     time-travelable and an audit sees both the mistake and the recovery.
+    ``version`` may be a TAG name (``create_tag``) — "roll back to the
+    audited state" is the tag's natural verb.
 
     Metadata-only and O(changed files) in log size: the commit's add
     list re-references the target snapshot's files and its remove list
@@ -2623,6 +2625,8 @@ def restore(
     if as_of is not None:
         version = version_as_of(table_path, as_of, store)
     assert version is not None
+    if isinstance(version, str):
+        version = resolve_version(table_path, version, store)
     _check_writer_features(table_path, store)
     target, target_dvs = _replay_state(table_path, version, store)
     missing = [
@@ -4401,6 +4405,8 @@ def clone_table(
         raise ValueError("pass version= or as_of=, not both")
     if as_of is not None:
         version = version_as_of(src_path, as_of, store)
+    if isinstance(version, str):
+        version = resolve_version(src_path, version, store)
     v = current_version(src_path, store) if version is None else version
     if v < 0:
         raise ValueError(f"no committed data in {src_path}")

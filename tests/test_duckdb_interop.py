@@ -461,3 +461,22 @@ def test_changes_feed_spans_schema_evolution(spark, tmp_path):
     # pre-evolution rows null-fill the new column, like a snapshot read
     v0 = [r for r in drows if r[by["_commit_version"]] == 0]
     assert v0 and all(r[by["tag"]] is None for r in v0)
+
+
+def test_tag_names_resolve_for_foreign_reads(spark, tmp_path):
+    """A tagged snapshot is readable by DuckDB BY NAME (r11): the tag
+    map lives in the commit log, so the engine-free planner resolves it
+    exactly like the Spark reader — the audit pin is open-format."""
+    t = str(tmp_path / "t")
+    txn.append(
+        spark.createDataFrame([(1, "a")], "k long, s string"), t
+    )
+    txn.create_tag(t, "audit")
+    txn.append(
+        spark.createDataFrame([(2, "b")], "k long, s string"), t
+    )
+    _assert_same(spark, t, version="audit")
+    assert len(_duck_rows(t, version="audit")[1]) == 1
+    assert len(_duck_rows(t)[1]) == 2
+    with pytest.raises(ValueError, match="no tag"):
+        _duck_rows(t, version="ghost")

@@ -201,3 +201,44 @@ def test_clone_and_convert_fan_out_file_ops(spark, tmp_path, monkeypatch):
     txn.convert_to_txn(spark, p)
     assert ds.calls >= 2 and ds.peak > 1, (ds.calls, ds.peak)
     assert txn.read_table(spark, p).count() == 100
+
+
+def test_r11_verbs_on_object_semantics(spark, tmp_path, substrate):
+    """Identity allocation, COPY INTO's ledger, TRUNCATE, and tags run
+    the same on the object-store pair — the r11 verbs add no POSIX
+    assumption (ledger and marks are commit metadata; COPY's source
+    listing goes through the DataStore seam)."""
+    st = substrate
+    t = str(tmp_path / "t")
+    # identity: declare → two appends → unique, monotone across commits
+    txn.set_identity_column(spark, t, "row_id", store=st)
+    txn.append(_kv(spark, 0, 5), t, store=st)
+    txn.append(_kv(spark, 5, 8), t, store=st)
+    ids = [r.row_id for r in txn.read_table(spark, t, store=st).collect()]
+    assert len(set(ids)) == 8
+    assert txn.identity_high_water(t, "row_id", store=st) == max(ids)
+    # tags: pin, mutate, resolve
+    v_pin = txn.current_version(t, st)  # the snapshot the tag pins
+    txn.create_tag(t, "pin", store=st)
+    txn.append(_kv(spark, 8, 10), t, store=st)
+    assert (
+        txn.read_table(spark, t, version="pin", store=st).count() == 8
+    )
+    assert txn.table_tags(t, store=st) == {"pin": v_pin}
+    # truncate keeps schema + declarations (identity does not restart),
+    # resets the copy ledger; COPY INTO's append ALLOCATES the declared
+    # identity column the source files don't carry
+    src = tmp_path / "cp_src"
+    spark.createDataFrame(
+        [(100, 1.0)], "k long, v double"
+    ).coalesce(1).write.parquet(str(src))
+    hwm = txn.identity_high_water(t, "row_id", store=st)
+    txn.truncate_table(spark, t, store=st)
+    assert txn.read_table(spark, t, store=st).count() == 0
+    r1 = txn.copy_into(spark, t, str(src), store=st)
+    r2 = txn.copy_into(spark, t, str(src), store=st)
+    assert r1["files_loaded"] == 1 and r2["version"] is None
+    [row] = txn.read_table(spark, t, store=st).collect()
+    assert row.row_id > hwm  # allocated by the copy, beyond the mark
+    # the pinned tag still reads its snapshot across the truncate
+    assert txn.read_table(spark, t, version="pin", store=st).count() == 8

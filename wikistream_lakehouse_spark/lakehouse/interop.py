@@ -189,8 +189,12 @@ def duckdb_snapshot_sql(
     store=None,
 ) -> str:
     """One DuckDB SQL statement whose result is the logical snapshot of
-    ``table_path`` at ``version`` (default: HEAD). Raises on an empty
-    log, an unknown reader feature, or a mixed partition layout."""
+    ``table_path`` at ``version`` (default: HEAD; a TAG name resolves —
+    foreign engines read the pinned audit state too). Raises on an
+    empty log, an unknown reader feature, or a mixed partition
+    layout."""
+    if isinstance(version, str):
+        version = txn.resolve_version(table_path, version, store)
     head = txn.current_version(table_path, store)
     if head < 0:
         raise ValueError(f"no committed data in {table_path}")

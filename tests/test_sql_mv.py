@@ -87,6 +87,21 @@ def test_refusals(spark, tmp_path, src):
             "CREATE MATERIALIZED VIEW mv_agg AS "
             "SELECT k, AVG(v) AS m FROM mv_src GROUP BY k",
         )
+    # COUNT(DISTINCT x) matches the measure SHAPE (kind=count,
+    # inner='DISTINCT x') — the holistic refusal must still fire with
+    # the decomposition hint, not an opaque Spark parse error
+    with pytest.raises(ValueError, match="not incrementally maintainable"):
+        catalog.sql(
+            spark,
+            "CREATE MATERIALIZED VIEW mv_agg AS "
+            "SELECT k, COUNT(DISTINCT v) AS n FROM mv_src GROUP BY k",
+        )
+    with pytest.raises(ValueError, match="not incrementally maintainable"):
+        catalog.sql(
+            spark,
+            "CREATE MATERIALIZED VIEW mv_agg AS "
+            "SELECT k, SUM(DISTINCT v) AS s FROM mv_src GROUP BY k",
+        )
     with pytest.raises(ValueError, match="GROUP BY"):
         catalog.sql(
             spark,

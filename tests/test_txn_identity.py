@@ -218,3 +218,115 @@ def test_identity_is_a_writer_feature(spark, tmp_path):
     txn.set_identity_column(spark, t, "id")
     txn.append(_df(spark, [("a", 1)]), t)
     assert "identityColumns" in txn.writer_features(t)
+
+
+def test_replace_table_resets_declaration_and_mark(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txn.set_identity_column(spark, t, "id", always=False)
+    txn.append(
+        spark.createDataFrame(
+            [(1000, "a", 1)], "id long, name string, qty long"
+        ),
+        t,
+    )
+    assert txn.identity_high_water(t, "id") == 1000
+    # CREATE OR REPLACE with a schema that never re-declares identity:
+    # the stale declaration must not auto-allocate into the new table
+    txn.replace_table(
+        spark, t, spark.createDataFrame([("x", 5)], "name string, n long")
+    )
+    assert txn.identity_columns(t) == {}
+    assert txn.identity_high_water(t, "id") is None
+    txn.append(spark.createDataFrame([("y", 6)], "name string, n long"), t)
+    assert "id" not in txn.read_table(spark, t).columns
+    # a RE-declared identity seeds from the NEW table's extreme (6),
+    # not the pre-replace mark of 1000
+    txn.set_identity_column(spark, t, "n", start=1, step=1)
+    assert txn.identity_high_water(t, "n") == 6
+    txn.append(spark.createDataFrame([("z",)], "name string"), t)
+    ns = sorted(r.n for r in txn.read_table(spark, t).collect())
+    assert len(set(ns)) == 3 and ns[:2] == [5, 6] and ns[2] > 6
+    # and pre-replace snapshots still replay their own declarations
+    assert "id" in txn.identity_columns(t, upto=1)
+
+
+def test_merge_refuses_always_identity_inserts(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txn.set_identity_column(spark, t, "id", always=True)
+    txn.append(_df(spark, [("a", 1), ("b", 2)]), t)
+    src = spark.createDataFrame(
+        [(999, "c", 3)], "id long, name string, qty long"
+    )
+    with pytest.raises(txn.ConstraintViolation, match="ALWAYS AS IDENTITY"):
+        txn.merge_on_read_upsert(spark, t, src, ["name"])
+    assert txn.read_table(spark, t).count() == 2
+    ids = set(_ids(spark, t))
+    # rewriting the stored value through a merge is refused too
+    wrong = spark.createDataFrame(
+        [(max(ids) + 100, "a", 9)], "id long, name string, qty long"
+    )
+    with pytest.raises(txn.ConstraintViolation, match="ALWAYS AS IDENTITY"):
+        txn.merge_on_read_upsert(spark, t, wrong, ["name"])
+
+
+def test_merge_allows_always_identity_roundtrip_update(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txn.set_identity_column(spark, t, "id", always=True)
+    txn.append(_df(spark, [("a", 1), ("b", 2)]), t)
+    cur = {
+        r.name: r.id for r in txn.read_table(spark, t).collect()
+    }
+    # the classic read-modify-merge shape: same key, same stored id
+    src = spark.createDataFrame(
+        [(cur["a"], "a", 42)], "id long, name string, qty long"
+    )
+    txn.merge_on_read_upsert(spark, t, src, ["name"])
+    rows = {r.name: r for r in txn.read_table(spark, t).collect()}
+    assert rows["a"].qty == 42 and rows["a"].id == cur["a"]
+    assert rows["b"].id == cur["b"]
+
+
+def test_merge_by_default_folds_supplied_extreme_into_mark(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txn.set_identity_column(spark, t, "id", always=False)
+    txn.append(
+        spark.createDataFrame([(1, "a", 1)], "id long, name string, qty long"),
+        t,
+    )
+    assert txn.identity_high_water(t, "id") == 1
+    src = spark.createDataFrame(
+        [(700, "b", 2)], "id long, name string, qty long"
+    )
+    txn.merge_on_read_upsert(spark, t, src, ["name"])
+    assert txn.identity_high_water(t, "id") == 700
+    txn.append(_df(spark, [("c", 3)]), t)  # engine-assigned
+    ids = _ids(spark, t)
+    assert len(set(ids)) == 3 and max(ids) > 700
+
+
+def test_update_refuses_set_on_always_identity(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txn.set_identity_column(spark, t, "id", always=True)
+    txn.append(_df(spark, [("a", 1)]), t)
+    with pytest.raises(txn.ConstraintViolation, match="ALWAYS AS IDENTITY"):
+        txn.update_where(spark, t, {"id": "id + 100"}, "name = 'a'")
+    # non-identity SETs still work
+    txn.update_where(spark, t, {"qty": "qty + 1"}, "name = 'a'")
+    assert txn.read_table(spark, t).collect()[0].qty == 2
+
+
+def test_update_by_default_folds_set_extreme_into_mark(spark, tmp_path):
+    t = str(tmp_path / "t")
+    txn.set_identity_column(spark, t, "id", always=False)
+    txn.append(
+        spark.createDataFrame(
+            [(1, "a", 1), (2, "b", 2)], "id long, name string, qty long"
+        ),
+        t,
+    )
+    assert txn.identity_high_water(t, "id") == 2
+    txn.update_where(spark, t, {"id": "900"}, "name = 'a'")
+    assert txn.identity_high_water(t, "id") == 900
+    txn.append(_df(spark, [("c", 3)]), t)
+    ids = _ids(spark, t)
+    assert len(set(ids)) == 3 and max(ids) > 900

@@ -86,6 +86,25 @@ def test_unknown_writer_feature_blocks_writes_allows_reads(spark, tmp_path):
             write()
 
 
+def test_unknown_writer_feature_blocks_maintenance_too(spark, tmp_path):
+    # vacuum/cleanup_log are DESTRUCTIVE writer-side ops: a feature like
+    # 'tags' exists precisely to stop an unaware engine's maintenance
+    # pass from deleting pinned files — so they must gate like writes
+    t = str(tmp_path / "t")
+    txn.append(_kv(spark, 0, 10), t)
+    txn.checkpoint(t)
+    _commit_raw(
+        t, 1,
+        {"op": "set_policy", "add": [], "remove": [], "partitionBy": [],
+         "ts": 0.0, "writerFeatures": ["retentionPolicyV2"]},
+    )
+    with pytest.raises(txn.ProtocolError, match="retentionPolicyV2"):
+        txn.vacuum(t, retain_versions=1)
+    with pytest.raises(txn.ProtocolError, match="retentionPolicyV2"):
+        txn.cleanup_log(t)
+    assert txn.read_table(spark, t).count() == 10  # nothing was deleted
+
+
 def test_checkpoint_carries_feature_union(spark, tmp_path):
     t = str(tmp_path / "t")
     txn.append(_kv(spark, 0, 10), t)

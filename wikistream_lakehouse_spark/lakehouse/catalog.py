@@ -149,9 +149,17 @@ def refresh_table(spark: SparkSession, name: str) -> int:
     commits become visible to subsequent SQL); returns the now-bound
     version. A version-pinned binding is immutable: refresh is a no-op
     returning its pinned version."""
-    b = _session_bindings(spark).get(name)
+    base, _, ref = name.partition("@")
+    b = _session_bindings(spark).get(base)
     if b is None:
-        raise ValueError(f"{name!r} is not a registered txn table")
+        raise ValueError(f"{base!r} is not a registered txn table")
+    if ref:
+        # a branch write moved the BRANCH table, not the main view; the
+        # branch has no temp view of its own (reads resolve @ref live),
+        # so there is nothing to rebind — report the branch head
+        return txn.current_version(
+            txn.branch_location(b.path, ref), b.store
+        )
     if b.pinned:
         return b.version
     v = txn.current_version(b.path, b.store)
@@ -189,28 +197,31 @@ def _resolve_path(spark: SparkSession, name_or_path: str) -> "tuple[str, txn.Log
 # --------------------------------------------------------------------------
 
 _IDENT = r"[A-Za-z_][A-Za-z0-9_]*"
+#: a WRITE target may address a branch: ``t@dev`` (read-side @refs are
+#: handled by _rewrite_time_travel; _writable_binding resolves these)
+_WIDENT = rf"{_IDENT}(?:@{_IDENT})?"
 
 _DELETE_RE = re.compile(
-    rf"^\s*DELETE\s+FROM\s+({_IDENT})\s+WHERE\s+(.+?)\s*;?\s*$",
+    rf"^\s*DELETE\s+FROM\s+({_WIDENT})\s+WHERE\s+(.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _UPDATE_RE = re.compile(
-    rf"^\s*UPDATE\s+({_IDENT})\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
+    rf"^\s*UPDATE\s+({_WIDENT})\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT_OVERWRITE_RE = re.compile(
-    rf"^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?({_IDENT})"
+    rf"^\s*INSERT\s+OVERWRITE\s+(?:TABLE\s+)?({_WIDENT})"
     rf"(?:\s+PARTITION\s*\(([^)]+)\))?"
     rf"\s*(SELECT\s+.+|VALUES\s*.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _INSERT_RE = re.compile(
-    rf"^\s*INSERT\s+INTO\s+({_IDENT})\s*(\(\s*{_IDENT}"
+    rf"^\s*INSERT\s+INTO\s+({_WIDENT})\s*(\(\s*{_IDENT}"
     rf"(?:\s*,\s*{_IDENT})*\s*\))?\s*(SELECT\s+.+|VALUES\s*.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _MERGE_HEAD_RE = re.compile(
-    rf"^\s*MERGE\s+INTO\s+({_IDENT})(?:\s+AS\s+({_IDENT}))?\s+USING\s+",
+    rf"^\s*MERGE\s+INTO\s+({_WIDENT})(?:\s+AS\s+({_IDENT}))?\s+USING\s+",
     re.IGNORECASE,
 )
 _MERGE_TAIL_RE = re.compile(
@@ -378,8 +389,25 @@ _ALTER_CREATE_TAG_RE = re.compile(
 _ALTER_DROP_TAG_RE = re.compile(
     rf"^DROP\s+TAG\s+({_IDENT})$", re.IGNORECASE
 )
+_ALTER_CREATE_BRANCH_RE = re.compile(
+    rf"^CREATE\s+BRANCH\s+({_IDENT})"
+    r"(?:\s+(?:AS\s+OF\s+)?VERSION\s+(?:AS\s+OF\s+)?(\d+))?$",
+    re.IGNORECASE,
+)
+_ALTER_DROP_BRANCH_RE = re.compile(
+    rf"^DROP\s+BRANCH\s+({_IDENT})$", re.IGNORECASE
+)
+_ALTER_FAST_FORWARD_RE = re.compile(
+    rf"^FAST\s+FORWARD\s+(?:FROM\s+)?BRANCH\s+({_IDENT})$", re.IGNORECASE
+)
 _SHOW_TAGS_RE = re.compile(
     rf"^\s*SHOW\s+TAGS\s+({_IDENT})\s*;?\s*$", re.IGNORECASE
+)
+_SHOW_BRANCHES_RE = re.compile(
+    rf"^\s*SHOW\s+BRANCHES\s+({_IDENT})\s*;?\s*$", re.IGNORECASE
+)
+_SHOW_REFS_RE = re.compile(
+    rf"^\s*SHOW\s+REFS\s+({_IDENT})\s*;?\s*$", re.IGNORECASE
 )
 _TRUNCATE_RE = re.compile(
     rf"^\s*TRUNCATE\s+TABLE\s+({_IDENT})\s*;?\s*$", re.IGNORECASE
@@ -539,6 +567,13 @@ DDL:
         (named immutable snapshot reference: read via VERSION AS OF
          'name' or t@name; VACUUM keeps its files, cleanup_log refuses
          to pass it — readable until dropped)
+      | CREATE BRANCH name [VERSION AS OF n] | DROP BRANCH name
+      | FAST FORWARD BRANCH name
+        (a WRITABLE fork — zero-copy clone under <t>/_branches/name:
+         read t@name, write INSERT INTO/UPDATE/DELETE FROM/MERGE INTO
+         t@name; FAST FORWARD moves main to the branch head in one
+         commit when main hasn't advanced past the fork — a diverged
+         main needs MERGE INTO instead)
     (each is one metadata-only commit; binding auto-refreshes)
   CREATE TABLE t2 [SHALLOW] CLONE t [VERSION AS OF n |
       TIMESTAMP AS OF 'ts'] [LOCATION '/path']
@@ -572,10 +607,11 @@ DDL:
 Reads (SELECT ...) go straight to spark.sql() — via catalog.sql they
 also get in-query time travel on registered names:
   SELECT ... FROM t VERSION AS OF n [JOIN u TIMESTAMP AS OF 'ts' ...]
-  SELECT ... FROM t VERSION AS OF 'tag' | t@tag | t@vN
+  SELECT ... FROM t VERSION AS OF 'tag' | t@tag | t@vN | t@branch
     (tags are named snapshots — ALTER TABLE t CREATE TAG; @vN is the
-     Delta version shorthand, so 'vN' tag names are reserved)
-  SHOW TAGS t
+     Delta version shorthand, so 'vN' ref names are reserved; a
+     branch ref reads the branch table's current head)
+  SHOW TAGS t | SHOW BRANCHES t | SHOW REFS t
   SELECT ... FROM CHANGES(t, start [, end])   (row-level CDF: table
     columns + _change_type + _commit_version; start inclusive;
     bounds may be versions or 'timestamp' literals — a timestamp
@@ -665,17 +701,38 @@ def _parse_merge(statement: str):
 
 
 def _writable_binding(spark: SparkSession, name: str) -> _Binding:
-    b = _session_bindings(spark).get(name)
+    base, _, ref = name.partition("@")
+    b = _session_bindings(spark).get(base)
     if b is None:
         raise ValueError(
-            f"{name!r} is not a registered txn table — register_table() "
+            f"{base!r} is not a registered txn table — register_table() "
             f"it first.\n{_DML_GRAMMAR}"
         )
     if b.pinned:
         raise ValueError(
-            f"{name!r} is a version-pinned (time-travel) binding and is "
+            f"{base!r} is a version-pinned (time-travel) binding and is "
             "read-only; register the table without version=/as_of= to "
             "write through it"
+        )
+    if ref:
+        # t@ref as a WRITE target: only a branch is writable — a tag or
+        # version pin is an immutable snapshot
+        if ref not in txn.table_branches(b.path, b.store):
+            kind = (
+                "a TAG (immutable snapshot)"
+                if ref in txn.table_tags(b.path, b.store)
+                else "not a branch"
+            )
+            raise ValueError(
+                f"cannot write to {name!r}: {ref!r} is {kind} — ALTER "
+                f"TABLE {base} CREATE BRANCH {ref} to get a writable fork"
+            )
+        bpath = txn.branch_location(b.path, ref)
+        return _Binding(
+            path=bpath,
+            pinned=False,
+            version=txn.current_version(bpath, b.store),
+            store=b.store,
         )
     return b
 
@@ -1080,6 +1137,22 @@ def _sql_alter(spark: SparkSession, name: str, action: str):
         v = txn.drop_tag(b.path, am.group(1), store=b.store)
         refresh_table(spark, name)
         return v
+    am = _ALTER_CREATE_BRANCH_RE.match(action)
+    if am:
+        ver = int(am.group(2)) if am.group(2) is not None else None
+        v = txn.create_branch(b.path, am.group(1), version=ver, store=b.store)
+        refresh_table(spark, name)
+        return v
+    am = _ALTER_DROP_BRANCH_RE.match(action)
+    if am:
+        v = txn.drop_branch(b.path, am.group(1), store=b.store)
+        refresh_table(spark, name)
+        return v
+    am = _ALTER_FAST_FORWARD_RE.match(action)
+    if am:
+        v = txn.fast_forward(spark, b.path, am.group(1), store=b.store)
+        refresh_table(spark, name)
+        return v
     am = _ALTER_SET_PARTITIONING_RE.match(action)
     if am:
         cols = [c.strip() for c in am.group(1).split(",")]
@@ -1142,14 +1215,22 @@ def _sql_create_mv(spark: SparkSession, m: "re.Match"):
     for item in _split_top_level(select_sql):
         item = item.strip()
         mm = _MV_MEASURE_RE.match(item)
-        if mm:
+        # COUNT(DISTINCT x) AS y matches the measure shape (kind=count,
+        # inner='DISTINCT x') — test holism FIRST so the helpful
+        # decomposition hint fires instead of an opaque Spark parse
+        # error from F.expr('DISTINCT x')
+        if mm and not _MV_HOLISTIC_RE.match(item) and not re.match(
+            r"^\s*DISTINCT\b", mm.group(2), re.IGNORECASE
+        ):
             kind = mm.group(1).lower()
             inner = mm.group(2).strip()
             if kind == "count" and inner == "*":
                 inner = "1"
             measures[mm.group(3)] = (kind, inner)
             continue
-        if _MV_HOLISTIC_RE.match(item):
+        if _MV_HOLISTIC_RE.match(item) or (
+            mm and re.match(r"^\s*DISTINCT\b", mm.group(2), re.IGNORECASE)
+        ):
             raise ValueError(
                 f"measure {item!r} is not incrementally maintainable — "
                 "only re-mergeable aggregates (COUNT/SUM/MIN/MAX/"
@@ -1631,6 +1712,47 @@ def _sql_maintenance(spark: SparkSession, statement: str):
             sorted(txn.table_tags(b.path, b.store).items()),
             "tag string, version long",
         )
+    m = _SHOW_BRANCHES_RE.match(statement)
+    if m:
+        name = m.group(1)
+        b = _session_bindings(spark).get(name)
+        if b is None:
+            raise ValueError(f"{name!r} is not a registered txn table")
+        rows = [
+            (
+                br,
+                info["base"],
+                txn.current_version(
+                    txn.branch_location(b.path, br), b.store
+                ),
+            )
+            for br, info in sorted(txn.table_branches(b.path, b.store).items())
+        ]
+        return spark.createDataFrame(
+            rows, "branch string, base long, head long"
+        )
+    m = _SHOW_REFS_RE.match(statement)
+    if m:
+        name = m.group(1)
+        b = _session_bindings(spark).get(name)
+        if b is None:
+            raise ValueError(f"{name!r} is not a registered txn table")
+        refs = [
+            (t, "tag", v)
+            for t, v in sorted(txn.table_tags(b.path, b.store).items())
+        ] + [
+            (
+                br,
+                "branch",
+                txn.current_version(
+                    txn.branch_location(b.path, br), b.store
+                ),
+            )
+            for br in sorted(txn.table_branches(b.path, b.store))
+        ]
+        return spark.createDataFrame(
+            refs, "ref string, kind string, version long"
+        )
     if _SHOW_TABLES_RE.match(statement):
         rows = [
             (n, "table", b.path, b.version, b.pinned, None)
@@ -1713,6 +1835,21 @@ def _rewrite_time_travel(spark: SparkSession, statement: str) -> str:
                     tag = at
             if num is not None:
                 v = int(num)
+            elif tag is not None and tag in txn.table_branches(
+                b.path, b.store
+            ):
+                # t@branch reads the branch table's CURRENT head (a
+                # moving ref — tags/versions stay pinned snapshots)
+                bpath = txn.branch_location(b.path, tag)
+                bv = txn.current_version(bpath, b.store)
+                view = f"__br_{name}_{tag}_v{bv}"
+                txn.read_table(
+                    spark, bpath, version=bv, store=b.store
+                ).createOrReplaceTempView(view)
+                out.append(statement[last : m.start()])
+                out.append(f"{kw} {view}")
+                last = m.end()
+                continue
             elif tag is not None:
                 v = txn.resolve_version(b.path, tag, b.store)
             else:

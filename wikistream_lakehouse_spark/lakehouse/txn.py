@@ -71,6 +71,7 @@ this is engine infrastructure the reference outsources.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import re
@@ -124,6 +125,7 @@ _WRITER_FEATURES = _READER_FEATURES | {
     "checkConstraints",
     "identityColumns",
     "tags",
+    "branches",
 }
 
 
@@ -176,6 +178,12 @@ def _stamp_features(entry: dict) -> dict:
         # an unaware writer's vacuum would delete a tagged snapshot's
         # files — writer feature; reads need nothing extra
         wf.add("tags")
+    if entry.get("op") in ("create_branch", "drop_branch", "fast_forward"):
+        # an unaware writer's cleanup_log would delete the branch
+        # registry entries its checkpoint never snapshotted — writer
+        # feature; the fast_forward commit's content is plain add/
+        # remove, so reads need nothing extra
+        wf.add("branches")
     if rf:
         entry["readerFeatures"] = sorted(rf)
     if wf:
@@ -1219,7 +1227,13 @@ def identity_columns(
             break
         e = _load_entry(table_path, v, store) or {}
         m = e.get("meta") or {}
-        if e.get("op") == "set_identity":
+        if e.get("op") == "rewrite" and m.get("replaceTable"):
+            # CREATE OR REPLACE starts a fresh table definition: a
+            # stale identity declaration must not auto-allocate into a
+            # schema that never re-declared it (same reset rule as
+            # _column_mapping_state)
+            out.clear()
+        elif e.get("op") == "set_identity":
             out[m["name"]] = {
                 "start": int(m["start"]),
                 "step": int(m["step"]),
@@ -1250,7 +1264,12 @@ def identity_high_water(
             break
         e = _load_entry(table_path, v, store) or {}
         m = e.get("meta") or {}
-        if e.get("op") == "set_identity" and m.get("seedHwm") is not None:
+        if e.get("op") == "rewrite" and m.get("replaceTable"):
+            # the declarations reset with the table (identity_columns),
+            # so the marks must too — a re-declared identity after
+            # CREATE OR REPLACE restarts from its START WITH seed
+            hwm.clear()
+        elif e.get("op") == "set_identity" and m.get("seedHwm") is not None:
             hwm[m["name"]] = int(m["seedHwm"])
         elif e.get("op") == "drop_identity":
             hwm.pop(m["name"], None)
@@ -1494,6 +1513,11 @@ def create_tag(
                 f"tag {name!r} already exists on {table_path}; drop_tag "
                 "first (tags are immutable references)"
             )
+        if name in table_branches(table_path, store):
+            raise ValueError(
+                f"{name!r} already names a BRANCH on {table_path}; tags "
+                "and branches share the @ref namespace"
+            )
         _replay_state(table_path, v, store)  # must be replayable NOW
         pb = _current_partitioning(table_path, store)
         entry = _entry("create_tag", [], [], pb, {"name": name, "version": v})
@@ -1532,7 +1556,10 @@ def resolve_version(
     store: LogStore | None = None,
 ) -> int:
     """Version number for a read reference: an int (or digit string)
-    passes through; anything else must be a tag name."""
+    passes through; anything else must be a tag name. (Branch names
+    are NOT versions of this table — a branch is its own table at
+    ``branch_location``; the SQL front door resolves ``t@branch``
+    there.)"""
     if isinstance(ref, int):
         return ref
     if isinstance(ref, str) and ref.isdigit():
@@ -1540,8 +1567,295 @@ def resolve_version(
     tags = table_tags(table_path, store)
     if ref in tags:
         return tags[ref]
+    if ref in table_branches(table_path, store):
+        raise ValueError(
+            f"{ref!r} is a BRANCH of {table_path}, not a snapshot "
+            "version — read it at branch_location() (SQL: t@branch)"
+        )
     raise ValueError(
         f"no tag {ref!r} on {table_path} (tags: {sorted(tags)})"
+    )
+
+
+# --------------------------------------------------------------------------
+# Branches (the Iceberg BRANCH analogue): a named, WRITABLE fork. Where a
+# tag pins one immutable snapshot, a branch is a full transactional table —
+# created as a zero-copy CLONE under ``<table>/_branches/<name>`` and
+# registered in the main log, so `t@dev` resolves, SHOW REFS lists it, and
+# a FAST FORWARD merges it back when main hasn't moved. Every txn verb
+# (append/MERGE/DML/time travel/constraints) works on the branch because it
+# IS a table; physical independence is the clone guarantee (shared bytes,
+# private names).
+# --------------------------------------------------------------------------
+
+_BRANCH_DIR = "_branches"
+
+
+def branch_location(table_path: str, name: str) -> str:
+    """The branch's own table root (under the parent, outside the
+    commit-dir/_dv namespaces every maintenance sweep scopes to)."""
+    return os.path.join(table_path, _BRANCH_DIR, name)
+
+
+def table_branches(
+    table_path: str,
+    store: LogStore | None = None,
+    upto: int | None = None,
+) -> dict[str, dict]:
+    """Active branches, name -> {"base": main version the branch forked
+    from (advanced by a FAST FORWARD merge-back)} — replayed from
+    metadata commits, checkpoint-anchored like tags."""
+    out, start = _cp_meta_seed(table_path, store, upto, "branches", {})
+    for v in _committed_versions(table_path, store):
+        if v < start:
+            continue
+        if upto is not None and v > upto:
+            break
+        e = _load_entry(table_path, v, store) or {}
+        m = e.get("meta") or {}
+        if e.get("op") == "create_branch":
+            out[m["name"]] = {"base": int(m["base"])}
+        elif e.get("op") == "drop_branch":
+            out.pop(m["name"], None)
+        elif e.get("op") == "fast_forward" and m.get("branch") in out:
+            # after a merge-back, main == branch head: rebase so the
+            # branch can keep moving and fast-forward again later
+            out[m["branch"]] = {"base": v}
+    return out
+
+
+def create_branch(
+    table_path: str,
+    name: str,
+    version: int | None = None,
+    as_of: "float | str | datetime | None" = None,
+    max_retries: int = 5,
+    store: LogStore | None = None,
+) -> int:
+    """Fork a writable branch at a snapshot (default: current): a
+    zero-copy clone at ``branch_location`` plus one registry commit on
+    main. Tag and branch names share the ``@ref`` namespace, so they
+    may not collide; ``vN`` stays reserved for the version shorthand."""
+    _check_writer_features(table_path, store)
+    if not _TAG_NAME_RE.match(name) or re.fullmatch(r"v\d+", name):
+        raise ValueError(
+            f"invalid branch name {name!r}: identifier required, and "
+            "'vN' is reserved for the @vN version shorthand"
+        )
+    if version is not None and as_of is not None:
+        raise ValueError("pass version= or as_of=, not both")
+    if as_of is not None:
+        version = version_as_of(table_path, as_of, store)
+    bpath = branch_location(table_path, name)
+    for _ in range(max_retries):
+        base = current_version(table_path, store)
+        if base < 0:
+            raise ValueError(f"nothing committed under {table_path}")
+        v = base if version is None else int(version)
+        if v < 0 or v > base:
+            raise ValueError(
+                f"cannot branch at version {v}: table is at {base}"
+            )
+        if name in table_branches(table_path, store):
+            raise ValueError(
+                f"branch {name!r} already exists on {table_path}"
+            )
+        if name in table_tags(table_path, store):
+            raise ValueError(
+                f"{name!r} already names a TAG on {table_path}; tags "
+                "and branches share the @ref namespace"
+            )
+        if _claimed_versions(bpath, store):
+            # residue of a crashed create (clone landed, registry commit
+            # didn't): the name is unregistered, so the directory is
+            # dead weight — reclaim it and fork fresh
+            drop_table(bpath, store)
+        clone_table(table_path, bpath, version=v, store=store)
+        pb = _current_partitioning(table_path, store)
+        entry = _entry(
+            "create_branch", [], [], pb, {"name": name, "base": v}
+        )
+        if current_version(table_path, store) == base and _try_commit(
+            table_path, base + 1, entry, store
+        ):
+            return base + 1
+        drop_table(bpath, store)  # lost the race: unwind the clone
+    raise CommitConflict(f"create_branch conflicted {max_retries} times")
+
+
+def drop_branch(
+    table_path: str,
+    name: str,
+    max_retries: int = 5,
+    store: LogStore | None = None,
+) -> int:
+    """Unregister the branch and remove its table (log + data names;
+    shared bytes survive through main's own names — clone physical
+    independence). Registry commit FIRST, purge second: a crash leaves
+    only an unregistered residue dir create_branch knows to reclaim."""
+    _check_writer_features(table_path, store)
+    if name not in table_branches(table_path, store):
+        raise ValueError(f"no branch {name!r} on {table_path}")
+    committed = None
+    for _ in range(max_retries):
+        base = current_version(table_path, store)
+        pb = _current_partitioning(table_path, store)
+        entry = _entry("drop_branch", [], [], pb, {"name": name})
+        if current_version(table_path, store) == base and _try_commit(
+            table_path, base + 1, entry, store
+        ):
+            committed = base + 1
+            break
+    if committed is None:
+        raise CommitConflict(f"drop_branch conflicted {max_retries} times")
+    drop_table(branch_location(table_path, name), store)
+    return committed
+
+
+def fast_forward(
+    spark: SparkSession,
+    table_path: str,
+    name: str,
+    store: LogStore | None = None,
+) -> int:
+    """Merge a branch back by fast-forward: ONE commit that moves main
+    to the branch's current state. Only legal while main still sits at
+    the branch's fork point (any main commit since — data OR metadata —
+    makes the histories diverge, and a fast-forward would silently drop
+    it; that divergent merge is MERGE INTO's job, not this verb's).
+
+    O(delta) and zero-copy: only files the branch ADDED since the fork
+    are hard-linked into main's namespace (shared fork-time files
+    already carry main-relative names — clone preserves them); the
+    commit adds those rels, removes the rels the branch retired, and
+    swaps deletion vectors the same way. Per-file stats logged on the
+    branch ride along, so skipping keeps working. Metadata families
+    that can't be expressed in one content commit (column mapping,
+    constraints, generated columns, identity declarations, partition
+    layout) must match the fork state — diverging ones refuse with the
+    MERGE INTO pointer. After the merge the branch is REBASED to the
+    new main head (registry base advances), so work can continue on it.
+    """
+    _check_writer_features(table_path, store)
+    branches = table_branches(table_path, store)
+    if name not in branches:
+        raise ValueError(f"no branch {name!r} on {table_path}")
+    bpath = branch_location(table_path, name)
+    _check_writer_features(bpath, store)
+    base = branches[name]["base"]
+    cur = current_version(table_path, store)
+    # the fork-point gate is CONTENT equality, not version equality:
+    # main inevitably commits metadata entries after the fork (the
+    # create_branch registration itself, tags, stats declarations) —
+    # those don't diverge the data, and the metadata families that
+    # matter are compared against main's HEAD below. Any content
+    # change on main since the fork refuses.
+    if cur != base and _replay_state(
+        table_path, cur, store
+    ) != _replay_state(table_path, base, store):
+        raise ValueError(
+            f"cannot fast-forward {name!r}: {table_path}'s content "
+            f"advanced past the fork point v{base} (now v{cur}) — "
+            "histories diverged; MERGE INTO main FROM the branch (or "
+            "re-create the branch) instead"
+        )
+    bv = current_version(bpath, store)
+    # metadata families a single content commit cannot carry: they must
+    # not have diverged between the fork state (== main at cur) and the
+    # branch head
+    diverged = []
+    if _column_mapping_state(bpath, bv, store) != _column_mapping_state(
+        table_path, cur, store
+    ):
+        diverged.append("column mapping")
+    if constraints(bpath, store, upto=bv) != constraints(
+        table_path, store, upto=cur
+    ):
+        diverged.append("constraints")
+    if generated_columns(bpath, store, upto=bv) != generated_columns(
+        table_path, store, upto=cur
+    ):
+        diverged.append("generated columns")
+    if identity_columns(bpath, store, upto=bv) != identity_columns(
+        table_path, store, upto=cur
+    ):
+        diverged.append("identity declarations")
+    pb = _current_partitioning(table_path, store)
+    if _current_partitioning(bpath, store) != pb:
+        diverged.append("partition layout")
+    if diverged:
+        raise ValueError(
+            f"cannot fast-forward {name!r}: branch changed "
+            f"{', '.join(diverged)} — apply that change to "
+            f"{table_path} first (or MERGE INTO), then retry"
+        )
+    bfiles, bdvs = _replay_state(bpath, bv, store)
+    mfiles, mdvs = _replay_state(table_path, cur, store)
+    new_files = sorted(set(bfiles) - set(mfiles))
+    gone_files = sorted(set(mfiles) - set(bfiles))
+    new_dvs = sorted(set(bdvs) - set(mdvs))
+    gone_dvs = sorted(set(mdvs) - set(bdvs))
+    ds = _data()
+
+    def _link_one(rel: str) -> None:
+        dst = os.path.join(table_path, rel)
+        if ds.exists(dst):
+            return  # idempotent retry after a crashed earlier attempt
+        ds.makedirs(os.path.dirname(dst))
+        ds.link(os.path.join(bpath, rel), dst)
+
+    _parallel_file_ops(_link_one, new_files + new_dvs)
+    meta: dict = {"branch": name, "branchVersion": bv}
+    ws = _wide_schema(bpath, store, upto=bv)
+    phys = _stamped_physical_types(bpath, store, upto=bv)
+    if phys is not None:
+        from pyspark.sql.types import StructField, StructType
+
+        meta["physicalSchemaJson"] = json.dumps(
+            StructType(
+                [StructField(n, t, True) for n, t in sorted(phys.items())]
+            ).jsonValue()
+        )
+    entry = _entry("fast_forward", new_files, gone_files, pb, meta)
+    if new_dvs:
+        entry["dvAdd"] = new_dvs
+    if gone_dvs:
+        entry["dvRetire"] = gone_dvs
+    if _is_evolved(bpath, store, upto=bv):
+        entry["schemaEvolved"] = True
+    if ws is not None:
+        entry["typeWidened"] = True
+        entry["wideSchemaJson"] = ws.json()
+    carried = {
+        rel: {
+            "n": s["n"],
+            "min": s["min"],
+            "max": s["max"],
+            **({"bloom": s["bloom"]} if s.get("bloom") else {}),
+        }
+        for rel, s in _logged_file_stats_raw(bpath, bv, store).items()
+        if rel in set(new_files)
+    }
+    if carried:
+        cols = sorted({c for s in carried.values() for c in s["min"]})
+        entry["stats"] = {"cols": cols, "files": carried}
+    # identity marks the branch advanced ride along (declarations are
+    # equal by the gate above)
+    stamp = {}
+    for c in identity_columns(table_path, store):
+        bh = identity_high_water(bpath, c, store, upto=bv)
+        mh = identity_high_water(table_path, c, store, upto=cur)
+        if bh is not None and bh != mh:
+            stamp[c] = bh
+    if stamp:
+        entry["identityHighWaterMark"] = stamp
+    if current_version(table_path, store) == cur and _try_commit(
+        table_path, cur + 1, entry, store
+    ):
+        return cur + 1
+    raise CommitConflict(
+        f"fast_forward lost the commit race on {table_path} — main "
+        "advanced past the fork point; re-examine and retry"
     )
 
 
@@ -1554,6 +1868,8 @@ _METADATA_OPS = (
     "drop_identity",
     "create_tag",
     "drop_tag",
+    "create_branch",
+    "drop_branch",
     "rename_column",
     "drop_column",
     "set_partitioning",
@@ -3698,6 +4014,7 @@ def checkpoint(table_path: str, store: LogStore | None = None) -> int:
     }
     doc["copyFiles"] = sorted(copied_files(table_path, store, upto=v))
     doc["tags"] = table_tags(table_path, store, upto=v)
+    doc["branches"] = table_branches(table_path, store, upto=v)
     ids = identity_columns(table_path, store, upto=v)
     doc["identity"] = ids
     doc["identityHwm"] = {
@@ -3851,6 +4168,10 @@ def cleanup_log(
     directory listing and every O(commits) walk drop from 10⁵ entries
     to commits-since-checkpoint.
     """
+    # destructive writer-side op: an engine that doesn't implement a
+    # feature this table relies on (e.g. 'tags' pinning snapshots) must
+    # not be allowed to delete its log entries blind
+    _check_writer_features(table_path, store)
     st = _store(store)
     cp = _latest_checkpoint(table_path, store)
     if cp is None:
@@ -3873,6 +4194,9 @@ def cleanup_log(
         # vacuum honors tags via replay; losing them would let a
         # maintenance pass delete a pinned snapshot's files
         "tags": ("tags",),
+        # the branch registry replays from commits; cleaning the
+        # declaring entries without the snapshot orphans every branch
+        "branches": ("branches",),
         # mixed-layout reads type path-encoded columns from the
         # physical-schema stamp; after cleanup the stamping
         # set_partitioning entry may be gone, so the checkpoint copy
@@ -3992,6 +4316,10 @@ def vacuum(
     touching anything — audit the blast radius before a destructive
     retention pass.
     """
+    # destructive writer-side op: the 'tags' writer feature exists
+    # precisely so a tag-unaware engine's vacuum can't delete a pinned
+    # snapshot's files — so vacuum must gate on features like any write
+    _check_writer_features(table_path, store)
     latest = current_version(table_path, store)
     if latest < 0:
         return []
@@ -5076,6 +5404,33 @@ def update_where(
     the log retires the old files. Returns the committed version, or
     None when nothing matched."""
     _check_writer_features(table_path, store)
+    ids = identity_columns(table_path, store)
+    bad_ids = [c for c in set_exprs if c in ids and ids[c]["always"]]
+    if bad_ids:
+        raise ConstraintViolation(
+            f"column(s) {bad_ids} are GENERATED ALWAYS AS IDENTITY: "
+            "UPDATE may not rewrite engine-allocated values (declare "
+            "BY DEFAULT to allow it)"
+        )
+    id_set = [c for c in set_exprs if c in ids]  # BY DEFAULT targets
+
+    def _fold_id_stamp(spark, adds):
+        # a BY DEFAULT identity SET folds the rewritten extremes into
+        # the mark so future allocations land beyond them (same fold as
+        # the append path; replay applies the LAST stamp, so fold
+        # against the CURRENT mark at commit time)
+        stamp: dict[str, int] = {}
+        ex = _identity_file_extremes(spark, table_path, adds, id_set, store)
+        for c in id_set:
+            step = ids[c]["step"]
+            cand = [identity_high_water(table_path, c, store)]
+            if ex.get(c) is not None:
+                cand.append(ex[c][1] if step > 0 else ex[c][0])
+            cand = [x for x in cand if x is not None]
+            if cand:
+                stamp[c] = max(cand) if step > 0 else min(cand)
+        return stamp
+
     pending = None  # (adds, sub, affected, written_at_base)
     for _ in range(max_retries):
         base = current_version(table_path, store)
@@ -5095,6 +5450,10 @@ def update_where(
                     "update", adds, affected, pb,
                     {"predicate": predicate, "set": dict(set_exprs)},
                 )
+                if id_set:
+                    s = _fold_id_stamp(spark, adds)
+                    if s:
+                        entry["identityHighWaterMark"] = s
                 if current_version(table_path, store) == base and _try_commit(
                     table_path, base + 1, entry, store
                 ):
@@ -5148,6 +5507,10 @@ def update_where(
             pb,
             {"predicate": predicate, "set": dict(set_exprs)},
         )
+        if id_set:
+            s = _fold_id_stamp(spark, adds)
+            if s:
+                entry["identityHighWaterMark"] = s
         if current_version(table_path, store) == base and _try_commit(
             table_path, base + 1, entry, store
         ):
@@ -5215,6 +5578,20 @@ def merge_on_read_upsert(
         raise ValueError("merge requires at least one key column")
     _check_writer_features(table_path, store)
     source = _apply_generated(source, table_path, store)
+    # identity enforcement parity with append: an ALWAYS identity value
+    # in the source is only legal when it round-trips an EXISTING row's
+    # engine-allocated value (update shape); BY DEFAULT values fold
+    # their extreme into the high-water stamp so later allocations
+    # never collide with merged-in rows
+    ids = (
+        identity_columns(table_path, store)
+        if current_version(table_path, store) >= 0
+        else {}
+    )
+    id_always = [c for c in ids if c in source.columns and ids[c]["always"]]
+    id_byd = [
+        c for c in ids if c in source.columns and not ids[c]["always"]
+    ]
     stats_cols = _effective_stats_cols(table_path, stats_cols, source, store)
     touched = source.select(*keys)
     if deletes is not None:
@@ -5246,6 +5623,47 @@ def merge_on_read_upsert(
         live = _read_files(
             spark, table_path, probe, store, dvs=dvs, keep_rowpos=True
         ) if probe else None
+        if id_always:
+            # every touched key must already exist with EXACTLY this
+            # value — anything else is a writer inventing or rewriting
+            # an engine-allocated id. `live` is a superset of the rows
+            # holding touched keys (probe pruning keeps every file
+            # whose envelope can intersect them), so a key with no
+            # match here is genuinely absent from the table.
+            if live is None:
+                if source.limit(1).count():
+                    raise ConstraintViolation(
+                        f"column(s) {id_always} are GENERATED ALWAYS AS "
+                        "IDENTITY: a merge may not insert rows that set "
+                        "them (omit the column, or declare BY DEFAULT)"
+                    )
+            else:
+                stored = live.select(
+                    *keys,
+                    *[F.col(c).alias(f"__stored__{c}") for c in id_always],
+                )
+                probe_src = source.select(*keys, *id_always).join(
+                    stored, keys, "left"
+                )
+                bad = probe_src.where(
+                    functools.reduce(
+                        lambda a, b: a | b,
+                        [
+                            F.col(f"__stored__{c}").isNull()
+                            | F.col(c).isNull()
+                            | (F.col(f"__stored__{c}") != F.col(c))
+                            for c in id_always
+                        ],
+                    )
+                )
+                if bad.limit(1).count():
+                    raise ConstraintViolation(
+                        f"column(s) {id_always} are GENERATED ALWAYS AS "
+                        "IDENTITY: merge source rows may only carry the "
+                        "value already stored for their key — inserting "
+                        "or rewriting identity values is refused "
+                        "(declare BY DEFAULT to allow supplied values)"
+                    )
         # no broadcast hint: a typical CDC batch broadcasts under AQE's
         # threshold on its own, and a bulk backfill batch must be free
         # to shuffle instead of OOMing the executors
@@ -5270,6 +5688,25 @@ def merge_on_read_upsert(
                 _data().remove_tree(dv_out)
             raise
         entry = _entry("merge", adds, [], pb, meta)
+        if id_byd and adds:
+            # fold the supplied extremes into the mark exactly like the
+            # BY DEFAULT append path — recomputed per attempt so a
+            # racing allocator's newer mark is never regressed (replay
+            # applies the LAST stamp, not a max)
+            ex = _identity_file_extremes(
+                spark, table_path, adds, id_byd, store
+            )
+            stamp: dict[str, int] = {}
+            for c in id_byd:
+                step = ids[c]["step"]
+                cand = [identity_high_water(table_path, c, store)]
+                if ex.get(c) is not None:
+                    cand.append(ex[c][1] if step > 0 else ex[c][0])
+                cand = [x for x in cand if x is not None]
+                if cand:
+                    stamp[c] = max(cand) if step > 0 else min(cand)
+            if stamp:
+                entry["identityHighWaterMark"] = stamp
         if evolved:
             entry["schemaEvolved"] = True
         if wide_json:

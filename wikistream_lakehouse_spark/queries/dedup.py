@@ -105,6 +105,123 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- X2 (exact oracle form): the LSH BAND path with pinned LCG hashes -------
+# Portable minhash: shingle → md5-prefix bigint (the same cross-engine hash
+# convention sampling.py certifies) → H linear-congruential min-hashes
+# `min((a_i·(h % p) + b_i) % p)` with PINNED (a_i, b_i, p) — plain 64-bit
+# arithmetic both engines compute bit-identically (a_i, h%p < 2³¹ so the
+# product stays under 2⁶²). The signature feeds the REAL
+# ``lsh_candidate_pairs`` (operators/minhash.py:130) — banding, the
+# max_bucket degenerate guard, and the bucket self-join all run the
+# production code — while DuckDB recomputes the same signatures and joins
+# docs equal on a full band slice. Only the xxhash64-seeded signature of
+# the ◇ corpus form stays driver-unverifiable after this.
+_MB_P = 2147483647  # 2³¹ − 1, prime
+_MB_H, _MB_BANDS = 16, 4
+_MB_A = [(1103515245 * (i + 1) + 12345) % _MB_P for i in range(_MB_H)]
+_MB_B = [(2654435761 * (i + 7)) % _MB_P for i in range(_MB_H)]
+
+_MB_MINS_SQL = ",\n                   ".join(
+    f"MIN(({_MB_A[i]} * hm + {_MB_B[i]}) % {_MB_P}) AS mh_{i}"
+    for i in range(_MB_H)
+)
+_MB_BAND_ROWS = _MB_H // _MB_BANDS
+_MB_BANDS_SQL = "\n            UNION ALL ".join(
+    "SELECT doc_id, {b} AS band_id, {ks} FROM sig".format(
+        b=b,
+        ks=", ".join(
+            f"mh_{b * _MB_BAND_ROWS + i} AS k{i}"
+            for i in range(_MB_BAND_ROWS)
+        ),
+    )
+    for b in range(_MB_BANDS)
+)
+_MB_KEYS = [f"k{i}" for i in range(_MB_BAND_ROWS)]
+
+
+@register(
+    "minhash_bands_exact",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x != '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   unnest([array_to_string(t[i:i+2], ' ')
+                           FOR i IN generate_series(1, len(t) - 2)]) AS s
+            FROM t WHERE len(t) >= 3
+        ), hs AS (
+            SELECT doc_id,
+                   CAST(CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)
+                        % {_MB_P} AS BIGINT) AS hm
+            FROM sh
+        ), sig AS (
+            SELECT doc_id,
+                   {_MB_MINS_SQL}
+            FROM hs GROUP BY doc_id
+        ), banded AS (
+            {_MB_BANDS_SQL}
+        ), bounded AS (
+            SELECT * FROM (
+                SELECT doc_id, band_id, {", ".join(_MB_KEYS)},
+                       COUNT(*) OVER (
+                           PARTITION BY band_id, {", ".join(_MB_KEYS)}
+                       ) AS bucket_n
+                FROM banded
+            ) WHERE bucket_n <= 200
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bounded a JOIN bounded b
+          ON a.band_id = b.band_id
+         AND {" AND ".join(f"a.{k} = b.{k}" for k in _MB_KEYS)}
+         AND a.doc_id < b.doc_id
+        ORDER BY id_a, id_b
+    """,
+    tags=("X2", "dedup", "lsh", "extra"),
+)
+def minhash_bands_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash BAND path, driver-certified (VERDICT r11 #2): pinned
+    LCG hash functions make the signature SQL-recomputable, and the
+    banding/bucket-guard/self-join stage is the REAL
+    ``lsh_candidate_pairs`` — a candidate pair appears iff two docs
+    agree on every minhash of some band (xxhash64 band-hash equality ≡
+    band-slice equality modulo a ~2⁻⁶⁴ collision), which is exactly the
+    join the oracle performs on the recomputed signatures."""
+    from wikistream_lakehouse_spark.operators.minhash import (
+        lsh_candidate_pairs,
+        shingle_structs,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    k = 3
+    s = F.concat_ws(" ", *[F.col(f"s.w{i}") for i in range(k)])
+    hm = (
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % F.lit(_MB_P)
+    )
+    hs = shingle_structs(d, "text", "doc_id", k).select(
+        F.col("doc_id"), hm.alias("hm")
+    )
+    mins = [
+        F.min((F.lit(_MB_A[i]) * F.col("hm") + F.lit(_MB_B[i])) % _MB_P).alias(
+            f"mh_{i}"
+        )
+        for i in range(_MB_H)
+    ]
+    sig = (
+        hs.groupBy("doc_id")
+        .agg(*mins)
+        .select(
+            "doc_id",
+            F.array(*[f"mh_{i}" for i in range(_MB_H)]).alias("minhash"),
+        )
+    )
+    return lsh_candidate_pairs(
+        sig, "doc_id", n_hashes=_MB_H, n_bands=_MB_BANDS, max_bucket=200
+    ).orderBy("id_a", "id_b")
+
+
 # --- X2: MinHash-LSH near-dup at corpus scale (rows-only ◇) ----------------
 @register(
     "minhash_near_dups",

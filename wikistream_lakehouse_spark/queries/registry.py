@@ -192,6 +192,30 @@ _LAST_SCORED.update(dict.fromkeys((
     "top_titles_per_day", "training_order_shuffle", "weekly_retention",
     "window_frames_showcase",
 ), 10))
+_LAST_SCORED.update(dict.fromkeys((
+    # round 11 (CORRECTNESS_r11.json — 50 scored, all green)
+    "above_average_customers", "array_functions_showcase",
+    "chunk_dedup_stats", "conditional_functions_showcase",
+    "cube_part_brand_size", "customer_running_spend",
+    "customers_with_orders", "customers_without_orders", "daily_top_titles",
+    "date_functions_showcase", "dedup_canonical_docs",
+    "distinct_order_status", "distinct_users_per_day", "doc_char_chunks",
+    "doc_token_chunks", "first_orders_per_customer", "grouping_sets_sql",
+    "heavy_hitter_tokens", "hourly_gapfill_locf", "ivfpq_adc_rerank_exact",
+    "keyword_search_bm25", "language_id_ngram", "math_functions_showcase",
+    "media_features_exact", "media_frame_arithmetic", "media_manifest",
+    "nation_customer_supplier_presence", "orders_left_join_returns",
+    "part_price_bands", "pq_adc_rerank_exact", "price_percentiles",
+    "pricing_summary", "priority_discount_orders",
+    "purchase_click_attribution", "revenue_by_nation",
+    "rolling_zscore_anomalies", "rollup_daily_edits", "segment_set_ops",
+    "semantic_dedup_assignments", "sequence_packing_accounting",
+    "sql_copy_into_idempotent", "sql_daily_top_titles",
+    "sql_identity_allocation", "sql_mv_incremental_refresh",
+    "sql_show_create_roundtrip", "sql_version_tags",
+    "string_functions_showcase", "term_frequency_topk",
+    "top_revenue_orders", "unigram_logprob_score",
+), 11))
 
 
 def all_queries() -> dict[str, Query]:

@@ -958,13 +958,15 @@ def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pass 1: ``repartitionByRange(spend, o_custkey)`` gives a parallel
     global sort; ``row_number`` runs per range partition (bounded
     state). Pass 2: per-partition row counts (one tiny row per
-    partition) are turned into cumulative offsets via a triangular
-    self-join over that partition-count-sized frame, then broadcast
-    back; global_rank = offset + local_rank. ntile/percent_rank/
-    cume_dist are then closed-form over (rank, N) because (spend,
-    o_custkey) is unique — rank == row_number, no ties. Every stage is
-    parallel in data size; only the P-row offsets frame (P = shuffle
-    partition count, cluster-bounded) is small-joined."""
+    partition) become cumulative offsets via a running-sum window over
+    that P-row frame (one pass, O(P) state — same shape as
+    operators/quantiles.py, which replaced the earlier O(P²)
+    triangular self-join), then broadcast back; global_rank = offset +
+    local_rank. ntile/percent_rank/cume_dist are then closed-form over
+    (rank, N) because (spend, o_custkey) is unique — rank ==
+    row_number, no ties. Every stage is parallel in data size; only
+    the P-row offsets frame (P = shuffle partition count,
+    cluster-bounded) is small-joined."""
     o = table(spark, sf_dir, "orders")
     s = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
@@ -975,11 +977,12 @@ def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     local = ranged.withColumn("lrn", F.row_number().over(local_w))
 
     counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-    a, b = counts.alias("a"), counts.alias("b")
-    offsets = (
-        a.join(b, F.col("b.pid") < F.col("a.pid"), "left")
-        .groupBy(F.col("a.pid").alias("pid"))
-        .agg(F.coalesce(F.sum("b.cnt"), F.lit(0)).alias("offset"))
+    off_w = (
+        Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "pid",
+        F.coalesce(F.sum("cnt").over(off_w), F.lit(0)).alias("offset"),
     )
     total = counts.agg(F.sum("cnt").alias("n_total"))
 

@@ -752,3 +752,86 @@ def sql_version_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY snap, priority
         """,
     )
+
+
+@register(
+    "sql_branch_fast_forward",
+    oracle="""
+        WITH final AS (
+            SELECT * FROM orders
+            WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0)
+              AND o_orderkey % 10 != 4
+        ), agg AS (
+            SELECT o_orderpriority AS priority,
+                   count(*) AS n_orders,
+                   ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                              AS DOUBLE), 2) AS total
+            FROM final GROUP BY 1
+        )
+        SELECT 'branch' AS snap, priority, n_orders, total FROM agg
+        UNION ALL
+        SELECT 'main' AS snap, priority, n_orders, total FROM agg
+        ORDER BY snap, priority
+    """,
+    tags=("catalog", "sql", "branches", "extra"),
+)
+def sql_branch_fast_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Writable branches through the SQL front door (r12, the Iceberg
+    BRANCH analogue): main holds the even-orderkey half, a ``dev``
+    branch (zero-copy fork under the table) takes an INSERT of the
+    odd multiples of three and a DELETE of the keys ending in 4, and
+    ONE ``FAST FORWARD BRANCH`` commit moves main to the branch head.
+    The final statement reads BOTH refs — ``br_orders`` (main) and
+    ``br_orders@dev`` (the moving branch ref) — and the oracle
+    restates the end state from the base table with plain predicates,
+    so a wrong fork snapshot, a branch write leaking into main early,
+    a fast-forward that drops the DELETE's deletion vector, or a
+    stale post-merge branch ref all break the hash. Sums fold in
+    DECIMAL(18,2) so the two engines agree bit-exactly."""
+    from wikistream_lakehouse_spark.lakehouse import catalog, txn
+    from wikistream_lakehouse_spark.tables import table
+
+    orders = table(spark, sf_dir, "orders")
+
+    def _valid() -> bool:
+        if not _bound(spark, "br_orders")():
+            return False
+        b = catalog._session_bindings(spark)["br_orders"]
+        return "dev" in txn.table_branches(b.path, b.store)
+
+    def _build(d: str) -> None:
+        src = os.path.join(d, "br_orders")
+        txn.append(orders.filter("o_orderkey % 2 = 0"), src)
+        catalog.register_table(spark, "br_orders", src)
+        orders.createOrReplaceTempView("br_orders_src")
+        catalog.sql(spark, "ALTER TABLE br_orders CREATE BRANCH dev")
+        catalog.sql(
+            spark,
+            "INSERT INTO br_orders@dev SELECT * FROM br_orders_src "
+            "WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0",
+        )
+        catalog.sql(
+            spark, "DELETE FROM br_orders@dev WHERE o_orderkey % 10 = 4"
+        )
+        catalog.sql(spark, "ALTER TABLE br_orders FAST FORWARD BRANCH dev")
+
+    fixture_once("sql_branch_ff", sf_dir, _build, valid=_valid)
+    return catalog.sql(
+        spark,
+        """
+        SELECT 'main' AS snap, o_orderpriority AS priority,
+               count(*) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE), 2) AS total
+        FROM br_orders
+        GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'branch' AS snap, o_orderpriority AS priority,
+               count(*) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE), 2) AS total
+        FROM br_orders@dev
+        GROUP BY o_orderpriority
+        ORDER BY snap, priority
+        """,
+    )

@@ -85,6 +85,18 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = all_queries()
+    # Optional subset filter (comma-separated names): targeted re-measures
+    # and cheap harness tests without sweeping the full registry.
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").strip()
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = sorted(set(names) - set(qs))
+        if unknown:
+            print(f"bench: unknown query names skipped: {unknown}", file=sys.stderr)
+        qs = {n: qs[n] for n in names if n in qs}
+        if not qs:
+            print("bench: SPARK_GRAFT_BENCH_QUERIES matched nothing", file=sys.stderr)
+            sys.exit(2)
 
     # Sweep-outer repetition (not per-query back-to-back) so each sample
     # sees the same cache state and inter-run host drift is captured.

@@ -99,7 +99,7 @@ def dedup_work_metrics(spark, sf_dir: str) -> dict:
 
 
 def time_sweep(
-    sf_dir: str, names: list[str], runs: int
+    sf_dir: str, names: list[str], runs: int, prewarm: bool = True
 ) -> "tuple[dict[str, float], dict]":
     from wikistream_lakehouse_spark.queries import all_queries
     from wikistream_lakehouse_spark.session import get_spark
@@ -114,6 +114,19 @@ def time_sweep(
     qs["daily_top_titles"].build(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    if prewarm:
+        # one untimed pass per measured query: a freshly GENERATED big
+        # SF sits cold in the page cache while sf0.1 is warm from daily
+        # use, which fabricates scale ratios (the r11 minhash 7.58×-
+        # cold vs 1.6×-warm anomaly, SCALING.md) — timed sweeps should
+        # compare warm against warm
+        for n in names:
+            try:
+                qs[n].build(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception:  # noqa: BLE001 — the timed loop reports it
+                pass
     samples: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(runs):
         for n in names:
@@ -149,10 +162,15 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--queries", nargs="*", default=DEFAULT_QUERIES)
     ap.add_argument("--out", default=os.path.join(REPO, ".localdata/scaling_raw.json"))
+    ap.add_argument(
+        "--no-prewarm", action="store_true",
+        help="skip the untimed per-query warm pass (measures cold IO)",
+    )
     args = ap.parse_args()
 
-    small, small_work = time_sweep(args.small, args.queries, args.runs)
-    big, big_work = time_sweep(args.big, args.queries, args.runs)
+    pw = not args.no_prewarm
+    small, small_work = time_sweep(args.small, args.queries, args.runs, pw)
+    big, big_work = time_sweep(args.big, args.queries, args.runs, pw)
     rows = []
     for n in args.queries:
         s, b = small[n], big[n]
@@ -168,6 +186,7 @@ def main() -> None:
         "small_dir": args.small,
         "big_dir": args.big,
         "runs_per_sf": args.runs,
+        "prewarm": pw,
         "rows": rows,
         # deterministic band-join work metrics: identical across captures
         # on the same corpus by construction; compare THESE, not seconds

@@ -1,0 +1,185 @@
+"""Live-HTTP leg of the SSE source (VERDICT r11 #5): tail the feed into
+a local capture file that the ``sse_replay`` byte-offset scanner
+already consumes — the ``curl -N >> capture`` bridge, in-repo.
+
+Mirrors the reference producer's network edge exactly
+(kafka/wiki-producer.py:36-43): a requests Session with the
+``Accept: text/event-stream`` / ``User-Agent`` headers WMF requires
+and ``Retry(total=5, backoff_factor=0.5, status_forcelist=[500, 502,
+503, 504])`` mounted on https, plus the outer exponential-backoff
+reconnect loop (1 s doubling to a 30 s cap, reset after a clean pass —
+kafka/wiki-producer.py:102-111).
+
+Division of labor: this module moves BYTES; every frame-grammar
+decision (comments, multi-line data, torn tails) stays in
+``sse_source.parse_sse_frames``/``_scan_complete``. Appends are
+chunk-at-a-time with a flush per chunk — a chunk may end mid-frame,
+which is exactly the torn tail the replay scanner refuses to consume
+until the rest arrives, so the capture is ALWAYS safe to read
+concurrently. A reconnect re-delivers from the server's live head
+(at-least-once, the reference's own contract); replay-side dedup is
+the downstream exact-dedup operator's job, keyed on the SSE ``id``.
+
+Everything is injectable (``get_stream``, ``sleep``) so the
+backoff/reconnect/capture contract tests run with zero network.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time as _time
+from typing import Callable, Iterable, Iterator
+
+DEFAULT_USER_AGENT = "wikistream-lakehouse-spark/1.0 (SSE capture tail)"
+
+
+def _requests_stream(
+    url: str, user_agent: str, connect_timeout: float
+) -> "Iterator[bytes]":
+    """One live connection as a byte-chunk iterator — the reference's
+    resilient-session recipe. Imported lazily and guarded: replay-only
+    deployments never need requests installed."""
+    try:
+        import requests
+        from requests.adapters import HTTPAdapter
+        from urllib3.util.retry import Retry
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise RuntimeError(
+            "the live-HTTP SSE leg needs the 'requests' package; install "
+            "it or use the replay path (a capture file) instead"
+        ) from exc
+
+    s = requests.Session()
+    s.headers.update(
+        {
+            "Accept": "text/event-stream",
+            "Cache-Control": "no-cache",
+            "User-Agent": user_agent,
+            "Connection": "keep-alive",
+        }
+    )
+    retries = Retry(
+        total=5, backoff_factor=0.5, status_forcelist=[500, 502, 503, 504]
+    )
+    s.mount("https://", HTTPAdapter(max_retries=retries))
+    s.mount("http://", HTTPAdapter(max_retries=retries))
+
+    def gen() -> "Iterator[bytes]":
+        with s.get(url, stream=True, timeout=connect_timeout) as r:
+            r.raise_for_status()
+            for chunk in r.iter_content(chunk_size=8192):
+                if chunk:
+                    yield chunk
+
+    return gen()
+
+
+class CaptureTail:
+    """Append a live SSE byte stream to ``capture_path`` with the
+    reference's reconnect semantics. Run inline (``run_once`` /
+    ``run_forever``) or as a daemon thread (``start``/``stop``)."""
+
+    def __init__(
+        self,
+        url: str,
+        capture_path: str,
+        get_stream: "Callable[[], Iterable[bytes]] | None" = None,
+        sleep: Callable[[float], None] = _time.sleep,
+        user_agent: str = DEFAULT_USER_AGENT,
+        connect_timeout: float = 60.0,
+        max_backoff: float = 30.0,
+    ) -> None:
+        self.url = url
+        self.capture_path = capture_path
+        self._get_stream = get_stream or (
+            lambda: _requests_stream(url, user_agent, connect_timeout)
+        )
+        self._sleep = sleep
+        self.max_backoff = max_backoff
+        self._stop = threading.Event()
+        self._thread: "threading.Thread | None" = None
+        self.bytes_written = 0
+        self.reconnects = 0
+        # the capture must exist before the replay reader's isfile check
+        os.makedirs(os.path.dirname(capture_path) or ".", exist_ok=True)
+        with open(capture_path, "ab"):
+            pass
+
+    # ------------------------------------------------------------ core
+    def run_once(self) -> int:
+        """One connection: append chunks until the stream ends or stop()
+        is requested. Returns bytes appended. A chunk may end mid-frame;
+        the flush-per-chunk append keeps the torn tail on disk where the
+        replay scanner correctly refuses it until completed."""
+        n = 0
+        with open(self.capture_path, "ab") as f:
+            for chunk in self._get_stream():
+                if self._stop.is_set():
+                    break
+                f.write(chunk)
+                f.flush()
+                n += len(chunk)
+        self.bytes_written += n
+        return n
+
+    def run_forever(
+        self, should_stop: "Callable[[], bool] | None" = None
+    ) -> None:
+        """The reference's reconnect loop: exponential backoff 1 s → 2 s
+        → … capped at ``max_backoff``, reset to 1 s after any clean pass
+        (kafka/wiki-producer.py:102-111)."""
+        backoff = 1.0
+        while not self._stop.is_set() and not (should_stop and should_stop()):
+            try:
+                self.run_once()
+                backoff = 1.0
+            except Exception:  # noqa: BLE001 — reconnect, like the reference
+                self.reconnects += 1
+                if self._stop.is_set():
+                    break
+                self._sleep(backoff)
+                backoff = min(backoff * 2, self.max_backoff)
+
+    # --------------------------------------------------------- thread
+    def start(self) -> "CaptureTail":
+        if self._thread is not None and self._thread.is_alive():
+            return self  # idempotent
+        self._stop.clear()
+        self._thread = threading.Thread(
+            target=self.run_forever, name="sse-capture-tail", daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self, timeout: float = 5.0) -> None:
+        self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout)
+
+
+# one tail per capture path per process: streamReader construction is
+# not once-only, and two writers interleaving chunks into one capture
+# would corrupt frames
+_TAILS: "dict[str, CaptureTail]" = {}
+_TAILS_LOCK = threading.Lock()
+
+
+def ensure_capture_tail(url: str, capture_path: str, **kw) -> CaptureTail:
+    """Idempotently start (at most) one background tail of ``url`` into
+    ``capture_path`` for this process — the ``http=true`` leg of the
+    sse_replay source."""
+    key = os.path.abspath(capture_path)
+    with _TAILS_LOCK:
+        tail = _TAILS.get(key)
+        if tail is None or (
+            tail._thread is not None and not tail._thread.is_alive()
+        ):
+            tail = CaptureTail(url, capture_path, **kw).start()
+            _TAILS[key] = tail
+        elif tail.url != url:
+            raise ValueError(
+                f"capture {capture_path} is already tailing {tail.url}; "
+                f"refusing a second writer for {url}"
+            )
+        return tail

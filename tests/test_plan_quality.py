@@ -123,20 +123,31 @@ def test_other_bucket_rollup_has_no_global_window(spark, sf_dir):
 
 
 def test_spend_distribution_windows_are_partitioned(spark, sf_dir):
-    """Two-pass global rank: every Window in the plan must carry a
-    partition spec (first windowspec arg is a partition column, not an
-    ASC/DESC ordering) — an unpartitioned window would be a
-    single-partition sort of all customers."""
+    """Two-pass global rank: the DATA-SIZED window (row_number over
+    every customer) must carry a partition spec — an unpartitioned one
+    would be a single-partition sort of all customers. The r12 offsets
+    cumsum (same shape as operators/quantiles.py) adds ONE deliberately
+    unpartitioned window, but its input is the per-partition COUNT
+    frame — exactly P = spark.sql.shuffle.partitions rows,
+    cluster-bounded, never data-sized — recognizable by ordering on the
+    synthetic `pid` column."""
     plan = plan_of(QUERIES["customer_spend_distribution"].build(spark, sf_dir), "simple")
     specs = _window_specs(plan)
     assert specs, "expected the per-range-partition row_number window"
+    partitioned = []
     for spec in specs:
         first_arg = spec.split(",")[0]
-        assert " ASC" not in first_arg and " DESC" not in first_arg, (
-            f"unpartitioned window spec: {spec[:120]}"
-        )
-    # the only SinglePartition exchange allowed is the tiny global-count agg
-    assert plan.count("Exchange SinglePartition") <= 1
+        if " ASC" in first_arg or " DESC" in first_arg:
+            # only the P-row offsets cumsum may run unpartitioned
+            assert first_arg.strip().startswith("pid"), (
+                f"unpartitioned data-sized window spec: {spec[:120]}"
+            )
+        else:
+            partitioned.append(spec)
+    assert partitioned, "the row_number pass lost its pid partition spec"
+    # SinglePartition exchanges: the tiny global-count agg + the P-row
+    # offsets window — both bounded by partition count, not data
+    assert plan.count("Exchange SinglePartition") <= 2
 
 
 def test_price_percentiles_never_buffers_groups(spark, sf_dir):

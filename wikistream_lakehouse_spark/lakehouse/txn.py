@@ -1227,11 +1227,16 @@ def identity_columns(
             break
         e = _load_entry(table_path, v, store) or {}
         m = e.get("meta") or {}
-        if e.get("op") == "rewrite" and m.get("replaceTable"):
+        if (
+            e.get("op") == "rewrite"
+            and m.get("replaceTable")
+            and not m.get("truncate")
+        ):
             # CREATE OR REPLACE starts a fresh table definition: a
             # stale identity declaration must not auto-allocate into a
             # schema that never re-declared it (same reset rule as
-            # _column_mapping_state)
+            # _column_mapping_state). TRUNCATE rides the same replace
+            # op but KEEPS declared metadata by contract.
             out.clear()
         elif e.get("op") == "set_identity":
             out[m["name"]] = {
@@ -1264,10 +1269,15 @@ def identity_high_water(
             break
         e = _load_entry(table_path, v, store) or {}
         m = e.get("meta") or {}
-        if e.get("op") == "rewrite" and m.get("replaceTable"):
+        if (
+            e.get("op") == "rewrite"
+            and m.get("replaceTable")
+            and not m.get("truncate")
+        ):
             # the declarations reset with the table (identity_columns),
             # so the marks must too — a re-declared identity after
-            # CREATE OR REPLACE restarts from its START WITH seed
+            # CREATE OR REPLACE restarts from its START WITH seed.
+            # TRUNCATE keeps the mark: old values are never re-issued.
             hwm.clear()
         elif e.get("op") == "set_identity" and m.get("seedHwm") is not None:
             hwm[m["name"]] = int(m["seedHwm"])
@@ -3701,8 +3711,12 @@ def truncate_table(
     time-travelable: the pre-truncate snapshot is one RESTORE away."""
     cur = read_table(spark, table_path, store=store).limit(0)
     pb = _current_partitioning(table_path, store)
+    # the truncate stamp keeps identity declarations/marks alive
+    # through the replace-style commit (CREATE OR REPLACE resets them;
+    # TRUNCATE keeps declared metadata by contract)
     return replace_table(
-        spark, table_path, cur, partition_by=pb or None, store=store
+        spark, table_path, cur, partition_by=pb or None, store=store,
+        extra_meta={"truncate": True},
     )
 
 
@@ -3792,6 +3806,7 @@ def replace_table(
     max_retries: int = 5,
     store: LogStore | None = None,
     stats_cols: list[str] | None = None,
+    extra_meta: dict | None = None,
 ) -> int:
     """INSERT OVERWRITE / CREATE OR REPLACE TABLE semantics: commit
     ``df`` as the full new state in ONE version — schema and partition
@@ -3807,7 +3822,8 @@ def replace_table(
             return rewrite(
                 df, table_path, base, op="rewrite",
                 enforce_schema=False, partition_by=partition_by,
-                meta={"replaceTable": True}, store=store,
+                meta={"replaceTable": True, **(extra_meta or {})},
+                store=store,
                 stats_cols=stats_cols, allow_repartition=True,
             )
         except CommitConflict:

@@ -56,23 +56,23 @@ def hamming(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_near_duplicates(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def simhash_candidate_pairs(
+    sig: DataFrame,
+    id_col: str = "doc",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """Pairs with Hamming(simhash) <= max_hamming via chunk-banding.
-
-    The chunk count is the smallest divisor of N_BITS exceeding max_hamming
-    — pigeonhole then guarantees exact recall at that radius (two
-    signatures within Hamming d agree on ≥1 of d+1 chunks). Returns
-    (id_a, id_b, hamming_dist).
-    """
+    """The banding/pairing stage over an EXISTING ``(id, simhash)``
+    frame: chunk-band the signature, bucket-join, verify Hamming.
+    Split out of ``simhash_near_duplicates`` so a SQL-recomputable
+    signature (portable md5-based hashing, queries/dedup.py
+    ``simhash_bands_exact``) can drive the REAL pigeonhole path through
+    the correctness driver, the same pattern as minhash's
+    ``lsh_candidate_pairs``. Returns (id_a, id_b, hamming_dist)."""
     n_chunks = next((c for c in _CHUNK_CHOICES if c > max_hamming), None)
     if n_chunks is None:
         raise ValueError(f"max_hamming {max_hamming} >= {N_BITS} is meaningless")
-    sig = add_simhash(df, text_col, id_col).select(F.col(id_col).alias("doc"), "simhash")
+    if id_col != "doc":
+        sig = sig.select(F.col(id_col).alias("doc"), "simhash")
     bits = N_BITS // n_chunks
     mask = (1 << bits) - 1
     chunks = F.array(
@@ -112,3 +112,22 @@ def simhash_near_duplicates(
         .distinct()
         .filter(F.col("hamming_dist") <= max_hamming)
     )
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with Hamming(simhash) <= max_hamming via chunk-banding.
+
+    The chunk count is the smallest divisor of N_BITS exceeding max_hamming
+    — pigeonhole then guarantees exact recall at that radius (two
+    signatures within Hamming d agree on ≥1 of d+1 chunks). Returns
+    (id_a, id_b, hamming_dist).
+    """
+    sig = add_simhash(df, text_col, id_col).select(
+        F.col(id_col).alias("doc"), "simhash"
+    )
+    return simhash_candidate_pairs(sig, "doc", max_hamming)

@@ -222,6 +222,116 @@ def minhash_bands_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+# --- X2 (exact oracle form): the SimHash pigeonhole band path ---------------
+# Portable 60-bit SimHash: per-token md5-prefix hash (the same cross-engine
+# convention as minhash_bands_exact), bitwise majority vote, then the REAL
+# ``simhash_candidate_pairs`` (operators/simhash.py) runs the chunk-banding
+# bucket join and Hamming verification. DuckDB recomputes the identical
+# signature with 60 CASE-vote sums and re-derives the pairs from the same
+# pigeonhole chunks, so bucket routing AND the bit_count(xor) verification
+# are value-checked end-to-end; only the xxhash64 seeding of the ◇ corpus
+# form stays driver-unverifiable.
+_SB_BITS = 60
+_SB_CHUNKS = 4  # max_hamming=3 → smallest divisor of 60 above 3
+_SB_VOTES_SQL = ",\n                   ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{j}"
+    for j in range(_SB_BITS)
+)
+_SB_SIG_SQL = " + ".join(
+    f"(CASE WHEN v_{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+    for j in range(_SB_BITS)
+)
+_SB_CHUNK_BITS = _SB_BITS // _SB_CHUNKS
+_SB_MASK = (1 << _SB_CHUNK_BITS) - 1
+_SB_BANDS_SQL = "\n            UNION ALL ".join(
+    f"SELECT doc_id, simhash, {c} AS chunk_id, "
+    f"(simhash >> {c * _SB_CHUNK_BITS}) & {_SB_MASK} AS chunk_val FROM sig"
+    for c in range(_SB_CHUNKS)
+)
+
+
+@register(
+    "simhash_bands_exact",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x != '') AS t
+            FROM documents
+        ), tok AS (
+            SELECT doc_id, unnest(t) AS w
+            FROM t WHERE len(t) >= 1
+        ), hs AS (
+            SELECT doc_id,
+                   CAST(CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)
+                        AS BIGINT) AS h
+            FROM tok
+        ), votes AS (
+            SELECT doc_id,
+                   {_SB_VOTES_SQL}
+            FROM hs GROUP BY doc_id
+        ), sig AS (
+            SELECT doc_id, {_SB_SIG_SQL} AS simhash
+            FROM votes
+        ), banded AS (
+            {_SB_BANDS_SQL}
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)
+                   AS hamming_dist
+        FROM banded a JOIN banded b
+          ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+         AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY id_a, id_b
+    """,
+    tags=("X2", "dedup", "simhash", "extra"),
+)
+def simhash_bands_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash band path, driver-certified (the simhash twin of
+    minhash_bands_exact): a portable md5-prefix token hash makes the
+    60-bit majority-vote signature SQL-recomputable, and the chunk
+    banding + bucket join + Hamming(≤3) verification is the REAL
+    ``simhash_candidate_pairs``. Empty-token documents are excluded on
+    both sides (the ◇ corpus form keeps them; here they'd all share
+    the all-zero signature, a degenerate bucket the exact face doesn't
+    need to exercise)."""
+    from wikistream_lakehouse_spark.operators.simhash import (
+        N_BITS,
+        simhash_candidate_pairs,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    ex = (
+        d.select(F.col("doc_id"), tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") >= 1)
+        .select("doc_id", F.explode("t").alias("w"))
+        .withColumn(
+            "h", F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+        )
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v_{j}")
+        for j in range(N_BITS)
+    ]
+    agg = ex.groupBy("doc_id").agg(*votes)
+    sig_expr = F.lit(0).cast("long")
+    for j in range(N_BITS):
+        sig_expr = sig_expr + F.when(
+            F.col(f"v_{j}") > 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    sig = agg.select("doc_id", sig_expr.alias("simhash"))
+    return (
+        simhash_candidate_pairs(sig, "doc_id", max_hamming=3)
+        .select(
+            "id_a", "id_b", F.col("hamming_dist").cast("int").alias("hamming_dist")
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 # --- X2: MinHash-LSH near-dup at corpus scale (rows-only ◇) ----------------
 @register(
     "minhash_near_dups",

@@ -179,3 +179,65 @@ def test_resolve_version_names_branches_helpfully(spark, t):
     txn.create_branch(t, "dev")
     with pytest.raises(ValueError, match="BRANCH"):
         txn.resolve_version(t, "dev")
+
+
+def test_fast_forward_on_partitioned_table_links_hive_dirs(spark, tmp_path):
+    t = str(tmp_path / "pt")
+    txn.append(
+        spark.createDataFrame(
+            [(1, "a", "d1"), (2, "b", "d2")], "k long, v string, ds string"
+        ),
+        t,
+        partition_by=["ds"],
+    )
+    txn.create_branch(t, "dev")
+    b = txn.branch_location(t, "dev")
+    txn.append(
+        spark.createDataFrame([(3, "c", "d3")], "k long, v string, ds string"),
+        b,
+    )
+    txn.fast_forward(spark, t, "dev")
+    got = {(r.k, r.ds) for r in txn.read_table(spark, t).collect()}
+    assert got == {(1, "d1"), (2, "d2"), (3, "d3")}
+    # the linked file keeps its hive partition dir inside the rel path
+    e = txn._load_entry(t, txn.current_version(t))
+    assert any("ds=d3" in rel for rel in e["add"])
+
+
+def test_fast_forward_preserves_shared_column_mapping(spark, t):
+    # a rename BEFORE the fork is shared state — both sides carry it,
+    # the divergence gate passes, and post-merge reads serve the
+    # logical name
+    txn.rename_column(spark, t, "v", "price")
+    txn.create_branch(t, "dev")
+    b = txn.branch_location(t, "dev")
+    txn.append(
+        spark.createDataFrame([(100, 1.0)], "k long, price double"), b
+    )
+    txn.fast_forward(spark, t, "dev")
+    out = txn.read_table(spark, t)
+    assert "price" in out.columns and out.count() == 6
+
+
+def test_branch_vacuum_never_touches_main_bytes(spark, t):
+    txn.create_branch(t, "dev")
+    b = txn.branch_location(t, "dev")
+    before = _rows(spark, t)
+    # branch rewrites itself completely, then vacuums the fork files
+    txn.replace_table(spark, b, _kv(spark, 300, 303))
+    txn.vacuum(b, retain_versions=1, orphan_grace_secs=0)
+    assert _rows(spark, t) == before  # main unharmed (hard-link names)
+
+
+def test_diverged_branch_merges_into_main_via_merge(spark, t):
+    # the workflow the fast_forward refusal points at: main moved, so
+    # promote the branch's rows with MERGE INTO main USING the branch
+    txn.create_branch(t, "dev")
+    b = txn.branch_location(t, "dev")
+    txn.append(_kv(spark, 10, 12), b)
+    txn.append(_kv(spark, 50, 51), t)  # main diverges
+    with pytest.raises(ValueError, match="diverged"):
+        txn.fast_forward(spark, t, "dev")
+    txn.merge_on_read_upsert(spark, t, txn.read_table(spark, b), ["k"])
+    main = dict(_rows(spark, t))
+    assert {10, 11, 50} <= set(main)

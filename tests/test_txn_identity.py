@@ -330,3 +330,25 @@ def test_update_by_default_folds_set_extreme_into_mark(spark, tmp_path):
     txn.append(_df(spark, [("c", 3)]), t)
     ids = _ids(spark, t)
     assert len(set(ids)) == 3 and max(ids) > 900
+
+
+def test_merge_by_always_identity_key_updates_but_never_inserts(spark, tmp_path):
+    """Merging BY the ALWAYS identity key (the common serving shape):
+    updates of existing ids pass the round-trip check trivially; a
+    source row carrying an id the table never allocated is an insert
+    of a writer-invented value — refused."""
+    t = str(tmp_path / "t")
+    txn.set_identity_column(spark, t, "id", always=True)
+    txn.append(_df(spark, [("a", 1), ("b", 2)]), t)
+    cur = {r.name: r.id for r in txn.read_table(spark, t).collect()}
+    upd = spark.createDataFrame(
+        [(cur["a"], "a2", 10)], "id long, name string, qty long"
+    )
+    txn.merge_on_read_upsert(spark, t, upd, ["id"])
+    rows = {r.id: r for r in txn.read_table(spark, t).collect()}
+    assert rows[cur["a"]].name == "a2" and rows[cur["a"]].qty == 10
+    ghost = spark.createDataFrame(
+        [(max(cur.values()) + 999, "c", 3)], "id long, name string, qty long"
+    )
+    with pytest.raises(txn.ConstraintViolation, match="ALWAYS AS IDENTITY"):
+        txn.merge_on_read_upsert(spark, t, ghost, ["id"])

@@ -1689,7 +1689,18 @@ def create_branch(
             table_path, base + 1, entry, store
         ):
             return base + 1
-        drop_table(bpath, store)  # lost the race: unwind the clone
+        # lost the race. If the winner was a SAME-NAME create_branch,
+        # the dir now belongs to the registered branch — both clones
+        # were gated on the same main base (any content commit between
+        # would have failed both gates), so the surviving clone is the
+        # identical snapshot; deleting it would destroy the winner's
+        # branch. Unwind only while the name stays unregistered.
+        if name in table_branches(table_path, store):
+            raise ValueError(
+                f"branch {name!r} already exists on {table_path} "
+                "(created concurrently)"
+            )
+        drop_table(bpath, store)
     raise CommitConflict(f"create_branch conflicted {max_retries} times")
 
 
@@ -5658,7 +5669,9 @@ def merge_on_read_upsert(
                     *keys,
                     *[F.col(c).alias(f"__stored__{c}") for c in id_always],
                 )
-                probe_src = source.select(*keys, *id_always).join(
+                # dedupe: an identity column may itself be a merge key
+                src_cols = list(dict.fromkeys([*keys, *id_always]))
+                probe_src = source.select(*src_cols).join(
                     stored, keys, "left"
                 )
                 bad = probe_src.where(

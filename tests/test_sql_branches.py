@@ -113,3 +113,26 @@ def test_fast_forward_refusal_surfaces_merge_hint(spark, bt):
     catalog.sql(spark, "INSERT INTO br_t VALUES (50, 500.0)")  # main moved
     with pytest.raises(ValueError, match="MERGE INTO"):
         catalog.sql(spark, "ALTER TABLE br_t FAST FORWARD BRANCH dev")
+
+
+def test_maintenance_and_describe_verbs_accept_branch_targets(spark, bt):
+    catalog.sql(spark, "ALTER TABLE br_t CREATE BRANCH dev")
+    catalog.sql(spark, "INSERT INTO br_t@dev VALUES (9, 90.0)")
+    catalog.sql(spark, "DELETE FROM br_t@dev WHERE k = 2")
+
+    hist = catalog.sql(spark, "DESCRIBE HISTORY br_t@dev").collect()
+    ops = [r.op for r in hist]
+    assert "clone" in ops and "append" in ops  # the branch's OWN log
+    detail = catalog.sql(spark, "DESCRIBE DETAIL br_t@dev").collect()
+    assert len(detail) == 1
+
+    bpath = txn.branch_location(bt, "dev")
+    v = catalog.sql(spark, "OPTIMIZE br_t@dev")
+    assert v == txn.current_version(bpath)
+    catalog.sql(spark, "CHECKPOINT br_t@dev")
+    assert catalog.sql(spark, "VACUUM br_t@dev RETAIN 1 VERSIONS DRY RUN") != []
+    report = catalog.sql(spark, "MAINTAIN TABLE br_t@dev")
+    assert isinstance(report, dict)
+    # main's history untouched by all of the above
+    main_ops = [r.op for r in catalog.sql(spark, "DESCRIBE HISTORY br_t").collect()]
+    assert "append" in main_ops and "compact" not in main_ops

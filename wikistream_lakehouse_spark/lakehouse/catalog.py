@@ -189,6 +189,11 @@ def _resolve_path(spark: SparkSession, name_or_path: str) -> "tuple[str, txn.Log
     b = _session_bindings(spark).get(name_or_path)
     if b is not None:
         return b.path, b.store
+    base, _, ref = name_or_path.partition("@")
+    if ref:
+        bb = _session_bindings(spark).get(base)
+        if bb is not None and ref in txn.table_branches(bb.path, bb.store):
+            return txn.branch_location(bb.path, ref), bb.store
     return name_or_path, None
 
 
@@ -245,23 +250,23 @@ _INSERT_BODY_RE = re.compile(
 )
 _ASSIGN_RE = re.compile(rf"^\s*({_IDENT})\s*=\s*(\S.*?)\s*$", re.DOTALL)
 _OPTIMIZE_RE = re.compile(
-    rf"^\s*OPTIMIZE\s+({_IDENT})"
+    rf"^\s*OPTIMIZE\s+({_WIDENT})"
     rf"(?:\s+WHERE\s+(.+?))?"
     rf"(?:\s+ZORDER\s+BY\s+(\(?\s*{_IDENT}(?:\s*,\s*{_IDENT})*\s*\)?))?"
     rf"\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
 _VACUUM_RE = re.compile(
-    rf"^\s*VACUUM\s+({_IDENT})"
+    rf"^\s*VACUUM\s+({_WIDENT})"
     rf"(?:\s+RETAIN\s+(\d+)\s+(VERSIONS?|HOURS?))?"
     rf"(\s+DRY\s+RUN)?\s*;?\s*$",
     re.IGNORECASE,
 )
 _CHECKPOINT_RE = re.compile(
-    rf"^\s*CHECKPOINT\s+({_IDENT})\s*;?\s*$", re.IGNORECASE
+    rf"^\s*CHECKPOINT\s+({_WIDENT})\s*;?\s*$", re.IGNORECASE
 )
 _ANALYZE_RE = re.compile(
-    rf"^\s*ANALYZE\s+TABLE\s+({_IDENT})"
+    rf"^\s*ANALYZE\s+TABLE\s+({_WIDENT})"
     rf"(?:\s+COMPUTE\s+STATISTICS)?"
     rf"(?:\s+FOR\s+COLUMNS\s*\(([^)]+)\))?\s*;?\s*$",
     re.IGNORECASE,
@@ -279,7 +284,7 @@ _GENERATE_RE = re.compile(
     re.IGNORECASE,
 )
 _MAINTAIN_RE = re.compile(
-    rf"^\s*MAINTAIN\s+(?:TABLE\s+)?({_IDENT})"
+    rf"^\s*MAINTAIN\s+(?:TABLE\s+)?({_WIDENT})"
     rf"(\s+WITH\s+LOG\s+RETENTION)?\s*;?\s*$",
     re.IGNORECASE,
 )
@@ -571,9 +576,11 @@ DDL:
       | FAST FORWARD BRANCH name
         (a WRITABLE fork — zero-copy clone under <t>/_branches/name:
          read t@name, write INSERT INTO/UPDATE/DELETE FROM/MERGE INTO
-         t@name; FAST FORWARD moves main to the branch head in one
-         commit when main hasn't advanced past the fork — a diverged
-         main needs MERGE INTO instead)
+         t@name; OPTIMIZE/VACUUM/CHECKPOINT/ANALYZE/MAINTAIN and
+         DESCRIBE HISTORY/DETAIL accept t@name too — the branch is a
+         full table with its own log; FAST FORWARD moves main to the
+         branch head in one commit when main hasn't advanced past the
+         fork — a diverged main needs MERGE INTO instead)
     (each is one metadata-only commit; binding auto-refreshes)
   CREATE TABLE t2 [SHALLOW] CLONE t [VERSION AS OF n |
       TIMESTAMP AS OF 'ts'] [LOCATION '/path']
@@ -1894,7 +1901,7 @@ def _rewrite_time_travel(spark: SparkSession, statement: str) -> str:
 
 
 _DESCRIBE_RE = re.compile(
-    rf"^\s*DESCRIBE\s+(HISTORY|DETAIL)\s+({_IDENT})\s*;?\s*$", re.IGNORECASE
+    rf"^\s*DESCRIBE\s+(HISTORY|DETAIL)\s+({_WIDENT})\s*;?\s*$", re.IGNORECASE
 )
 
 
@@ -1936,7 +1943,14 @@ def sql(spark: SparkSession, statement: str):
     if m:
         kind, name = m.group(1).upper(), m.group(2)
         if _session_bindings(spark).get(name) is None:
-            raise ValueError(f"{name!r} is not a registered txn table")
+            base, _, ref = name.partition("@")
+            bb = _session_bindings(spark).get(base)
+            if not (
+                ref
+                and bb is not None
+                and ref in txn.table_branches(bb.path, bb.store)
+            ):
+                raise ValueError(f"{name!r} is not a registered txn table")
         return (
             history_df(spark, name) if kind == "HISTORY"
             else detail_df(spark, name)

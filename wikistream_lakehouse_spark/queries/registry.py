@@ -216,6 +216,31 @@ _LAST_SCORED.update(dict.fromkeys((
     "string_functions_showcase", "term_frequency_topk",
     "top_revenue_orders", "unigram_logprob_score",
 ), 11))
+_LAST_SCORED.update(dict.fromkeys((
+    # round 12 (CORRECTNESS_r12.json — 50 scored, all green)
+    "benchmark_contamination", "cdc_apply_expectations",
+    "cheapest_supplier_per_part", "corpus_funnel", "corpus_quality_filter",
+    "cosine_topk_bruteforce", "cross_nation_trade_volume",
+    "curate_projection", "customer_order_histogram",
+    "customer_spend_distribution", "daily_editor_counts",
+    "daily_top_titles", "dedup_canonical_embeddings", "dedup_exact_events",
+    "disjunctive_part_revenue", "doc_fingerprints",
+    "doc_repetition_profile", "dominant_part_shippers",
+    "embedding_cosine_pairs", "embedding_label_centroids",
+    "event_date_slice", "forecast_revenue", "idle_customer_balance",
+    "important_part_value", "lang_source_stats", "large_volume_orders",
+    "late_order_priority_counts", "late_shipment_priority",
+    "late_suppliers_multi_supplier_orders", "minhash_bands_exact",
+    "nation_market_share", "ngram_jaccard_pairs", "pii_scrub_profile",
+    "pivot_event_type_counts", "product_profit_by_nation_year",
+    "promo_revenue_share", "regional_same_nation_revenue",
+    "session_windows_per_user", "simhash_bands_exact",
+    "sliding_window_counts", "small_quantity_revenue",
+    "sql_branch_fast_forward", "sql_changes_feed", "sql_time_travel_diff",
+    "supplier_count_by_part_attrs", "text_quality_profile", "token_counts",
+    "top_returning_customers", "top_supplier_by_revenue",
+    "tumbling_hourly_counts",
+), 12))
 
 
 def all_queries() -> dict[str, Query]:

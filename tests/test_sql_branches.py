@@ -136,3 +136,18 @@ def test_maintenance_and_describe_verbs_accept_branch_targets(spark, bt):
     # main's history untouched by all of the above
     main_ops = [r.op for r in catalog.sql(spark, "DESCRIBE HISTORY br_t").collect()]
     assert "append" in main_ops and "compact" not in main_ops
+
+
+def test_refresh_table_validates_branch_ref(spark, bt):
+    """refresh_table('t@ref') for a non-branch ref (tag, typo) raises
+    naming the valid branches instead of silently returning -1 for a
+    nonexistent directory (ADVICE r12 low)."""
+    catalog.sql(spark, "ALTER TABLE br_t CREATE BRANCH dev")
+    catalog.sql(spark, "INSERT INTO br_t@dev VALUES (9, 90.0)")
+    assert catalog.refresh_table(spark, "br_t@dev") == 1
+    with pytest.raises(ValueError, match="not a branch.*dev"):
+        catalog.refresh_table(spark, "br_t@nope")
+    # a TAG is a read pin, not a branch head — same refusal
+    txn.create_tag(bt, "rel0", version=0)
+    with pytest.raises(ValueError, match="not a branch"):
+        catalog.refresh_table(spark, "br_t@rel0")

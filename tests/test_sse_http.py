@@ -133,13 +133,30 @@ def test_ensure_capture_tail_is_one_writer_per_capture(tmp_path):
             "http://fake/a", cap, get_stream=lambda: stream()
         )
         assert t2 is t1  # same url+path: reuse, never a second writer
-        with pytest.raises(ValueError, match="already tailing"):
+        with pytest.raises(ValueError, match="already bound"):
             ensure_capture_tail(
                 "http://fake/OTHER", cap, get_stream=lambda: stream()
             )
     finally:
         hold.set()
         t1.stop()
+    # DEAD tails keep the binding too (ADVICE r12 low): a capture file
+    # holds one stream for its lifetime — a restart for a DIFFERENT url
+    # must refuse, not silently mix stream B into A's capture
+    t1._thread.join(5)
+    assert not t1._thread.is_alive()
+    with pytest.raises(ValueError, match="already bound"):
+        ensure_capture_tail(
+            "http://fake/OTHER", cap, get_stream=lambda: iter([])
+        )
+    # while a dead tail for the SAME url restarts cleanly
+    t3 = ensure_capture_tail(
+        "http://fake/a", cap, get_stream=lambda: iter([])
+    )
+    try:
+        assert t3 is not t1 and t3.url == "http://fake/a"
+    finally:
+        t3.stop()
 
 
 def test_http_option_requires_url():

@@ -352,3 +352,44 @@ def test_merge_by_always_identity_key_updates_but_never_inserts(spark, tmp_path)
     )
     with pytest.raises(txn.ConstraintViolation, match="ALWAYS AS IDENTITY"):
         txn.merge_on_read_upsert(spark, t, ghost, ["id"])
+
+
+def test_insert_overwrite_keeps_identity_declaration_and_mark(
+    spark, tmp_path
+):
+    """SQL INSERT OVERWRITE replaces DATA, not the table definition:
+    identity declarations and high-water marks survive it (Delta
+    semantics; ADVICE r12 medium), matching partitioned tables where
+    the dynamic-overwrite path never touched declared metadata. Only
+    genuine CREATE OR REPLACE resets identity state
+    (test_replace_table_resets_declaration_and_mark)."""
+    from wikistream_lakehouse_spark.lakehouse import catalog
+
+    t = str(tmp_path / "t")
+    txn.set_identity_column(spark, t, "id", always=False)
+    txn.append(
+        spark.createDataFrame(
+            [(1000, "a", 1), (1001, "b", 2)],
+            "id long, name string, qty long",
+        ),
+        t,
+    )
+    assert txn.identity_high_water(t, "id") == 1001
+    catalog.register_table(spark, "ow_id_t", t)
+    try:
+        catalog.sql_dml(
+            spark,
+            "INSERT OVERWRITE ow_id_t "
+            "SELECT id, name, qty FROM ow_id_t WHERE qty = 1",
+        )
+        assert spark.table("ow_id_t").count() == 1
+        # declaration and mark both survive the data-only replace
+        assert "id" in txn.identity_columns(t)
+        assert txn.identity_high_water(t, "id") == 1001
+        # the next ingest allocates BEYOND the pre-overwrite mark —
+        # old values are never re-issued
+        txn.append(_df(spark, [("c", 3)]), t)
+        ids = _ids(spark, t)
+        assert len(set(ids)) == 2 and max(ids) > 1001
+    finally:
+        catalog.unregister_table(spark, "ow_id_t")

@@ -156,7 +156,16 @@ def refresh_table(spark: SparkSession, name: str) -> int:
     if ref:
         # a branch write moved the BRANCH table, not the main view; the
         # branch has no temp view of its own (reads resolve @ref live),
-        # so there is nothing to rebind — report the branch head
+        # so there is nothing to rebind — report the branch head. A ref
+        # that is not an actual branch (tag name, typo) would silently
+        # return -1 for a nonexistent directory; refuse instead
+        # (ADVICE r12 low).
+        branches = txn.table_branches(b.path, b.store)
+        if ref not in branches:
+            raise ValueError(
+                f"{ref!r} is not a branch of {base!r}; branches: "
+                f"{sorted(branches) or '(none)'}"
+            )
         return txn.current_version(
             txn.branch_location(b.path, ref), b.store
         )
@@ -928,7 +937,16 @@ def sql_dml(
             # default: touched-partition IO only, atomic per commit)
             v = txn.replace_partitions(spark, b.path, out, store=b.store)
         else:
-            v = txn.replace_table(spark, b.path, out, store=b.store)
+            # INSERT OVERWRITE replaces DATA, not the table definition:
+            # the stamp exempts the commit from the identity/high-water
+            # reset that genuine CREATE OR REPLACE triggers (Delta keeps
+            # identity across INSERT OVERWRITE too), matching the
+            # partitioned path above where replace_partitions never
+            # resets declared metadata (ADVICE r12 medium)
+            v = txn.replace_table(
+                spark, b.path, out, store=b.store,
+                extra_meta={"insertOverwrite": True},
+            )
         refresh_table(spark, name)
         return v
     m = _TRUNCATE_RE.match(statement)

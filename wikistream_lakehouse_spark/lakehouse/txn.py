@@ -1231,12 +1231,14 @@ def identity_columns(
             e.get("op") == "rewrite"
             and m.get("replaceTable")
             and not m.get("truncate")
+            and not m.get("insertOverwrite")
         ):
             # CREATE OR REPLACE starts a fresh table definition: a
             # stale identity declaration must not auto-allocate into a
             # schema that never re-declared it (same reset rule as
-            # _column_mapping_state). TRUNCATE rides the same replace
-            # op but KEEPS declared metadata by contract.
+            # _column_mapping_state). TRUNCATE and INSERT OVERWRITE ride
+            # the same replace op but KEEP declared metadata by contract
+            # (they replace rows, not the table definition).
             out.clear()
         elif e.get("op") == "set_identity":
             out[m["name"]] = {
@@ -1273,11 +1275,13 @@ def identity_high_water(
             e.get("op") == "rewrite"
             and m.get("replaceTable")
             and not m.get("truncate")
+            and not m.get("insertOverwrite")
         ):
             # the declarations reset with the table (identity_columns),
             # so the marks must too — a re-declared identity after
             # CREATE OR REPLACE restarts from its START WITH seed.
-            # TRUNCATE keeps the mark: old values are never re-issued.
+            # TRUNCATE and INSERT OVERWRITE keep the mark: old values
+            # are never re-issued across a data-only replace.
             hwm.clear()
         elif e.get("op") == "set_identity" and m.get("seedHwm") is not None:
             hwm[m["name"]] = int(m["seedHwm"])

@@ -172,14 +172,20 @@ def ensure_capture_tail(url: str, capture_path: str, **kw) -> CaptureTail:
     key = os.path.abspath(capture_path)
     with _TAILS_LOCK:
         tail = _TAILS.get(key)
+        if tail is not None and tail.url != url:
+            # the url-mismatch guard applies to DEAD tails too: a
+            # capture file holds ONE stream's frames for its lifetime —
+            # restarting a dead tail for a different url would append a
+            # second stream into the first's capture, exactly the
+            # mixed-stream corruption the guard exists to refuse
+            # (ADVICE r12 low). Use a fresh capture_path instead.
+            raise ValueError(
+                f"capture {capture_path} is already bound to {tail.url}; "
+                f"refusing a second stream {url} (use a new capture path)"
+            )
         if tail is None or (
             tail._thread is not None and not tail._thread.is_alive()
         ):
             tail = CaptureTail(url, capture_path, **kw).start()
             _TAILS[key] = tail
-        elif tail.url != url:
-            raise ValueError(
-                f"capture {capture_path} is already tailing {tail.url}; "
-                f"refusing a second writer for {url}"
-            )
         return tail

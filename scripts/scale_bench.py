@@ -98,6 +98,30 @@ def dedup_work_metrics(spark, sf_dir: str) -> dict:
     return {k: int(v) for k, v in stats.items()}
 
 
+def simhash_work_metrics(spark, sf_dir: str) -> dict:
+    """The simhash twin (VERDICT r12 #1): chunk-band bucket occupancy
+    and candidate volume under the max_bucket guard — deterministic in
+    (corpus, hash params) like the minhash metrics, including the
+    capped-bucket accounting the guard introduces."""
+    from pyspark.sql import functions as F
+
+    from wikistream_lakehouse_spark.operators.simhash import (
+        add_simhash,
+        simhash_band_stats,
+        simhash_candidate_pairs,
+    )
+    from wikistream_lakehouse_spark.tables import table
+
+    d = table(spark, sf_dir, "documents")
+    sig = add_simhash(d).select(
+        F.col("doc_id").alias("doc"), "simhash"
+    ).persist()
+    stats = simhash_band_stats(sig).collect()[0].asDict()
+    stats["distinct_candidate_pairs"] = simhash_candidate_pairs(sig).count()
+    sig.unpersist()
+    return {k: int(v) for k, v in stats.items()}
+
+
 def time_sweep(
     sf_dir: str, names: list[str], runs: int, prewarm: bool = True
 ) -> "tuple[dict[str, float], dict]":
@@ -143,6 +167,11 @@ def time_sweep(
         if "minhash_near_dups" in names
         else {}
     )
+    sim_work = (
+        simhash_work_metrics(spark, sf_dir)
+        if "simhash_near_dups" in names
+        else {}
+    )
     spark.stop()
 
     def median(xs: list[float]) -> float:
@@ -152,7 +181,7 @@ def time_sweep(
 
     # median-of-N: the same protocol as bench.py (VERDICT r4 #4 asked to
     # unify — best-of-N reported slightly optimistic ratios)
-    return {n: median(ts) for n, ts in samples.items()}, work
+    return {n: median(ts) for n, ts in samples.items()}, work, sim_work
 
 
 def main() -> None:
@@ -169,8 +198,10 @@ def main() -> None:
     args = ap.parse_args()
 
     pw = not args.no_prewarm
-    small, small_work = time_sweep(args.small, args.queries, args.runs, pw)
-    big, big_work = time_sweep(args.big, args.queries, args.runs, pw)
+    small, small_work, small_sim = time_sweep(
+        args.small, args.queries, args.runs, pw
+    )
+    big, big_work, big_sim = time_sweep(args.big, args.queries, args.runs, pw)
     rows = []
     for n in args.queries:
         s, b = small[n], big[n]
@@ -191,6 +222,7 @@ def main() -> None:
         # deterministic band-join work metrics: identical across captures
         # on the same corpus by construction; compare THESE, not seconds
         "minhash_work": {"small": small_work, "big": big_work},
+        "simhash_work": {"small": small_sim, "big": big_sim},
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:

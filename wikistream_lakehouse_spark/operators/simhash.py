@@ -56,23 +56,14 @@ def hamming(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_candidate_pairs(
-    sig: DataFrame,
-    id_col: str = "doc",
-    max_hamming: int = 3,
-) -> DataFrame:
-    """The banding/pairing stage over an EXISTING ``(id, simhash)``
-    frame: chunk-band the signature, bucket-join, verify Hamming.
-    Split out of ``simhash_near_duplicates`` so a SQL-recomputable
-    signature (portable md5-based hashing, queries/dedup.py
-    ``simhash_bands_exact``) can drive the REAL pigeonhole path through
-    the correctness driver, the same pattern as minhash's
-    ``lsh_candidate_pairs``. Returns (id_a, id_b, hamming_dist)."""
+def _chunk_banded(sig: DataFrame, max_hamming: int) -> DataFrame:
+    """(doc, simhash, chunk_id, chunk_val) — one row per pigeonhole
+    chunk. Shared by the candidate join and ``simhash_band_stats`` so
+    the two can never disagree about what a bucket is (the same split
+    as minhash's ``_banded``)."""
     n_chunks = next((c for c in _CHUNK_CHOICES if c > max_hamming), None)
     if n_chunks is None:
         raise ValueError(f"max_hamming {max_hamming} >= {N_BITS} is meaningless")
-    if id_col != "doc":
-        sig = sig.select(F.col(id_col).alias("doc"), "simhash")
     bits = N_BITS // n_chunks
     mask = (1 << bits) - 1
     chunks = F.array(
@@ -86,16 +77,53 @@ def simhash_candidate_pairs(
             for c in range(n_chunks)
         ]
     )
-    banded = sig.select("doc", "simhash", F.explode(chunks).alias("ch")).select(
+    return sig.select("doc", "simhash", F.explode(chunks).alias("ch")).select(
         "doc", "simhash", "ch.chunk_id", "ch.chunk_val"
     )
-    left = banded.select(
+
+
+def simhash_candidate_pairs(
+    sig: DataFrame,
+    id_col: str = "doc",
+    max_hamming: int = 3,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """The banding/pairing stage over an EXISTING ``(id, simhash)``
+    frame: chunk-band the signature, bucket-join, verify Hamming.
+    Split out of ``simhash_near_duplicates`` so a SQL-recomputable
+    signature (portable md5-based hashing, queries/dedup.py
+    ``simhash_bands_exact``) can drive the REAL pigeonhole path through
+    the correctness driver, the same pattern as minhash's
+    ``lsh_candidate_pairs``. Returns (id_a, id_b, hamming_dist).
+
+    Degenerate-bucket guard (the simhash twin of minhash.py's
+    ``max_bucket``, VERDICT r12 #1): a hot (chunk_id, chunk_val) bucket
+    — boilerplate or near-empty docs collapsing onto one 15-bit chunk,
+    e.g. the all-zero signature of token-less documents — would make
+    the self-join O(bucket²) at corpus scale. Buckets above
+    ``max_bucket`` are dropped before the join; the recall trade is
+    explicit: a pair within the radius is lost ONLY if EVERY chunk the
+    two signatures agree on is capped, and a >max_bucket chunk
+    collision means a boilerplate cohort that exact fingerprint dedup
+    (dedup_exact / doc_fingerprints) already groups wholesale."""
+    if id_col != "doc":
+        sig = sig.select(F.col(id_col).alias("doc"), "simhash")
+    banded = _chunk_banded(sig, max_hamming)
+    # window count rides the same hash-partitioning the self-join
+    # needs — no extra job/broadcast (same shape as minhash.py:135)
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("chunk_id", "chunk_val")
+    bounded = banded.withColumn(
+        "bucket_n", F.count(F.lit(1)).over(wb)
+    ).filter(F.col("bucket_n") <= max_bucket)
+    left = bounded.select(
         "chunk_id",
         "chunk_val",
         F.col("doc").alias("id_a"),
         F.col("simhash").alias("sig_a"),
     )
-    right = banded.select(
+    right = bounded.select(
         "chunk_id",
         "chunk_val",
         F.col("doc").alias("id_b"),
@@ -114,20 +142,59 @@ def simhash_candidate_pairs(
     )
 
 
+def simhash_band_stats(
+    sig: DataFrame,
+    id_col: str = "doc",
+    max_hamming: int = 3,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """One-row work metric for the chunk-band join — the simhash twin
+    of minhash's ``lsh_band_stats`` (SCALING.md's stable number behind
+    the noisy wall-clock): deterministic in (data, hash params), so two
+    captures on the same corpus must agree exactly.
+
+    Columns: n_docs, n_buckets, max_bucket_size, capped_buckets
+    (buckets over ``max_bucket`` that the guard drops), raw_pairs_kept /
+    raw_pairs_dropped (Σ n·(n−1)/2 over kept / capped buckets — the
+    join fan-out the executors actually pay, pre-distinct)."""
+    if id_col != "doc":
+        sig = sig.select(F.col(id_col).alias("doc"), "simhash")
+    occ = (
+        _chunk_banded(sig, max_hamming)
+        .groupBy("chunk_id", "chunk_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
+    kept = F.col("n") <= max_bucket
+    return occ.agg(
+        F.sum(F.when(F.col("chunk_id") == 0, F.col("n")).otherwise(0)).alias(
+            "n_docs"
+        ),
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n").alias("max_bucket_size"),
+        F.sum(F.when(~kept, 1).otherwise(0)).alias("capped_buckets"),
+        F.sum(F.when(kept, pairs).otherwise(0)).alias("raw_pairs_kept"),
+        F.sum(F.when(~kept, pairs).otherwise(0)).alias("raw_pairs_dropped"),
+    )
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """Pairs with Hamming(simhash) <= max_hamming via chunk-banding.
 
     The chunk count is the smallest divisor of N_BITS exceeding max_hamming
     — pigeonhole then guarantees exact recall at that radius (two
-    signatures within Hamming d agree on ≥1 of d+1 chunks). Returns
-    (id_a, id_b, hamming_dist).
+    signatures within Hamming d agree on ≥1 of d+1 chunks), EXCEPT for
+    pairs whose every agreeing chunk sits in a >``max_bucket`` bucket
+    (the degenerate-bucket guard's explicit trade — see
+    ``simhash_candidate_pairs``). Returns (id_a, id_b, hamming_dist).
     """
     sig = add_simhash(df, text_col, id_col).select(
         F.col(id_col).alias("doc"), "simhash"
     )
-    return simhash_candidate_pairs(sig, "doc", max_hamming)
+    return simhash_candidate_pairs(sig, "doc", max_hamming, max_bucket)

@@ -274,11 +274,19 @@ _SB_BANDS_SQL = "\n            UNION ALL ".join(
             FROM votes
         ), banded AS (
             {_SB_BANDS_SQL}
+        ), bounded AS (
+            SELECT * FROM (
+                SELECT doc_id, simhash, chunk_id, chunk_val,
+                       COUNT(*) OVER (
+                           PARTITION BY chunk_id, chunk_val
+                       ) AS bucket_n
+                FROM banded
+            ) WHERE bucket_n <= 200
         )
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(bit_count(xor(a.simhash, b.simhash)) AS INT)
                    AS hamming_dist
-        FROM banded a JOIN banded b
+        FROM bounded a JOIN bounded b
           ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
          AND a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
@@ -290,11 +298,12 @@ def simhash_bands_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SimHash band path, driver-certified (the simhash twin of
     minhash_bands_exact): a portable md5-prefix token hash makes the
     60-bit majority-vote signature SQL-recomputable, and the chunk
-    banding + bucket join + Hamming(≤3) verification is the REAL
-    ``simhash_candidate_pairs``. Empty-token documents are excluded on
-    both sides (the ◇ corpus form keeps them; here they'd all share
-    the all-zero signature, a degenerate bucket the exact face doesn't
-    need to exercise)."""
+    banding + max_bucket degenerate guard + bucket join + Hamming(≤3)
+    verification is the REAL ``simhash_candidate_pairs`` (the oracle's
+    ``bounded`` CTE mirrors the guard, same shape as the minhash
+    face's). Empty-token documents are excluded on both sides (the ◇
+    corpus form keeps them; here they'd all share the all-zero
+    signature, the exact degenerate bucket the guard caps)."""
     from wikistream_lakehouse_spark.operators.simhash import (
         N_BITS,
         simhash_candidate_pairs,
@@ -324,7 +333,7 @@ def simhash_bands_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit(0).cast("long"))
     sig = agg.select("doc_id", sig_expr.alias("simhash"))
     return (
-        simhash_candidate_pairs(sig, "doc_id", max_hamming=3)
+        simhash_candidate_pairs(sig, "doc_id", max_hamming=3, max_bucket=200)
         .select(
             "id_a", "id_b", F.col("hamming_dist").cast("int").alias("hamming_dist")
         )

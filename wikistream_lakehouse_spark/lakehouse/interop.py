@@ -301,7 +301,7 @@ def duckdb_changes_sql(
     the snapshot planner's anti-join uses, with the join sense
     flipped. Planning is O(changed files) driver-side; DV target
     resolution reads only the (tiny) sidecars through DuckDB."""
-    upto, inserts, dv_deletes = txn._changes_plan(
+    upto, inserts, dv_deletes, file_deletes = txn._changes_plan(
         table_path, from_version, to_version, store
     )
     _check_reader_features(table_path, upto, store)
@@ -392,6 +392,31 @@ def duckdb_changes_sql(
             f"      JOIN (VALUES {dv_map}) m(__abs, __v) "
             f"        ON dv.filename = m.__abs) d "
             f"ON d.__f = r.__f AND d.__ri = b.file_row_number"
+        )
+    for v, fs, masked in file_deletes:
+        # fast-forward delete images (txn._changes_plan): all rows of
+        # the removed files, anti-joined against the retired vectors'
+        # (f, ri) positions — those rows were already invisible pre-FF
+        base_files = ", ".join(_qstr(os.path.join(table_path, f)) for f in fs)
+        rel_rows = ", ".join(
+            f"({_qstr(os.path.join(table_path, f))}, {_qstr(f)})" for f in fs
+        )
+        anti = ""
+        if masked:
+            dv_files = ", ".join(
+                _qstr(os.path.join(table_path, d)) for d in masked
+            )
+            anti = (
+                f" AND NOT EXISTS (SELECT 1 FROM read_parquet([{dv_files}]) "
+                f"dv WHERE dv.f = r.__f AND dv.ri = b.file_row_number)"
+            )
+        arms.append(
+            f"SELECT {select_list('b')}, 'delete' AS _change_type, "
+            f"CAST({v} AS BIGINT) AS _commit_version "
+            f"FROM read_parquet([{base_files}], {opts}, "
+            f"filename=true, file_row_number=true) b "
+            f"JOIN (VALUES {rel_rows}) r(__abs, __f) "
+            f"ON b.filename = r.__abs{anti}"
         )
     if not arms:
         cols = ", ".join(

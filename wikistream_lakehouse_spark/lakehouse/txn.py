@@ -4937,17 +4937,38 @@ def _changes_plan(
     from_version: int,
     to_version: int | None = None,
     store: LogStore | None = None,
-) -> "tuple[int, list[tuple[int, list[str]]], list[tuple[int, list[str]]]]":
+) -> (
+    "tuple[int, list[tuple[int, list[str]]], list[tuple[int, list[str]]],"
+    " list[tuple[int, list[str], list[str]]]]"
+):
     """Driver-side plan of the ``(from_version, to_version]`` change
-    feed: ``(upto, inserts, dv_deletes)`` where inserts/dv_deletes are
-    ``(version, relative file list)`` pairs. All recoverability
+    feed: ``(upto, inserts, dv_deletes, file_deletes)`` where
+    inserts/dv_deletes are ``(version, relative file list)`` pairs and
+    file_deletes are ``(version, removed file list, masking DV list)``
+    triples — whole-file delete images minus the positions the listed
+    pre-commit deletion vectors already masked. All recoverability
     refusals live HERE so the Spark reader (``table_changes_cdf``) and
     the engine-free DuckDB planner (``interop.duckdb_changes_sql``)
-    agree by construction — see ``table_changes_cdf`` for the rule."""
+    agree by construction — see ``table_changes_cdf`` for the rule.
+
+    ``fast_forward`` is the one file-REMOVING op the feed expresses
+    (VERDICT r12 #5): a consumer on main sees the branch's whole delta
+    as one insert/delete batch at the FF commit. Its removed files'
+    rows are still on disk (a remove-set never deletes physical files
+    before vacuum) and the rows among them that were ALREADY invisible
+    pre-FF are exactly the positions of the DVs the FF retired — so
+    delete images are recoverable: removed-file rows anti-joined
+    against the retired vectors. A branch rewrite (CoW delete on the
+    branch) therefore surfaces as full-file delete+insert pairs whose
+    surviving rows net out under the consumer's per-key netting — the
+    same churn a snapshot diff reports. A retired DV whose target file
+    SURVIVES the FF is an un-delete, which no insert/delete stream can
+    express — refused."""
     upto = current_version(table_path, store) if to_version is None else to_version
     _check_retention_floor(table_path, from_version, store)
     inserts: list[tuple[int, list[str]]] = []
     dv_deletes: list[tuple[int, list[str]]] = []
+    file_deletes: list[tuple[int, list[str], list[str]]] = []
     for v in _committed_versions(table_path, store):
         if v <= from_version or v > upto:
             continue
@@ -4955,6 +4976,36 @@ def _changes_plan(
         op = e.get("op")
         if op == "compact" or op in _METADATA_OPS:
             continue
+        elif op == "fast_forward":
+            removed = set(e.get("remove", []))
+            outside = [
+                d
+                for d in e.get("dvRetire", [])
+                if not _dv_target_files(table_path, d) <= removed
+            ]
+            if outside:
+                raise ValueError(
+                    f"version {v} fast-forward retires deletion vectors "
+                    f"{outside[:3]} whose target files survive the merge "
+                    "— an un-delete, not expressible as an insert/delete "
+                    "stream; diff snapshots instead"
+                )
+            if e.get("add"):
+                inserts.append((v, e["add"]))
+            if e.get("dvAdd"):
+                dv_deletes.append((v, e["dvAdd"]))
+            if removed:
+                # the mask is the PRE-FF ACTIVE vectors addressing the
+                # removed files — not just this commit's dvRetire: a
+                # CoW rewrite on the branch leaves the vector of a
+                # removed file dangling-active rather than retiring it,
+                # and its positions were just as invisible pre-FF
+                masked = [
+                    d
+                    for d in _replay_state(table_path, v - 1, store)[1]
+                    if _dv_target_files(table_path, d) & removed
+                ]
+                file_deletes.append((v, sorted(removed), masked))
         elif op == "clone" and e.get("dvAdd"):
             # a DV-carrying clone's add files and vector address the
             # SAME rows in the SAME commit: emitting insert+delete
@@ -4981,16 +5032,19 @@ def _changes_plan(
                 "appends, DV deletes, MoR merges — are); diff snapshots "
                 "instead"
             )
-    needed = [f for _v, fs in inserts for f in fs] + [
-        d for _v, ds in dv_deletes for d in ds
-    ]
+    needed = (
+        [f for _v, fs in inserts for f in fs]
+        + [d for _v, ds in dv_deletes for d in ds]
+        + [f for _v, fs, ds in file_deletes for f in fs]
+        + [d for _v, _fs, ds in file_deletes for d in ds]
+    )
     missing = [f for f in needed if not _data().exists(os.path.join(table_path, f))]
     if missing:
         raise ValueError(
             f"change files already vacuumed: {missing[:3]}... — raise "
             "vacuum retention above the consumer's version lag"
         )
-    return upto, inserts, dv_deletes
+    return upto, inserts, dv_deletes, file_deletes
 
 
 def table_changes_cdf(
@@ -5016,12 +5070,16 @@ def table_changes_cdf(
     (no content change). Every file-REMOVING op (CoW delete/update,
     rewrite-merge, replace_partitions, restore) raises — a rewritten
     file mixes survivors and victims, so the row delta is genuinely
-    gone and a consumer must diff snapshots instead.
+    gone and a consumer must diff snapshots instead. The one exception
+    is ``fast_forward`` (VERDICT r12 #5): its removed files are intact
+    on disk and the pre-FF invisible rows are exactly its retired
+    vectors' positions, so the branch's whole delta is emitted as one
+    insert/delete batch at the FF commit — see ``_changes_plan``.
 
     Raises if a needed data or vector file was vacuumed (retention must
     cover the consumer's lag).
     """
-    upto, inserts, dv_deletes = _changes_plan(
+    upto, inserts, dv_deletes, file_deletes = _changes_plan(
         table_path, from_version, to_version, store
     )
     frames: list[DataFrame] = []
@@ -5055,6 +5113,23 @@ def table_changes_cdf(
             .withColumn("_commit_version", F.lit(v).cast("long"))
         )
         frames.append(deleted)
+    for v, fs, masked in file_deletes:
+        # fast-forward delete images: every row of the removed files
+        # EXCEPT positions the retired (pre-FF) vectors already masked
+        # — those rows were never visible, so they never get a delete
+        base = _read_files(spark, table_path, fs, store, keep_rowpos=True)
+        if masked:
+            dv = _dv_frame(spark, table_path, masked)
+            base = base.join(
+                dv,
+                (F.col(_DV_FILE) == dv.f) & (F.col(_DV_POS) == dv.ri),
+                "left_anti",
+            )
+        frames.append(
+            base.drop(_DV_FILE, _DV_POS)
+            .withColumn("_change_type", F.lit("delete"))
+            .withColumn("_commit_version", F.lit(v).cast("long"))
+        )
     if not frames:
         sch = _table_schema(spark, table_path, store)
         if sch is None:

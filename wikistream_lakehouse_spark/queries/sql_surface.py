@@ -835,3 +835,107 @@ def sql_branch_fast_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY snap, priority
         """,
     )
+
+
+@register(
+    "sql_changes_over_fast_forward",
+    oracle="""
+        WITH delta AS (
+            SELECT 'insert' AS change, o_orderpriority, o_totalprice
+            FROM orders
+            WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0
+            UNION ALL
+            SELECT 'delete' AS change, o_orderpriority, o_totalprice
+            FROM orders
+            WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 IN (4, 6)
+        )
+        SELECT change, CAST(4 AS BIGINT) AS at_version,
+               o_orderpriority AS priority,
+               count(*) AS n_rows,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE), 2) AS total
+        FROM delta
+        GROUP BY 1, 2, 3
+        ORDER BY change, priority
+    """,
+    tags=("catalog", "sql", "branches", "cdf", "extra"),
+)
+def sql_changes_over_fast_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed ACROSS a fast-forward boundary (VERDICT r12 #5):
+    a consumer on main reads the merged branch's whole delta as ONE
+    insert/delete batch at the FF commit. The fixture stresses every
+    recovery path the feed has: main's v0 packs the keys ending in 4/8
+    into ONE file, v2 MoR-deletes the 8s (a pre-fork deletion vector
+    over that file); the ``dev`` branch INSERTs the odd multiples of 3,
+    MoR-deletes the keys ending in 6 (a new vector riding the FF), and
+    CoW-deletes the keys ending in 4 — emptying the packed file, whose
+    delete images must EXCLUDE the vector-masked 8s (they were never
+    visible). ``CHANGES(ff_orders, 3, 4)`` must therefore return:
+    inserts = the odd multiples of 3, deletes = evens ending in 4 or 6
+    — all stamped with the FF commit's version — which the oracle
+    restates with plain predicates over the source. A feed that leaks
+    the masked 8s, mis-attributes versions, or drops the branch's
+    vector breaks the hash."""
+    from wikistream_lakehouse_spark.lakehouse import catalog, txn
+    from wikistream_lakehouse_spark.tables import table
+
+    orders = table(spark, sf_dir, "orders")
+
+    def _valid() -> bool:
+        if not _bound(spark, "ff_orders")():
+            return False
+        b = catalog._session_bindings(spark)["ff_orders"]
+        return txn.current_version(b.path, b.store) == 4
+
+    def _build(d: str) -> None:
+        src = os.path.join(d, "ff_orders")
+        txn.append(
+            orders.filter(
+                "o_orderkey % 2 = 0 AND o_orderkey % 10 IN (4, 8)"
+            ).coalesce(1),
+            src,
+        )  # v0: one packed file
+        txn.append(
+            orders.filter(
+                "o_orderkey % 2 = 0 AND o_orderkey % 10 NOT IN (4, 8)"
+            ),
+            src,
+        )  # v1
+        txn.delete_where(
+            spark, src, "o_orderkey % 10 = 8", mode="mor"
+        )  # v2: DV over the packed file
+        txn.create_branch(src, "dev")  # v3 on main
+        catalog.register_table(spark, "ff_orders", src)
+        orders.createOrReplaceTempView("ff_orders_src")
+        catalog.sql(
+            spark,
+            "INSERT INTO ff_orders@dev SELECT * FROM ff_orders_src "
+            "WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0",
+        )
+        catalog.sql_dml(
+            spark,
+            "DELETE FROM ff_orders@dev WHERE o_orderkey % 10 = 6",
+            delete_mode="mor",
+        )
+        catalog.sql(
+            spark, "DELETE FROM ff_orders@dev WHERE o_orderkey % 10 = 4"
+        )  # CoW: empties the packed file
+        catalog.sql(spark, "ALTER TABLE ff_orders FAST FORWARD BRANCH dev")
+        b = catalog._session_bindings(spark)["ff_orders"]
+        assert txn.current_version(b.path, b.store) == 4, "fixture drifted"
+
+    fixture_once("sql_changes_ff", sf_dir, _build, valid=_valid)
+    return catalog.sql(
+        spark,
+        """
+        SELECT _change_type AS change,
+               _commit_version AS at_version,
+               o_orderpriority AS priority,
+               count(*) AS n_rows,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE), 2) AS total
+        FROM CHANGES(ff_orders, 3, 4)
+        GROUP BY 1, 2, 3
+        ORDER BY change, priority
+        """,
+    )

@@ -40,7 +40,13 @@ def t(spark, tmp_path):
 def test_branch_forks_at_snapshot_and_registers(spark, t):
     txn.append(_kv(spark, 5, 8), t)  # v1
     txn.create_branch(t, "dev", version=0)
-    assert txn.table_branches(t) == {"dev": {"base": 0}}
+    reg = txn.table_branches(t)
+    assert list(reg) == ["dev"] and reg["dev"]["base"] == 0
+    # the registry carries the fork-point content fingerprint (r13):
+    # it's what lets fast_forward's gate outlive cleanup_log
+    assert reg["dev"]["fork"] == txn._state_fingerprint(
+        txn._replay_state(t, 0)
+    )
     b = txn.branch_location(t, "dev")
     assert _rows(spark, b) == _rows(spark, t, version=0)
     assert "branches" in txn.writer_features(t)
@@ -160,7 +166,9 @@ def test_branches_survive_checkpoint_and_log_cleanup(spark, t):
     txn.append(_kv(spark, 5, 7), t)
     txn.checkpoint(t)
     txn.cleanup_log(t)
-    assert txn.table_branches(t) == {"dev": {"base": 0}}
+    reg = txn.table_branches(t)
+    assert list(reg) == ["dev"] and reg["dev"]["base"] == 0
+    assert "fork" in reg["dev"]  # fingerprint survives the cleanup
     b = txn.branch_location(t, "dev")
     assert len(_rows(spark, b)) == 5
 
@@ -241,3 +249,43 @@ def test_diverged_branch_merges_into_main_via_merge(spark, t):
     txn.merge_on_read_upsert(spark, t, txn.read_table(spark, b), ["k"])
     main = dict(_rows(spark, t))
     assert {10, 11, 50} <= set(main)
+
+
+def test_fast_forward_survives_aggressive_log_cleanup(spark, tmp_path):
+    """VERDICT r12 #8: a branch forked EARLY in a long-lived table must
+    stay mergeable after checkpoint + cleanup_log pruned the log below
+    its fork version. The registry (base + fork fingerprint) rides the
+    checkpoint's branches snapshot, and the FF content gate compares
+    main's HEAD against the FINGERPRINT instead of replaying the
+    (now-unreadable) fork version. Divergence detection must survive
+    the same cleanup."""
+    t = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    txn.append(_kv(spark, 0, 5), t)  # v0
+    txn.append(_kv(spark, 5, 8), t)  # v1
+    txn.create_branch(t, "dev", version=1)  # v2
+    # 50-commit history of metadata-only churn (content unchanged
+    # since the fork; tags would PIN versions and block the cleanup)
+    for i in range(50):
+        txn.set_stats_columns(t, ["k"] if i % 2 == 0 else ["v"])
+    txn.checkpoint(t)
+    gone = txn.cleanup_log(t)
+    assert gone  # the fork version's entries are really deleted
+    with pytest.raises(ValueError, match="retention horizon"):
+        txn._replay_state(t, 1)  # fork version is genuinely unreadable
+    reg = txn.table_branches(t)
+    assert reg["dev"]["base"] == 1 and "fork" in reg["dev"]
+    b = txn.branch_location(t, "dev")
+    txn.append(_kv(spark, 100, 103), b)
+    v = txn.fast_forward(spark, t, "dev")
+    assert len(_rows(spark, t, version=v)) == 11
+    # rebase refreshed the fingerprint: a second branch round-trip works
+    txn.append(_kv(spark, 200, 201), b)
+    txn.fast_forward(spark, t, "dev")
+    assert len(_rows(spark, t)) == 12
+    # and the gate still CATCHES real divergence post-cleanup: content
+    # on main after the rebase refuses the next fast-forward
+    txn.append(_kv(spark, 300, 302), t)
+    txn.append(_kv(spark, 400, 401), b)
+    with pytest.raises(ValueError, match="diverged"):
+        txn.fast_forward(spark, t, "dev")

@@ -1611,14 +1611,29 @@ def branch_location(table_path: str, name: str) -> str:
     return os.path.join(table_path, _BRANCH_DIR, name)
 
 
+def _state_fingerprint(state: "tuple[list[str], list[str]]") -> str:
+    """Content fingerprint of a replay state (active files + active
+    deletion vectors): the fork-point identity the branch registry
+    carries so fast_forward's content gate survives ``cleanup_log``
+    (the fork version's log entries may be gone, but the registry —
+    checkpoint-snapshotted like every metadata family — keeps the
+    fingerprint)."""
+    import hashlib
+
+    files, dvs = state
+    payload = json.dumps([sorted(files), sorted(dvs)]).encode()
+    return hashlib.sha256(payload).hexdigest()
+
+
 def table_branches(
     table_path: str,
     store: LogStore | None = None,
     upto: int | None = None,
 ) -> dict[str, dict]:
     """Active branches, name -> {"base": main version the branch forked
-    from (advanced by a FAST FORWARD merge-back)} — replayed from
-    metadata commits, checkpoint-anchored like tags."""
+    from (advanced by a FAST FORWARD merge-back), "fork": content
+    fingerprint of that version's state (absent on pre-r13 entries)} —
+    replayed from metadata commits, checkpoint-anchored like tags."""
     out, start = _cp_meta_seed(table_path, store, upto, "branches", {})
     for v in _committed_versions(table_path, store):
         if v < start:
@@ -1628,13 +1643,21 @@ def table_branches(
         e = _load_entry(table_path, v, store) or {}
         m = e.get("meta") or {}
         if e.get("op") == "create_branch":
-            out[m["name"]] = {"base": int(m["base"])}
+            out[m["name"]] = {
+                "base": int(m["base"]),
+                **({"fork": m["fork"]} if "fork" in m else {}),
+            }
         elif e.get("op") == "drop_branch":
             out.pop(m["name"], None)
         elif e.get("op") == "fast_forward" and m.get("branch") in out:
             # after a merge-back, main == branch head: rebase so the
             # branch can keep moving and fast-forward again later
-            out[m["branch"]] = {"base": v}
+            out[m["branch"]] = {
+                "base": v,
+                **(
+                    {"fork": m["forkAfter"]} if "forkAfter" in m else {}
+                ),
+            }
     return out
 
 
@@ -1687,7 +1710,20 @@ def create_branch(
         clone_table(table_path, bpath, version=v, store=store)
         pb = _current_partitioning(table_path, store)
         entry = _entry(
-            "create_branch", [], [], pb, {"name": name, "base": v}
+            "create_branch",
+            [],
+            [],
+            pb,
+            {
+                "name": name,
+                "base": v,
+                # content identity of the fork point: lets the FF gate
+                # verify "main unchanged since fork" even after
+                # cleanup_log removed the fork version's log entries
+                "fork": _state_fingerprint(
+                    _replay_state(table_path, v, store)
+                ),
+            },
         )
         if current_version(table_path, store) == base and _try_commit(
             table_path, base + 1, entry, store
@@ -1774,16 +1810,28 @@ def fast_forward(
     # create_branch registration itself, tags, stats declarations) —
     # those don't diverge the data, and the metadata families that
     # matter are compared against main's HEAD below. Any content
-    # change on main since the fork refuses.
-    if cur != base and _replay_state(
-        table_path, cur, store
-    ) != _replay_state(table_path, base, store):
-        raise ValueError(
-            f"cannot fast-forward {name!r}: {table_path}'s content "
-            f"advanced past the fork point v{base} (now v{cur}) — "
-            "histories diverged; MERGE INTO main FROM the branch (or "
-            "re-create the branch) instead"
+    # change on main since the fork refuses. The comparison uses the
+    # registry's fork FINGERPRINT (stamped at create/rebase), so the
+    # gate still works after cleanup_log removed the fork version's
+    # log entries — the registry itself survives via the checkpoint's
+    # branches snapshot; only pre-fingerprint (legacy) registrations
+    # fall back to replaying main at the fork version, which a cleaned
+    # log refuses loudly.
+    cur_state = _replay_state(table_path, cur, store)
+    if cur != base:
+        fork_fp = branches[name].get("fork")
+        same = (
+            _state_fingerprint(cur_state) == fork_fp
+            if fork_fp is not None
+            else cur_state == _replay_state(table_path, base, store)
         )
+        if not same:
+            raise ValueError(
+                f"cannot fast-forward {name!r}: {table_path}'s content "
+                f"advanced past the fork point v{base} (now v{cur}) — "
+                "histories diverged; MERGE INTO main FROM the branch "
+                "(or re-create the branch) instead"
+            )
     bv = current_version(bpath, store)
     # metadata families a single content commit cannot carry: they must
     # not have diverged between the fork state (== main at cur) and the
@@ -1815,7 +1863,7 @@ def fast_forward(
             f"{table_path} first (or MERGE INTO), then retry"
         )
     bfiles, bdvs = _replay_state(bpath, bv, store)
-    mfiles, mdvs = _replay_state(table_path, cur, store)
+    mfiles, mdvs = cur_state
     new_files = sorted(set(bfiles) - set(mfiles))
     gone_files = sorted(set(mfiles) - set(bfiles))
     new_dvs = sorted(set(bdvs) - set(mdvs))
@@ -1830,7 +1878,14 @@ def fast_forward(
         ds.link(os.path.join(bpath, rel), dst)
 
     _parallel_file_ops(_link_one, new_files + new_dvs)
-    meta: dict = {"branch": name, "branchVersion": bv}
+    meta: dict = {
+        "branch": name,
+        "branchVersion": bv,
+        # rebase identity: post-FF main == branch head, so the branch's
+        # NEW fork content is exactly (bfiles, bdvs) — table_branches
+        # picks this up as the rebased "fork" fingerprint
+        "forkAfter": _state_fingerprint((bfiles, bdvs)),
+    }
     ws = _wide_schema(bpath, store, upto=bv)
     phys = _stamped_physical_types(bpath, store, upto=bv)
     if phys is not None:

@@ -109,3 +109,51 @@ def test_malformed_values_dropped_not_fatal(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.id for r in spark.read.parquet(bronze).select("id").collect())
     assert got == [0, 2]
+
+
+# ---------------------------------------------------------------------------
+# golden options (VERDICT r12 #7): the file-backed fake proves option
+# SEMANTICS; this pins the option NAMES the real source would receive —
+# the one thing the fake cannot catch (Kafka ignores unknown options
+# silently, so a typo'd name degrades behavior without an error)
+# ---------------------------------------------------------------------------
+
+
+def test_kafka_stream_options_match_golden():
+    from wikistream_lakehouse_spark.streaming.sources import kafka_options
+
+    assert kafka_options("b1:9092,b2:9092") == {
+        "kafka.bootstrap.servers": "b1:9092,b2:9092",
+        "subscribe": "wikipedia-changes",
+        "startingOffsets": "earliest",
+        "failOnDataLoss": "false",
+    }
+    assert kafka_options(
+        "b:9092",
+        topic="t2",
+        starting_offsets='{"t2": {"0": 5}}',
+        max_offsets_per_trigger=500,
+    ) == {
+        "kafka.bootstrap.servers": "b:9092",
+        "subscribe": "t2",
+        "startingOffsets": '{"t2": {"0": 5}}',
+        "failOnDataLoss": "false",
+        "maxOffsetsPerTrigger": "500",
+    }
+
+
+def test_fake_kafka_honors_the_shared_option_semantics(spark, tmp_path):
+    """The contract fake consumes the SAME logical knobs the golden
+    pins (startingOffsets JSON form, maxOffsetsPerTrigger), so the pair
+    of tests covers names AND semantics."""
+    import inspect
+
+    from wikistream_lakehouse_spark.streaming.kafka_contract import (
+        fake_kafka_stream,
+    )
+    from wikistream_lakehouse_spark.streaming.sources import kafka_stream
+
+    real = inspect.signature(kafka_stream).parameters
+    fake = inspect.signature(fake_kafka_stream).parameters
+    for shared in ("starting_offsets", "max_offsets_per_trigger"):
+        assert real[shared].default == fake[shared].default

@@ -405,7 +405,8 @@ _ALTER_DROP_TAG_RE = re.compile(
 )
 _ALTER_CREATE_BRANCH_RE = re.compile(
     rf"^CREATE\s+BRANCH\s+({_IDENT})"
-    r"(?:\s+(?:AS\s+OF\s+)?VERSION\s+(?:AS\s+OF\s+)?(\d+))?$",
+    r"(?:\s+(?:AS\s+OF\s+)?VERSION\s+(?:AS\s+OF\s+)?(\d+))?"
+    r"(?:\s+(SHARED|COPY))?$",
     re.IGNORECASE,
 )
 _ALTER_DROP_BRANCH_RE = re.compile(
@@ -581,7 +582,8 @@ DDL:
         (named immutable snapshot reference: read via VERSION AS OF
          'name' or t@name; VACUUM keeps its files, cleanup_log refuses
          to pass it — readable until dropped)
-      | CREATE BRANCH name [VERSION AS OF n] | DROP BRANCH name
+      | CREATE BRANCH name [VERSION AS OF n] [SHARED|COPY]
+      | DROP BRANCH name
       | FAST FORWARD BRANCH name
         (a WRITABLE fork — zero-copy clone under <t>/_branches/name:
          read t@name, write INSERT INTO/UPDATE/DELETE FROM/MERGE INTO
@@ -1165,7 +1167,12 @@ def _sql_alter(spark: SparkSession, name: str, action: str):
     am = _ALTER_CREATE_BRANCH_RE.match(action)
     if am:
         ver = int(am.group(2)) if am.group(2) is not None else None
-        v = txn.create_branch(b.path, am.group(1), version=ver, store=b.store)
+        # SHARED = metadata-only fork (zero data-file ops; the branch
+        # log references main's files); COPY = per-file link (default)
+        mode = (am.group(3) or "copy").lower()
+        v = txn.create_branch(
+            b.path, am.group(1), version=ver, store=b.store, mode=mode
+        )
         refresh_table(spark, name)
         return v
     am = _ALTER_DROP_BRANCH_RE.match(action)

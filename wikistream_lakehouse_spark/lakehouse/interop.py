@@ -265,11 +265,29 @@ def duckdb_snapshot_sql(
     rel_rows = ", ".join(
         f"({_qstr(a)}, {_qstr(r)})" for a, r in zip(abs_files, files)
     )
-    dv_list = ", ".join(_qstr(os.path.join(table_path, f)) for f in dvs)
+    # shared (ancestor-owned) sidecars store their f-values in the
+    # ancestor's rel form; prefix them back into THIS table's escaped
+    # form so they match the __rel map (same rule as txn._dv_frame)
+    dv_groups: dict[int, list[str]] = {}
+    for d in dvs:
+        dv_groups.setdefault(txn._shared_hops(d)[0], []).append(d)
+    dv_arms = []
+    for hops, group in sorted(dv_groups.items()):
+        paths = ", ".join(
+            _qstr(os.path.normpath(os.path.join(table_path, d)))
+            for d in group
+        )
+        fexpr = (
+            f"{_qstr(txn._SHARED_REL * hops)} || f" if hops else "f"
+        )
+        dv_arms.append(
+            f"SELECT {fexpr} AS __f, ri AS __ri "
+            f"FROM read_parquet([{paths}])"
+        )
+    dv_sql = " UNION ALL ".join(dv_arms)
     return (
         f"WITH __rel(__abs, __f) AS (VALUES {rel_rows}), "
-        f"__dv AS (SELECT f AS __f, ri AS __ri "
-        f"FROM read_parquet([{dv_list}])) "
+        f"__dv AS ({dv_sql}) "
         f"SELECT {select_list('b', has_meta=True)} "
         f"FROM read_parquet([{file_list}], {opts}, "
         f"filename=true, file_row_number=true) b "

@@ -846,213 +846,8 @@ def sql_dml(
         # INSERT/CTAS/MERGE bodies may read created views: re-evaluate
         # the referenced ones so a view follows its tables' versions
         _materialize_views(spark, statement)
-    m = _DELETE_RE.match(statement)
-    if m:
-        name, pred = m.group(1), m.group(2)
-        b = _writable_binding(spark, name)
-        v = txn.delete_where(
-            spark, b.path, pred, store=b.store, mode=delete_mode
-        )
-        refresh_table(spark, name)
-        return v
-    m = _UPDATE_RE.match(statement)
-    if m:
-        name, set_sql, pred = m.group(1), m.group(2), m.group(3)
-        assigns = {}
-        for part in _split_top_level(set_sql):
-            am = _ASSIGN_RE.match(part)
-            if not am:
-                raise ValueError(
-                    f"unparseable SET assignment {part!r}\n{_DML_GRAMMAR}"
-                )
-            assigns[am.group(1)] = am.group(2)
-        b = _writable_binding(spark, name)
-        v = txn.update_where(spark, b.path, assigns, pred, store=b.store)
-        refresh_table(spark, name)
-        return v
-    m = _INSERT_OVERWRITE_RE.match(statement)
-    if m:
-        from pyspark.sql import functions as F
+    return _dispatch(spark, statement, delete_mode, merge_mode)
 
-        name, part_sql, body = m.groups()
-        b = _writable_binding(spark, name)
-        pb = txn.table_detail(b.path, b.store)["partition_by"]
-        target = txn.read_table(
-            spark, b.path, version=b.version, store=b.store
-        )
-        df = spark.sql(_rewrite_time_travel(spark, body))
-        if part_sql:
-            # static spec: the body supplies the NON-partition columns
-            # positionally; the spec's literals fill the partition
-            # columns — exactly Spark's INSERT OVERWRITE ... PARTITION
-            if not pb:
-                raise ValueError(
-                    f"{name!r} is not partitioned — drop the PARTITION "
-                    "clause for a full overwrite"
-                )
-            spec: dict[str, str] = {}
-            for part in _split_top_level(part_sql):
-                pm = _PART_EQ_RE.match(part)
-                if not pm:
-                    raise ValueError(
-                        "PARTITION spec accepts only `pcol = literal "
-                        f"[, ...]`; got {part!r}\n{_DML_GRAMMAR}"
-                    )
-                spec[pm.group(1)] = pm.group(2).strip("'\"")
-            unknown = sorted(set(spec) - set(pb))
-            if unknown:
-                raise ValueError(
-                    f"PARTITION spec names non-partition columns "
-                    f"{unknown} (partitioned by {pb})"
-                )
-            types = {f.name: f.dataType for f in target.schema.fields}
-            data_cols = [c for c in target.columns if c not in spec]
-            if len(df.columns) != len(data_cols):
-                raise ValueError(
-                    f"INSERT OVERWRITE arity mismatch: {len(df.columns)} "
-                    f"values for non-partition columns {data_cols}"
-                )
-            df = df.toDF(*data_cols)
-            out = df.select(
-                *[
-                    F.lit(spec[c]).cast(types[c]).alias(c)
-                    if c in spec
-                    else F.col(c).cast(types[c])
-                    for c in target.columns
-                ]
-            )
-        else:
-            if len(df.columns) != len(target.columns):
-                raise ValueError(
-                    f"INSERT OVERWRITE arity mismatch: {len(df.columns)} "
-                    f"values for columns {target.columns}"
-                )
-            df = df.toDF(*target.columns)
-            out = df.select(
-                *[
-                    F.col(f.name).cast(f.dataType)
-                    for f in target.schema.fields
-                ]
-            )
-        if pb:
-            # dynamic partition overwrite (the engine's scale-correct
-            # default: touched-partition IO only, atomic per commit)
-            v = txn.replace_partitions(spark, b.path, out, store=b.store)
-        else:
-            # INSERT OVERWRITE replaces DATA, not the table definition:
-            # the stamp exempts the commit from the identity/high-water
-            # reset that genuine CREATE OR REPLACE triggers (Delta keeps
-            # identity across INSERT OVERWRITE too), matching the
-            # partitioned path above where replace_partitions never
-            # resets declared metadata (ADVICE r12 medium)
-            v = txn.replace_table(
-                spark, b.path, out, store=b.store,
-                extra_meta={"insertOverwrite": True},
-            )
-        refresh_table(spark, name)
-        return v
-    m = _TRUNCATE_RE.match(statement)
-    if m:
-        b = _writable_binding(spark, m.group(1))
-        v = txn.truncate_table(spark, b.path, store=b.store)
-        refresh_table(spark, m.group(1))
-        return v
-    m = _COPY_INTO_RE.match(statement)
-    if m:
-        name, src, fmt, pattern, opts_sql = m.groups()
-        b = _writable_binding(spark, name)
-        options = {}
-        for part in _split_top_level(opts_sql) if opts_sql else []:
-            om = _FMT_OPT_RE.match(part)
-            if not om:
-                raise ValueError(
-                    f"unparseable FORMAT_OPTIONS entry {part!r} — use "
-                    "'key' = 'value'"
-                )
-            options[om.group(1)] = om.group(2)
-        r = txn.copy_into(
-            spark,
-            b.path,
-            src,
-            file_format=fmt.lower(),
-            options=options or None,
-            pattern=pattern,
-            store=b.store,
-        )
-        if r["version"] is not None:
-            refresh_table(spark, name)
-        return r["version"]
-    m = _INSERT_RE.match(statement)
-    if m:
-        name, cols_sql, body = m.group(1), m.group(2), m.group(3)
-        b = _writable_binding(spark, name)
-        out = _insert_frame(spark, b, cols_sql, body)
-        pb = txn.table_detail(b.path, b.store)["partition_by"]
-        v = txn.append(
-            out, b.path, partition_by=pb or None, store=b.store
-        )
-        refresh_table(spark, name)
-        return v
-    pm = _parse_merge(statement)
-    if pm:
-        name, t_alias, src_kind, src_text, s_alias, cond, when_tail = pm
-        clauses = _parse_when_clauses(when_tail)
-        b = _writable_binding(spark, name)
-        if src_kind == "name":
-            source, src = spark.table(src_text), src_text
-        else:
-            # subquery / CHANGES(...) sources evaluate like INSERT/CTAS
-            # bodies: through the in-query time-travel grammar, so the
-            # one-statement CDC consumer (MERGE ... USING CHANGES(t, a))
-            # and historical sources (VERSION AS OF inside the subquery)
-            # both work (VERDICT r9 next #1)
-            body = (
-                src_text[1:-1]
-                if src_kind == "subquery"
-                else f"SELECT * FROM {src_text}"
-            )
-            source, src = spark.sql(_rewrite_time_travel(spark, body)), s_alias
-        if _is_upsert_all_shorthand(clauses):
-            # the r7 shorthand keeps its original engine route (CoW
-            # set-algebra rewrite): same-named equi keys required
-            keys = _upsert_keys(name, t_alias, src, s_alias, cond)
-            v = txn.transactional_upsert(
-                spark, b.path, source, keys, store=b.store
-            )
-        else:
-            from wikistream_lakehouse_spark.lakehouse.merge_builder import (
-                merge as _merge,
-            )
-
-            builder = _merge(
-                b.path,
-                source,
-                on=cond,
-                target_alias=t_alias or name,
-                source_alias=s_alias or src,
-                store=b.store,
-            )
-            for side, kind, c_cond, assigns in clauses:
-                if side == "matched" and kind == "update":
-                    builder.when_matched_update(c_cond, assigns)
-                elif side == "matched":
-                    builder.when_matched_delete(c_cond)
-                elif side == "not_matched":
-                    builder.when_not_matched_insert(c_cond, assigns)
-                elif kind == "update":
-                    builder.when_not_matched_by_source_update(c_cond, assigns)
-                else:
-                    builder.when_not_matched_by_source_delete(c_cond)
-            v = builder.execute(spark, mode=merge_mode)
-        refresh_table(spark, name)
-        return v
-    out = _sql_maintenance(spark, statement)
-    if out is not _NO_MATCH:
-        return out
-    raise ValueError(f"unsupported DML statement\n{_DML_GRAMMAR}")
-
-
-_NO_MATCH = object()
 
 
 def _sql_alter(spark: SparkSession, name: str, action: str):
@@ -1337,13 +1132,287 @@ def _sql_refresh_mv(spark: SparkSession, name: str):
     return v
 
 
-def _sql_maintenance(spark: SparkSession, statement: str):
-    """Maintenance-statement routing for ``sql_dml`` (grammar above).
-    Return values follow each operation's natural shape: OPTIMIZE /
-    RESTORE / CHECKPOINT → committed (or checkpointed) version,
-    no-op OPTIMIZE → None, VACUUM → list of reclaimed files, GENERATE →
-    {manifest path: file list}. Returns ``_NO_MATCH`` when the
-    statement is not a maintenance form at all."""
+# ---------------------------------------------------------------------------
+# Statement dispatch (VERDICT r12 #3): ONE keyword-tree router instead of
+# forty sequential regex attempts. The leading keywords -- extracted with
+# the shared quote-aware scanner, so a quoted identifier can never
+# masquerade as a verb -- pick exactly one handler by longest prefix; the
+# handler's own grammar then either parses the statement or refuses LOUDLY
+# with the verb named (regex fallthrough made every malformed statement an
+# opaque generic error -- the bug class behind the r12 MV COUNT(DISTINCT)
+# ADVICE finding). A statement whose keywords match no prefix is out of
+# grammar and keeps the generic refusal.
+# ---------------------------------------------------------------------------
+
+_WORD_RE = re.compile(r"[A-Za-z_]+\Z")
+
+
+def _leading_keywords(statement: str, limit: int = 4) -> tuple:
+    """The statement's leading keyword tokens, uppercased -- the dispatch
+    key. Built on sqltext.spans, so scanning stops at the first quoted
+    span (an identifier, never a verb) or non-alphabetic token."""
+    for kind, a, b in sqltext.spans(statement):
+        if kind != "text":
+            return ()
+        words: list = []
+        for tok in statement[a:b].split():
+            if not _WORD_RE.match(tok):
+                break
+            words.append(tok.upper())
+            if len(words) >= limit:
+                break
+        return tuple(words)
+    return ()
+
+
+def _read_binding(spark, name: str) -> "_Binding":
+    """The registered binding for a READ-side statement (SHOW/CLONE
+    source): refuses unknown names with the standard message."""
+    b = _session_bindings(spark).get(name)
+    if b is None:
+        raise ValueError(f"{name!r} is not a registered txn table")
+    return b
+
+
+def _refuse(verb: str, statement: str) -> ValueError:
+    """A verb was recognized but its statement does not parse: refuse
+    naming the verb (the generic message is for unknown verbs only)."""
+    return ValueError(
+        f"unparseable {verb} statement {statement.strip()[:80]!r} -- "
+        f"the {verb} form in the grammar below is the supported shape\n"
+        f"{_DML_GRAMMAR}"
+    )
+
+
+def _stmt_delete(spark, statement, delete_mode, merge_mode):
+    m = _DELETE_RE.match(statement)
+    if m:
+        name, pred = m.group(1), m.group(2)
+        b = _writable_binding(spark, name)
+        v = txn.delete_where(
+            spark, b.path, pred, store=b.store, mode=delete_mode
+        )
+        refresh_table(spark, name)
+        return v
+    raise _refuse("DELETE FROM", statement)
+
+
+def _stmt_update(spark, statement, delete_mode, merge_mode):
+    m = _UPDATE_RE.match(statement)
+    if m:
+        name, set_sql, pred = m.group(1), m.group(2), m.group(3)
+        assigns = {}
+        for part in _split_top_level(set_sql):
+            am = _ASSIGN_RE.match(part)
+            if not am:
+                raise ValueError(
+                    f"unparseable SET assignment {part!r}\n{_DML_GRAMMAR}"
+                )
+            assigns[am.group(1)] = am.group(2)
+        b = _writable_binding(spark, name)
+        v = txn.update_where(spark, b.path, assigns, pred, store=b.store)
+        refresh_table(spark, name)
+        return v
+    raise _refuse("UPDATE", statement)
+
+
+def _stmt_insert_overwrite(spark, statement, delete_mode, merge_mode):
+    m = _INSERT_OVERWRITE_RE.match(statement)
+    if m:
+        from pyspark.sql import functions as F
+
+        name, part_sql, body = m.groups()
+        b = _writable_binding(spark, name)
+        pb = txn.table_detail(b.path, b.store)["partition_by"]
+        target = txn.read_table(
+            spark, b.path, version=b.version, store=b.store
+        )
+        df = spark.sql(_rewrite_time_travel(spark, body))
+        if part_sql:
+            # static spec: the body supplies the NON-partition columns
+            # positionally; the spec's literals fill the partition
+            # columns — exactly Spark's INSERT OVERWRITE ... PARTITION
+            if not pb:
+                raise ValueError(
+                    f"{name!r} is not partitioned — drop the PARTITION "
+                    "clause for a full overwrite"
+                )
+            spec: dict[str, str] = {}
+            for part in _split_top_level(part_sql):
+                pm = _PART_EQ_RE.match(part)
+                if not pm:
+                    raise ValueError(
+                        "PARTITION spec accepts only `pcol = literal "
+                        f"[, ...]`; got {part!r}\n{_DML_GRAMMAR}"
+                    )
+                spec[pm.group(1)] = pm.group(2).strip("'\"")
+            unknown = sorted(set(spec) - set(pb))
+            if unknown:
+                raise ValueError(
+                    f"PARTITION spec names non-partition columns "
+                    f"{unknown} (partitioned by {pb})"
+                )
+            types = {f.name: f.dataType for f in target.schema.fields}
+            data_cols = [c for c in target.columns if c not in spec]
+            if len(df.columns) != len(data_cols):
+                raise ValueError(
+                    f"INSERT OVERWRITE arity mismatch: {len(df.columns)} "
+                    f"values for non-partition columns {data_cols}"
+                )
+            df = df.toDF(*data_cols)
+            out = df.select(
+                *[
+                    F.lit(spec[c]).cast(types[c]).alias(c)
+                    if c in spec
+                    else F.col(c).cast(types[c])
+                    for c in target.columns
+                ]
+            )
+        else:
+            if len(df.columns) != len(target.columns):
+                raise ValueError(
+                    f"INSERT OVERWRITE arity mismatch: {len(df.columns)} "
+                    f"values for columns {target.columns}"
+                )
+            df = df.toDF(*target.columns)
+            out = df.select(
+                *[
+                    F.col(f.name).cast(f.dataType)
+                    for f in target.schema.fields
+                ]
+            )
+        if pb:
+            # dynamic partition overwrite (the engine's scale-correct
+            # default: touched-partition IO only, atomic per commit)
+            v = txn.replace_partitions(spark, b.path, out, store=b.store)
+        else:
+            # INSERT OVERWRITE replaces DATA, not the table definition:
+            # the stamp exempts the commit from the identity/high-water
+            # reset that genuine CREATE OR REPLACE triggers (Delta keeps
+            # identity across INSERT OVERWRITE too), matching the
+            # partitioned path above where replace_partitions never
+            # resets declared metadata (ADVICE r12 medium)
+            v = txn.replace_table(
+                spark, b.path, out, store=b.store,
+                extra_meta={"insertOverwrite": True},
+            )
+        refresh_table(spark, name)
+        return v
+    raise _refuse("INSERT OVERWRITE", statement)
+
+
+def _stmt_truncate(spark, statement, delete_mode, merge_mode):
+    m = _TRUNCATE_RE.match(statement)
+    if m:
+        b = _writable_binding(spark, m.group(1))
+        v = txn.truncate_table(spark, b.path, store=b.store)
+        refresh_table(spark, m.group(1))
+        return v
+    raise _refuse("TRUNCATE TABLE", statement)
+
+
+def _stmt_copy_into(spark, statement, delete_mode, merge_mode):
+    m = _COPY_INTO_RE.match(statement)
+    if m:
+        name, src, fmt, pattern, opts_sql = m.groups()
+        b = _writable_binding(spark, name)
+        options = {}
+        for part in _split_top_level(opts_sql) if opts_sql else []:
+            om = _FMT_OPT_RE.match(part)
+            if not om:
+                raise ValueError(
+                    f"unparseable FORMAT_OPTIONS entry {part!r} — use "
+                    "'key' = 'value'"
+                )
+            options[om.group(1)] = om.group(2)
+        r = txn.copy_into(
+            spark,
+            b.path,
+            src,
+            file_format=fmt.lower(),
+            options=options or None,
+            pattern=pattern,
+            store=b.store,
+        )
+        if r["version"] is not None:
+            refresh_table(spark, name)
+        return r["version"]
+    raise _refuse("COPY INTO", statement)
+
+
+def _stmt_insert(spark, statement, delete_mode, merge_mode):
+    m = _INSERT_RE.match(statement)
+    if m:
+        name, cols_sql, body = m.group(1), m.group(2), m.group(3)
+        b = _writable_binding(spark, name)
+        out = _insert_frame(spark, b, cols_sql, body)
+        pb = txn.table_detail(b.path, b.store)["partition_by"]
+        v = txn.append(
+            out, b.path, partition_by=pb or None, store=b.store
+        )
+        refresh_table(spark, name)
+        return v
+    raise _refuse("INSERT INTO", statement)
+
+
+def _stmt_merge(spark, statement, delete_mode, merge_mode):
+    pm = _parse_merge(statement)
+    if pm:
+        name, t_alias, src_kind, src_text, s_alias, cond, when_tail = pm
+        clauses = _parse_when_clauses(when_tail)
+        b = _writable_binding(spark, name)
+        if src_kind == "name":
+            source, src = spark.table(src_text), src_text
+        else:
+            # subquery / CHANGES(...) sources evaluate like INSERT/CTAS
+            # bodies: through the in-query time-travel grammar, so the
+            # one-statement CDC consumer (MERGE ... USING CHANGES(t, a))
+            # and historical sources (VERSION AS OF inside the subquery)
+            # both work (VERDICT r9 next #1)
+            body = (
+                src_text[1:-1]
+                if src_kind == "subquery"
+                else f"SELECT * FROM {src_text}"
+            )
+            source, src = spark.sql(_rewrite_time_travel(spark, body)), s_alias
+        if _is_upsert_all_shorthand(clauses):
+            # the r7 shorthand keeps its original engine route (CoW
+            # set-algebra rewrite): same-named equi keys required
+            keys = _upsert_keys(name, t_alias, src, s_alias, cond)
+            v = txn.transactional_upsert(
+                spark, b.path, source, keys, store=b.store
+            )
+        else:
+            from wikistream_lakehouse_spark.lakehouse.merge_builder import (
+                merge as _merge,
+            )
+
+            builder = _merge(
+                b.path,
+                source,
+                on=cond,
+                target_alias=t_alias or name,
+                source_alias=s_alias or src,
+                store=b.store,
+            )
+            for side, kind, c_cond, assigns in clauses:
+                if side == "matched" and kind == "update":
+                    builder.when_matched_update(c_cond, assigns)
+                elif side == "matched":
+                    builder.when_matched_delete(c_cond)
+                elif side == "not_matched":
+                    builder.when_not_matched_insert(c_cond, assigns)
+                elif kind == "update":
+                    builder.when_not_matched_by_source_update(c_cond, assigns)
+                else:
+                    builder.when_not_matched_by_source_delete(c_cond)
+            v = builder.execute(spark, mode=merge_mode)
+        refresh_table(spark, name)
+        return v
+    raise _refuse("MERGE INTO", statement)
+
+
+def _stmt_optimize(spark, statement, delete_mode, merge_mode):
     m = _OPTIMIZE_RE.match(statement)
     if m:
         name, where_sql, z_sql = m.groups()
@@ -1370,6 +1439,10 @@ def _sql_maintenance(spark: SparkSession, statement: str):
         )
         refresh_table(spark, name)
         return v
+    raise _refuse("OPTIMIZE", statement)
+
+
+def _stmt_analyze(spark, statement, delete_mode, merge_mode):
     m = _ANALYZE_RE.match(statement)
     if m:
         name, cols_sql = m.groups()
@@ -1383,6 +1456,10 @@ def _sql_maintenance(spark: SparkSession, statement: str):
         if n:
             refresh_table(spark, name)
         return {"version": v, "analyzed_files": n}
+    raise _refuse("ANALYZE TABLE", statement)
+
+
+def _stmt_vacuum(spark, statement, delete_mode, merge_mode):
     m = _VACUUM_RE.match(statement)
     if m:
         name, retain, unit, dry = m.groups()
@@ -1409,10 +1486,18 @@ def _sql_maintenance(spark: SparkSession, statement: str):
             store=b.store,
             dry_run=bool(dry),
         )
+    raise _refuse("VACUUM", statement)
+
+
+def _stmt_checkpoint(spark, statement, delete_mode, merge_mode):
     m = _CHECKPOINT_RE.match(statement)
     if m:
         b = _writable_binding(spark, m.group(1))
         return txn.checkpoint(b.path, store=b.store)
+    raise _refuse("CHECKPOINT", statement)
+
+
+def _stmt_restore(spark, statement, delete_mode, merge_mode):
     m = _RESTORE_RE.match(statement)
     if m:
         name, ver, vtag, ts, tag = m.groups()
@@ -1425,6 +1510,10 @@ def _sql_maintenance(spark: SparkSession, statement: str):
             v = txn.restore(b.path, as_of=ts, store=b.store)
         refresh_table(spark, name)
         return v
+    raise _refuse("RESTORE", statement)
+
+
+def _stmt_generate(spark, statement, delete_mode, merge_mode):
     m = _GENERATE_RE.match(statement)
     if m:
         from wikistream_lakehouse_spark.lakehouse.interop import (
@@ -1433,6 +1522,10 @@ def _sql_maintenance(spark: SparkSession, statement: str):
 
         b = _writable_binding(spark, m.group(1))
         return generate_symlink_manifest(b.path, store=b.store)
+    raise _refuse("GENERATE", statement)
+
+
+def _stmt_maintain(spark, statement, delete_mode, merge_mode):
     m = _MAINTAIN_RE.match(statement)
     if m:
         name, retention = m.groups()
@@ -1442,6 +1535,21 @@ def _sql_maintenance(spark: SparkSession, statement: str):
         )
         refresh_table(spark, name)
         return report
+    raise _refuse("MAINTAIN", statement)
+
+
+def _stmt_convert(spark, statement, delete_mode, merge_mode):
+    m = _CONVERT_RE.match(statement)
+    if m:
+        path, name = m.groups()
+        v = txn.convert_to_txn(spark, path)
+        if name:
+            register_table(spark, name, path)
+        return v
+    raise _refuse("CONVERT TO TXN", statement)
+
+
+def _stmt_create_table(spark, statement, delete_mode, merge_mode):
     m = _CLONE_RE.match(statement)
     if m:
         dst_name, src, ver, ts, location = m.groups()
@@ -1463,13 +1571,6 @@ def _sql_maintenance(spark: SparkSession, statement: str):
             sb.path, dst, version=version, as_of=ts, store=sb.store
         )
         register_table(spark, dst_name, dst, store=sb.store)
-        return v
-    m = _CONVERT_RE.match(statement)
-    if m:
-        path, name = m.groups()
-        v = txn.convert_to_txn(spark, path)
-        if name:
-            register_table(spark, name, path)
         return v
     ce = _parse_create_empty(statement)
     if ce:
@@ -1554,6 +1655,10 @@ def _sql_maintenance(spark: SparkSession, statement: str):
             v = txn.append(df, path, partition_by=pb, store=store)
         register_table(spark, name, path, store=store)
         return v
+    raise _refuse("CREATE TABLE", statement)
+
+
+def _stmt_drop_table(spark, statement, delete_mode, merge_mode):
     m = _DROP_TABLE_RE.match(statement)
     if m:
         name, purge = m.groups()
@@ -1569,15 +1674,31 @@ def _sql_maintenance(spark: SparkSession, statement: str):
         if purge:
             txn.drop_table(b.path, store=b.store)
         return None
+    raise _refuse("DROP TABLE", statement)
+
+
+def _stmt_alter_table(spark, statement, delete_mode, merge_mode):
     m = _ALTER_RE.match(statement)
     if m:
         return _sql_alter(spark, m.group(1), m.group(2).strip())
+    raise _refuse("ALTER TABLE", statement)
+
+
+def _stmt_create_mv(spark, statement, delete_mode, merge_mode):
     m = _CREATE_MV_RE.match(statement)
     if m:
         return _sql_create_mv(spark, m)
+    raise _refuse("CREATE MATERIALIZED VIEW", statement)
+
+
+def _stmt_refresh_mv(spark, statement, delete_mode, merge_mode):
     m = _REFRESH_MV_RE.match(statement)
     if m:
         return _sql_refresh_mv(spark, m.group(1))
+    raise _refuse("REFRESH MATERIALIZED VIEW", statement)
+
+
+def _stmt_drop_mv(spark, statement, delete_mode, merge_mode):
     m = _DROP_MV_RE.match(statement)
     if m:
         name, purge = m.group(1), bool(m.group(2))
@@ -1588,6 +1709,10 @@ def _sql_maintenance(spark: SparkSession, statement: str):
         if purge:
             txn.drop_table(mv[0], mv[1])
         return None
+    raise _refuse("DROP MATERIALIZED VIEW", statement)
+
+
+def _stmt_create_view(spark, statement, delete_mode, merge_mode):
     m = _CREATE_VIEW_RE.match(statement)
     if m:
         replace, vname, body = m.groups()
@@ -1618,6 +1743,10 @@ def _sql_maintenance(spark: SparkSession, statement: str):
         )
         views[vname] = body
         return None
+    raise _refuse("CREATE VIEW", statement)
+
+
+def _stmt_drop_view(spark, statement, delete_mode, merge_mode):
     m = _DROP_VIEW_RE.match(statement)
     if m:
         vname = m.group(1)
@@ -1632,6 +1761,10 @@ def _sql_maintenance(spark: SparkSession, statement: str):
         views.pop(vname)
         spark.catalog.dropTempView(vname)
         return None
+    raise _refuse("DROP VIEW", statement)
+
+
+def _stmt_show_create(spark, statement, delete_mode, merge_mode):
     m = _SHOW_CREATE_RE.match(statement)
     if m:
         name = m.group(1)
@@ -1703,12 +1836,14 @@ def _sql_maintenance(spark: SparkSession, statement: str):
         return spark.createDataFrame(
             [(";\n".join(stmts) + ";",)], "createtab_stmt string"
         )
+    raise _refuse("SHOW CREATE TABLE", statement)
+
+
+def _stmt_show_partitions(spark, statement, delete_mode, merge_mode):
     m = _SHOW_PARTITIONS_RE.match(statement)
     if m:
         name = m.group(1)
-        b = _session_bindings(spark).get(name)
-        if b is None:
-            raise ValueError(f"{name!r} is not a registered txn table")
+        b = _read_binding(spark, name)
         pb = txn._current_partitioning(b.path, b.store, upto=b.version)
         if not pb:
             raise ValueError(f"{name!r} is not a partitioned table")
@@ -1734,22 +1869,26 @@ def _sql_maintenance(spark: SparkSession, statement: str):
             sorted(set(rows)),
             ", ".join(f"{c} string" for c in pb),
         )
+    raise _refuse("SHOW PARTITIONS", statement)
+
+
+def _stmt_show_tags(spark, statement, delete_mode, merge_mode):
     m = _SHOW_TAGS_RE.match(statement)
     if m:
         name = m.group(1)
-        b = _session_bindings(spark).get(name)
-        if b is None:
-            raise ValueError(f"{name!r} is not a registered txn table")
+        b = _read_binding(spark, name)
         return spark.createDataFrame(
             sorted(txn.table_tags(b.path, b.store).items()),
             "tag string, version long",
         )
+    raise _refuse("SHOW TAGS", statement)
+
+
+def _stmt_show_branches(spark, statement, delete_mode, merge_mode):
     m = _SHOW_BRANCHES_RE.match(statement)
     if m:
         name = m.group(1)
-        b = _session_bindings(spark).get(name)
-        if b is None:
-            raise ValueError(f"{name!r} is not a registered txn table")
+        b = _read_binding(spark, name)
         rows = [
             (
                 br,
@@ -1763,12 +1902,14 @@ def _sql_maintenance(spark: SparkSession, statement: str):
         return spark.createDataFrame(
             rows, "branch string, base long, head long"
         )
+    raise _refuse("SHOW BRANCHES", statement)
+
+
+def _stmt_show_refs(spark, statement, delete_mode, merge_mode):
     m = _SHOW_REFS_RE.match(statement)
     if m:
         name = m.group(1)
-        b = _session_bindings(spark).get(name)
-        if b is None:
-            raise ValueError(f"{name!r} is not a registered txn table")
+        b = _read_binding(spark, name)
         refs = [
             (t, "tag", v)
             for t, v in sorted(txn.table_tags(b.path, b.store).items())
@@ -1785,6 +1926,10 @@ def _sql_maintenance(spark: SparkSession, statement: str):
         return spark.createDataFrame(
             refs, "ref string, kind string, version long"
         )
+    raise _refuse("SHOW REFS", statement)
+
+
+def _stmt_show_tables(spark, statement, delete_mode, merge_mode):
     if _SHOW_TABLES_RE.match(statement):
         rows = [
             (n, "table", b.path, b.version, b.pinned, None)
@@ -1802,7 +1947,54 @@ def _sql_maintenance(spark: SparkSession, statement: str):
             "name string, kind string, location string, version long, "
             "pinned boolean, definition string",
         )
-    return _NO_MATCH
+    raise _refuse("SHOW TABLES", statement)
+
+
+#: keyword prefix -> handler; longest prefix wins (sorted at import).
+_DISPATCH = sorted(
+    [
+        (("DELETE",), _stmt_delete),
+        (("UPDATE",), _stmt_update),
+        (("INSERT", "OVERWRITE"), _stmt_insert_overwrite),
+        (("INSERT", "INTO"), _stmt_insert),
+        (("MERGE", "INTO"), _stmt_merge),
+        (("TRUNCATE", "TABLE"), _stmt_truncate),
+        (("COPY", "INTO"), _stmt_copy_into),
+        (("OPTIMIZE",), _stmt_optimize),
+        (("ANALYZE", "TABLE"), _stmt_analyze),
+        (("VACUUM",), _stmt_vacuum),
+        (("CHECKPOINT",), _stmt_checkpoint),
+        (("RESTORE",), _stmt_restore),
+        (("GENERATE",), _stmt_generate),
+        (("MAINTAIN",), _stmt_maintain),
+        (("CONVERT", "TO", "TXN"), _stmt_convert),
+        (("CREATE", "TABLE"), _stmt_create_table),
+        (("CREATE", "OR", "REPLACE", "TABLE"), _stmt_create_table),
+        (("DROP", "TABLE"), _stmt_drop_table),
+        (("ALTER", "TABLE"), _stmt_alter_table),
+        (("CREATE", "MATERIALIZED", "VIEW"), _stmt_create_mv),
+        (("REFRESH", "MATERIALIZED", "VIEW"), _stmt_refresh_mv),
+        (("DROP", "MATERIALIZED", "VIEW"), _stmt_drop_mv),
+        (("CREATE", "VIEW"), _stmt_create_view),
+        (("CREATE", "OR", "REPLACE", "VIEW"), _stmt_create_view),
+        (("DROP", "VIEW"), _stmt_drop_view),
+        (("SHOW", "CREATE", "TABLE"), _stmt_show_create),
+        (("SHOW", "PARTITIONS"), _stmt_show_partitions),
+        (("SHOW", "TAGS"), _stmt_show_tags),
+        (("SHOW", "BRANCHES"), _stmt_show_branches),
+        (("SHOW", "REFS"), _stmt_show_refs),
+        (("SHOW", "TABLES"), _stmt_show_tables),
+    ],
+    key=lambda kv: -len(kv[0]),
+)
+
+
+def _dispatch(spark, statement, delete_mode, merge_mode):
+    kws = _leading_keywords(statement)
+    for prefix, h in _DISPATCH:
+        if kws[: len(prefix)] == prefix:
+            return h(spark, statement, delete_mode, merge_mode)
+    raise ValueError(f"unsupported DML statement\n{_DML_GRAMMAR}")
 
 
 _TIME_TRAVEL_RE = re.compile(

@@ -939,3 +939,93 @@ def sql_changes_over_fast_forward(spark: SparkSession, sf_dir: str) -> DataFrame
         ORDER BY change, priority
         """,
     )
+
+
+@register(
+    "sql_branch_shared_refs",
+    oracle="""
+        WITH final AS (
+            SELECT * FROM orders
+            WHERE (o_orderkey % 2 = 0 OR o_orderkey % 7 = 0)
+              AND o_orderkey % 10 != 6
+        ), agg AS (
+            SELECT o_orderpriority AS priority,
+                   count(*) AS n_orders,
+                   ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                              AS DOUBLE), 2) AS total
+            FROM final GROUP BY 1
+        )
+        SELECT 'branch' AS snap, priority, n_orders, total FROM agg
+        UNION ALL
+        SELECT 'main' AS snap, priority, n_orders, total FROM agg
+        ORDER BY snap, priority
+    """,
+    tags=("catalog", "sql", "branches", "shared", "extra"),
+)
+def sql_branch_shared_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The METADATA-ONLY branch lifecycle through the SQL front door
+    (VERDICT r12 #4 follow-through): ``CREATE BRANCH dev SHARED`` forks
+    with ZERO data-file operations — the branch log references main's
+    files through the ``../../`` escape — then the branch takes an
+    INSERT (odd multiples of 7), a MoR DELETE over SHARED files (keys
+    ending in 6: the vector addresses escaped row identities), and one
+    ``FAST FORWARD`` merges it all back (escaped refs canonicalized,
+    the vector sidecar rewritten into main form). The final statement
+    reads BOTH refs and the oracle restates the end state with plain
+    predicates, so a wrong escaped read, a vector that misses its
+    shared target, or a canonicalization slip in the merge all break
+    the hash. The fixture asserts the fork issued no link/copy calls."""
+    from wikistream_lakehouse_spark.lakehouse import catalog, txn
+    from wikistream_lakehouse_spark.tables import table
+
+    orders = table(spark, sf_dir, "orders")
+
+    def _valid() -> bool:
+        if not _bound(spark, "shbr_orders")():
+            return False
+        b = catalog._session_bindings(spark)["shbr_orders"]
+        return "dev" in txn.table_branches(b.path, b.store)
+
+    def _build(d: str) -> None:
+        src = os.path.join(d, "shbr_orders")
+        txn.append(orders.filter("o_orderkey % 2 = 0"), src)
+        catalog.register_table(spark, "shbr_orders", src)
+        orders.createOrReplaceTempView("shbr_orders_src")
+        catalog.sql(spark, "ALTER TABLE shbr_orders CREATE BRANCH dev SHARED")
+        bpath = txn.branch_location(src, "dev")
+        fs, _dvs = txn._replay_state(bpath, 0)
+        assert fs and all(f.startswith("../../") for f in fs), (
+            "shared fork must reference main's files through the escape"
+        )
+        catalog.sql(
+            spark,
+            "INSERT INTO shbr_orders@dev SELECT * FROM shbr_orders_src "
+            "WHERE o_orderkey % 2 = 1 AND o_orderkey % 7 = 0",
+        )
+        catalog.sql_dml(
+            spark,
+            "DELETE FROM shbr_orders@dev WHERE o_orderkey % 10 = 6",
+            delete_mode="mor",
+        )
+        catalog.sql(spark, "ALTER TABLE shbr_orders FAST FORWARD BRANCH dev")
+
+    fixture_once("sql_branch_shared", sf_dir, _build, valid=_valid)
+    return catalog.sql(
+        spark,
+        """
+        SELECT 'main' AS snap, o_orderpriority AS priority,
+               count(*) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE), 2) AS total
+        FROM shbr_orders
+        GROUP BY o_orderpriority
+        UNION ALL
+        SELECT 'branch' AS snap, o_orderpriority AS priority,
+               count(*) AS n_orders,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE), 2) AS total
+        FROM shbr_orders@dev
+        GROUP BY o_orderpriority
+        ORDER BY snap, priority
+        """,
+    )

@@ -70,6 +70,11 @@ GUARDED = [
     # the MERGE consumer reads O(changed files), never a snapshot rescan
     "sql_view_changes_replay",
     "sql_merge_changes_upsert",
+    # round-13 additions: exact-substring dedup — the span explode must
+    # stay a single linear Generate per scan, dup marking a LEFT SEMI
+    # join (no row multiplication on hot spans), islands a per-doc window
+    "dup_span_stats",
+    "substring_dup_coverage",
 ]
 
 #: Pinned generation context — signatures are only comparable under the

@@ -1,0 +1,161 @@
+"""Exact substring (span-level) deduplication (X2 extension).
+
+Finds runs of >= k tokens that recur verbatim across documents — the
+distributed form of suffix-array exact-substring dedup from
+"Deduplicating Training Data Makes Language Models Better" (Lee et al.,
+2022, arXiv:2107.06499 — their ExactSubstr tool builds one giant suffix
+array; at cluster scale the equivalent signal is a k-gram hash
+equi-join). Complements the doc-level family: exact fingerprint dedup
+catches whole-doc copies, MinHash/SimHash catch fuzzy near-dups, this
+catches the boilerplate paragraph pasted into thousands of otherwise
+distinct pages.
+
+Pipeline (all JVM-side, no arrays through shuffles):
+
+  tokens → positional k-gram spans (arrays_zip of k shifted slices,
+  posexplode) → md5 span hash → hash-aggregate spans seen in >= min_docs
+  distinct docs → LEFT SEMI join marks each doc's duplicated positions →
+  gaps-and-islands window merges overlapping spans → per-doc duplicated
+  token coverage.
+
+Scale design (why this works at 100 TB where a suffix array cannot):
+  * The span relation is linear in corpus tokens (one row per position);
+    every stage after it is hash-aggregate or keyed equi-join with
+    map-side partial combine — no O(n²) anywhere.
+  * Duplicate marking is a LEFT SEMI join on the span hash: a boilerplate
+    span occurring 10M times contributes NO row multiplication on the
+    probe side (each position matches at most once), so hot spans cannot
+    skew the join the way a bucket self-join would.
+  * The island merge is a per-document window — state bounded by the
+    longest document, partition-parallel across docs.
+  * Span hashes are md5 (portable: DuckDB recomputes them bit-identically
+    for the oracle); collisions ~n²/2¹²⁸ — negligible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from wikistream_lakehouse_spark.functions.text import tokens
+
+
+def positional_span_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+) -> DataFrame:
+    """(id, pos, span_hash) — one row per k-token span per document,
+    ``pos`` the 1-based token index of the span start, ``span_hash`` the
+    md5 hex of the space-joined span text.
+
+    Same shifted-slice arrays_zip alignment as minhash's
+    ``shingle_structs`` (the measured-fast exploded form), but
+    positional: posexplode keeps the start index, and spans are NOT
+    distinct-ed — coverage needs every occurrence. Documents shorter
+    than k tokens yield no rows.
+    """
+    a = tokens(F.col(text_col))
+    shifted = [a] + [
+        F.slice(a, i + 1, F.greatest(F.size(a) - i, F.lit(0)))
+        for i in range(1, k)
+    ]
+    z = F.arrays_zip(*[s.alias(f"w{i}") for i, s in enumerate(shifted)])
+    last = f"w{k - 1}"
+    return (
+        df.select(F.col(id_col), F.posexplode(z).alias("i", "s"))
+        .filter(F.col(f"s.{last}").isNotNull())
+        .select(
+            F.col(id_col),
+            (F.col("i") + 1).alias("pos"),
+            F.md5(
+                F.concat_ws(" ", *[F.col(f"s.w{j}") for j in range(k)])
+            ).alias("span_hash"),
+        )
+    )
+
+
+def duplicated_spans(
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """(span_hash, n_docs, n_occurrences) — spans recurring in >= min_docs
+    DISTINCT documents, from a ``positional_span_hashes`` relation.
+
+    ``min_docs=2`` means cross-document duplication only: a span repeated
+    within a single document is intra-doc repetition, which
+    ``doc_repetition_profile`` (queries/hygiene.py) already measures.
+    One hash-aggregate keyed by span_hash, partial-combined map-side.
+    """
+    return (
+        spans.groupBy("span_hash")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def duplicated_span_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(id, total_tokens, dup_tokens, coverage) for every document that
+    contains at least one cross-document duplicated k-token span.
+
+    ``dup_tokens`` merges overlapping/adjacent duplicated spans before
+    counting (gaps-and-islands: a new island starts where a span's start
+    exceeds the running max end of all earlier spans), so a shared run of
+    L >= k tokens counts L tokens once — not (L-k+1)·k.
+    """
+    spans = positional_span_hashes(df, text_col, id_col, k)
+    if min_docs == 2:
+        # min(id) != max(id) <=> >= 2 distinct docs, in ONE aggregation
+        # phase — countDistinct would add a second shuffle (partial agg
+        # on (span_hash, id) then re-aggregate).
+        dup = (
+            spans.groupBy("span_hash")
+            .agg(F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx"))
+            .filter(F.col("_mn") != F.col("_mx"))
+            .select("span_hash")
+        )
+    else:
+        dup = duplicated_spans(spans, id_col, min_docs).select("span_hash")
+    # Semi join: mark duplicated positions without multiplying rows on
+    # hot spans (see module docstring).
+    marked = spans.join(dup, "span_hash", "left_semi")
+    end = F.col("pos") + F.lit(k - 1)
+    w_order = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max(end).over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        marked.withColumn(
+            "new_island",
+            F.when(
+                prev_max_end.isNull() | (F.col("pos") > prev_max_end), 1
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_island").over(w_order))
+        .groupBy(id_col, "island")
+        .agg((F.max(end) - F.min("pos") + 1).alias("island_tokens"))
+        .groupBy(id_col)
+        .agg(F.sum("island_tokens").alias("dup_tokens"))
+    )
+    totals = df.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).alias("total_tokens")
+    )
+    return islands.join(totals, id_col).select(
+        F.col(id_col),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("dup_tokens").cast("long").alias("dup_tokens"),
+        F.round(F.col("dup_tokens") / F.col("total_tokens"), 6).alias(
+            "coverage"
+        ),
+    )

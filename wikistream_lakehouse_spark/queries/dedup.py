@@ -618,3 +618,111 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(
         e, id_col="vec_id", vec_col="embedding", k=8, threshold=0.35, seed=7
     ).orderBy("vec_id")
+
+
+# --- X2 (span level): exact substring dedup — duplicated k-token spans ------
+# The suffix-array exact-substring signal of Lee et al. 2022
+# (arXiv:2107.06499) re-expressed as a k-gram hash aggregate; see
+# operators/spans.py for the scale design. k=8 over the synthetic corpus
+# (prod default is 50); md5 span hashes are the cross-engine convention
+# the minhash band face already certifies.
+_SPAN_K = 8
+
+
+@register(
+    "dup_span_stats",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x != '') AS t
+            FROM documents
+        ), sp AS (
+            SELECT doc_id,
+                   md5(array_to_string(t[i:i+{_SPAN_K - 1}], ' ')) AS span_hash
+            FROM t, unnest(generate_series(
+                     1, greatest(len(t) - {_SPAN_K - 1}, 0))) AS u(i)
+        )
+        SELECT span_hash,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM sp
+        GROUP BY span_hash
+        HAVING count(DISTINCT doc_id) >= 2
+        ORDER BY span_hash
+    """,
+    tags=("X2", "dedup", "spans"),
+)
+def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 8-token span that recurs verbatim in >= 2 distinct documents,
+    with its document and occurrence counts — the discovery face of
+    exact-substring dedup. One linear span explode, one hash-aggregate."""
+    from wikistream_lakehouse_spark.operators.spans import (
+        duplicated_spans,
+        positional_span_hashes,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    sp = positional_span_hashes(d, k=_SPAN_K)
+    return duplicated_spans(sp).orderBy("span_hash")
+
+
+@register(
+    "substring_dup_coverage",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x != '') AS t
+            FROM documents
+        ), sp AS (
+            SELECT doc_id, i AS pos,
+                   md5(array_to_string(t[i:i+{_SPAN_K - 1}], ' ')) AS span_hash
+            FROM t, unnest(generate_series(
+                     1, greatest(len(t) - {_SPAN_K - 1}, 0))) AS u(i)
+        ), dup AS (
+            SELECT span_hash FROM sp
+            GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2
+        ), m AS (
+            SELECT doc_id, pos FROM sp
+            WHERE span_hash IN (SELECT span_hash FROM dup)
+        ), isl AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos > coalesce(
+                            max(pos + {_SPAN_K - 1}) OVER (
+                                PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), -1)
+                        THEN 1 ELSE 0 END AS new_island
+            FROM m
+        ), isl2 AS (
+            SELECT doc_id, pos,
+                   sum(new_island) OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS island
+            FROM isl
+        ), per AS (
+            SELECT doc_id, island,
+                   max(pos + {_SPAN_K - 1}) - min(pos) + 1 AS island_tokens
+            FROM isl2 GROUP BY doc_id, island
+        ), cov AS (
+            SELECT doc_id, CAST(sum(island_tokens) AS BIGINT) AS dup_tokens
+            FROM per GROUP BY doc_id
+        )
+        SELECT c.doc_id,
+               CAST(len(t.t) AS BIGINT) AS total_tokens,
+               c.dup_tokens,
+               ROUND(CAST(c.dup_tokens AS DOUBLE) / len(t.t), 6) AS coverage
+        FROM cov c JOIN t ON c.doc_id = t.doc_id
+        ORDER BY c.doc_id
+    """,
+    tags=("X2", "dedup", "spans"),
+)
+def substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-token coverage from cross-document 8-token
+    spans, overlaps merged (gaps-and-islands) so a shared L-token run
+    counts L tokens once. The decision face of exact-substring dedup: a
+    coverage threshold here is the Lee-et-al drop/trim criterion."""
+    from wikistream_lakehouse_spark.operators.spans import (
+        duplicated_span_coverage,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    return duplicated_span_coverage(d, k=_SPAN_K).orderBy("doc_id")

@@ -233,3 +233,53 @@ def test_hash_split_thresholds_monotone(fracs):
         thr = fraction_threshold(min(cum, 1.0))
         assert thr > prev
         prev = thr
+
+
+# --- span-level exact-substring dedup vs brute force ------------------------
+_SPAN_VOCAB = ["aa", "bb", "cc", "dd", "ee", "ff"]
+
+span_corpora = st.lists(
+    st.lists(st.sampled_from(_SPAN_VOCAB), min_size=0, max_size=12),
+    min_size=2,
+    max_size=6,
+)
+
+
+def _ref_span_coverage(token_docs, k):
+    """Brute force: union of covered token indices per doc — equals the
+    islands sum exactly iff the merge is correct."""
+    owners: dict[tuple, set] = {}
+    for i, t in enumerate(token_docs):
+        for p in range(len(t) - k + 1):
+            owners.setdefault(tuple(t[p : p + k]), set()).add(i)
+    out = {}
+    for i, t in enumerate(token_docs):
+        covered = set()
+        for p in range(len(t) - k + 1):
+            if len(owners[tuple(t[p : p + k])]) >= 2:
+                covered.update(range(p, p + k))
+        if covered:
+            out[i] = (len(t), len(covered))
+    return out
+
+
+@given(corpus=span_corpora)
+@settings(**SETTINGS)
+def test_span_coverage_matches_brute_force(spark, corpus):
+    """Distributed islands-merged coverage equals the brute-force union
+    of covered token positions, on tiny-vocab corpora engineered to hit
+    overlapping, adjacent, nested, and intra-doc-only span collisions."""
+    from wikistream_lakehouse_spark.operators.spans import (
+        duplicated_span_coverage,
+    )
+
+    k = 3
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(corpus)],
+        "doc_id int, text string",
+    )
+    got = {
+        r.doc_id: (r.total_tokens, r.dup_tokens)
+        for r in duplicated_span_coverage(df, k=k).collect()
+    }
+    assert got == _ref_span_coverage(corpus, k)

@@ -726,3 +726,99 @@ def substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return duplicated_span_coverage(d, k=_SPAN_K).orderBy("doc_id")
+
+
+@register(
+    "span_dedup_filter",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x != '') AS t
+            FROM documents
+        ), sp AS (
+            SELECT doc_id, i AS pos,
+                   md5(array_to_string(t[i:i+{_SPAN_K - 1}], ' ')) AS span_hash
+            FROM t, unnest(generate_series(
+                     1, greatest(len(t) - {_SPAN_K - 1}, 0))) AS u(i)
+        ), dup AS (
+            SELECT span_hash FROM sp
+            GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2
+        ), m AS (
+            SELECT doc_id, pos FROM sp
+            WHERE span_hash IN (SELECT span_hash FROM dup)
+        ), isl AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos > coalesce(
+                            max(pos + {_SPAN_K - 1}) OVER (
+                                PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), -1)
+                        THEN 1 ELSE 0 END AS new_island
+            FROM m
+        ), isl2 AS (
+            SELECT doc_id, pos,
+                   sum(new_island) OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS island
+            FROM isl
+        ), per AS (
+            SELECT doc_id, island,
+                   max(pos + {_SPAN_K - 1}) - min(pos) + 1 AS island_tokens
+            FROM isl2 GROUP BY doc_id, island
+        ), cov AS (
+            SELECT doc_id, sum(island_tokens) AS dup_tokens
+            FROM per GROUP BY doc_id
+        ), scored AS (
+            SELECT t.doc_id,
+                   CAST(len(t.t) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+                   CASE WHEN len(t.t) > 0
+                        THEN CAST(coalesce(cov.dup_tokens, 0) AS DOUBLE)
+                             / len(t.t)
+                        ELSE 0.0 END AS cov_raw
+            FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id
+        )
+        SELECT doc_id, n_tokens, dup_tokens,
+               ROUND(cov_raw, 6) AS coverage,
+               (cov_raw < 0.8) AS keep,
+               CASE WHEN cov_raw >= 0.99 THEN 'near_copy'
+                    WHEN cov_raw >= 0.8 THEN 'dup_heavy'
+                    ELSE 'ok' END AS reason
+        FROM scored
+        ORDER BY doc_id
+    """,
+    tags=("X2", "dedup", "spans", "filter"),
+)
+def span_dedup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decision step of exact-substring dedup over the WHOLE corpus:
+    every document scored with its duplicated-token coverage and a
+    keep/drop verdict (drop at >= 0.8 coverage; >= 0.99 flags a near
+    copy — exact-dedup territory). The keep column is what the corpus
+    writer partitions on, same contract as corpus_quality_filter."""
+    from wikistream_lakehouse_spark.operators.spans import (
+        duplicated_span_coverage,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    cov = duplicated_span_coverage(d, k=_SPAN_K).select("doc_id", "dup_tokens")
+    alldocs = d.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    dup = F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long")
+    cov_raw = F.when(
+        F.col("n_tokens") > 0, dup / F.col("n_tokens")
+    ).otherwise(F.lit(0.0))
+    return (
+        alldocs.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            dup.alias("dup_tokens"),
+            F.round(cov_raw, 6).alias("coverage"),
+            (cov_raw < 0.8).alias("keep"),
+            F.when(cov_raw >= 0.99, "near_copy")
+            .when(cov_raw >= 0.8, "dup_heavy")
+            .otherwise("ok")
+            .alias("reason"),
+        )
+        .orderBy("doc_id")
+    )

@@ -191,3 +191,67 @@ def test_fast_forward_restore_to_fork_is_noop(spark, tmp_path):
     # the restore commit is content-preserving: the feed sees nothing
     got = txn.table_changes_cdf(spark, p, v - 1, v)
     assert got.count() == 0
+
+
+def _ff_overlap_table(spark, tmp_path):
+    """The MoR-then-CoW-same-file branch shape: main is ONE file
+    F = {1, 3, 5, 7}; the branch MoR-deletes k=3 (vector D over F),
+    then CoW-deletes k=5 — which rewrites F (removing it from the
+    branch state) but does NOT retire D (the file-pruned CoW path
+    retires nothing), leaving D dangling-active. The FF commit then
+    carries remove=[F] AND dvAdd=[D] targeting F: D's rows must be
+    emitted by the dv arm ONLY, never also by F's delete image."""
+    p = str(tmp_path / "ffo_t")
+    txn.append(
+        _df(spark, [(1, 1.0), (3, 3.0), (5, 5.0), (7, 7.0)]).coalesce(1), p
+    )  # v0: ONE file F
+    txn.create_branch(p, "dev")  # v1 (metadata on main)
+    b = txn.branch_location(p, "dev")
+    txn.delete_where(spark, b, "k = 3", mode="mor")  # D over F
+    txn.delete_where(spark, b, "k = 5")  # CoW rewrite of F; D dangles
+    v = txn.fast_forward(spark, p, "dev")
+    return p, v
+
+
+def test_fast_forward_mor_then_cow_same_file_emits_each_delete_once(
+    spark, tmp_path
+):
+    p, v = _ff_overlap_table(spark, tmp_path)
+    got = _rows(txn.table_changes_cdf(spark, p, v - 1, v))
+    # every pre-FF-visible row of F deleted EXACTLY once (k=3 via the
+    # dv arm, the rest via the file image), survivors re-inserted from
+    # the rewrite — a duplicate (3, 'delete') here is the double-emit
+    assert got == [
+        (1, 1.0, "delete", v),
+        (1, 1.0, "insert", v),
+        (3, 3.0, "delete", v),
+        (5, 5.0, "delete", v),
+        (7, 7.0, "delete", v),
+        (7, 7.0, "insert", v),
+    ]
+    pre = {r.k for r in txn.read_table(spark, p, version=v - 1).collect()}
+    post = {r.k for r in txn.read_table(spark, p, version=v).collect()}
+    ins = {k for k, _v, c, _cv in got if c == "insert"}
+    dels = {k for k, _v, c, _cv in got if c == "delete"}
+    assert (pre - dels) | ins == post
+
+
+def test_fast_forward_mor_then_cow_same_file_matches_duckdb(
+    spark, tmp_path
+):
+    from wikistream_lakehouse_spark.lakehouse.interop import (
+        read_changes_duckdb,
+    )
+
+    p, v = _ff_overlap_table(spark, tmp_path)
+    got = _rows(txn.table_changes_cdf(spark, p, v - 1, v))
+    tb = read_changes_duckdb(p, v - 1, v)
+    duck = sorted(
+        zip(
+            tb.column("k").to_pylist(),
+            tb.column("v").to_pylist(),
+            tb.column("_change_type").to_pylist(),
+            tb.column("_commit_version").to_pylist(),
+        )
+    )
+    assert got == duck

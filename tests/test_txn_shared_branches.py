@@ -216,3 +216,38 @@ def test_shared_branch_duckdb_interop(spark, t):
         ).fetchall()
     )
     assert got == [0, 1, 2, 4, 5, 6, 7, 8, 9, 100, 101]
+
+
+def test_copy_clone_of_shared_branch_canonicalizes(spark, t, tmp_path):
+    """A plain (copy-mode) CLONE whose SOURCE is a shared-refs branch
+    must strip the ``../../`` escape hops: local names inside the clone
+    root, links resolved from the parent, sidecar f-values translated —
+    not links planted two levels above the clone with rels no
+    non-branch reader can resolve."""
+    txn.create_branch(t, "dev", mode="shared")
+    b = txn.branch_location(t, "dev")
+    txn.append(_kv(spark, 20, 23), b)  # branch-local file
+    txn.delete_where(spark, b, "k IN (4, 21)", mode="mor")  # escaped f
+    want = _ks(spark, b)
+
+    dst = str(tmp_path / "clones" / "c1")
+    txn.clone_table(b, dst)
+    # the clone is a self-contained non-branch table: same rows,
+    # every state rel local (no escape hops), every file inside root
+    assert _ks(spark, dst) == want
+    files, dvs = txn._replay_state(dst, 0)
+    assert files and all(not f.startswith("../") for f in files + dvs)
+    for rel in files + dvs:
+        assert os.path.exists(os.path.join(dst, rel))
+    # nothing escaped the clone root (the pre-fix failure planted
+    # files under tmp_path/clones/../ = tmp_path)
+    stray = [
+        f for f in os.listdir(str(tmp_path / "clones"))
+        if f not in ("c1",)
+    ]
+    assert stray == []
+    # physical independence: dropping the branch and vacuuming the
+    # parent must not perturb the clone (it holds its own links)
+    txn.drop_branch(t, "dev")
+    txn.vacuum(t, retain_versions=1)
+    assert _ks(spark, dst) == want

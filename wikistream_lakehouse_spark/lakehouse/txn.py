@@ -5041,17 +5041,63 @@ def clone_table(
         files = [_SHARED_REL + f for f in files]
         dvs = [_SHARED_REL + d for d in dvs]
     else:
+        # A copy-mode clone FROM a shared-refs branch must canonicalize:
+        # the source state names parent files through ``../../`` escape
+        # hops, and joining those onto dst_path verbatim would link
+        # OUTSIDE the clone root and log rels no non-branch table can
+        # resolve (_branch_ancestor refuses). Strip the hops for the
+        # clone-local name, link from the resolved source path, and
+        # translate escaped f-values inside DV sidecars (the same
+        # rewrite fast_forward's merge does) so vectors keep hitting
+        # their rows under the canonical names.
+        def _canon_rel(rel: str) -> str:
+            out = rel
+            while out.startswith(_SHARED_REL):
+                out = out[len(_SHARED_REL):]
+            return out
+
         def _link_one(rel: str) -> None:
-            dst_f = os.path.join(dst_path, rel)
+            dst_f = os.path.join(dst_path, _canon_rel(rel))
             ds.makedirs(os.path.dirname(dst_f))
-            ds.link(os.path.join(src_path, rel), dst_f)
+            ds.link(
+                os.path.normpath(os.path.join(src_path, rel)), dst_f
+            )
+
+        needs_canon = any(
+            r.startswith(_SHARED_REL) for r in files + dvs
+        )
+
+        def _copy_dv(rel: str) -> None:
+            if not needs_canon:
+                return _link_one(rel)
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            with _open_data_file(src_path, rel) as fh:
+                tbl = pq.read_table(fh)
+            fvals = tbl.column("f").to_pylist()
+            if not any(s.startswith(_SHARED_REL) for s in fvals):
+                return _link_one(rel)
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("f"),
+                "f",
+                pa.array([_canon_rel(s) for s in fvals], pa.string()),
+            )
+            sink = pa.BufferOutputStream()
+            pq.write_table(tbl, sink)
+            dst_f = os.path.join(dst_path, _canon_rel(rel))
+            ds.makedirs(os.path.dirname(dst_f))
+            ds.put_bytes(dst_f, sink.getvalue().to_pybytes())
 
         # parallel link fan-out (VERDICT r6 wrong #3): on an object
         # store each link is one CopyObject RPC — serially a 10⁶-file
         # clone is hours; 32-way it's minutes. POSIX hard links are
         # near-free either way; the pool just removes the syscall
         # serialization.
-        _parallel_file_ops(_link_one, files + dvs)
+        _parallel_file_ops(_link_one, files)
+        _parallel_file_ops(_copy_dv, dvs)
+        files = sorted({_canon_rel(f) for f in files})
+        dvs = sorted({_canon_rel(d) for d in dvs})
     pb = _current_partitioning(src_path, store, upto=v)
     meta = {"cloneSource": os.path.abspath(src_path), "cloneSourceVersion": v}
     src_types = _stamped_physical_types(src_path, store, upto=v)
@@ -5077,15 +5123,23 @@ def clone_table(
         # clone's fresh log must carry the wide read schema from v0
         entry["typeWidened"] = True
         entry["wideSchemaJson"] = src_ws.json()
+    def _strip_hops(rel: str) -> str:
+        # a shared-branch source logs parent-inherited stats under
+        # escaped keys; the copy-mode clone records canonical names
+        while rel.startswith(_SHARED_REL):
+            rel = rel[len(_SHARED_REL):]
+        return rel
+
     carried = {
-        rel: {
+        (rel if shared_refs else _strip_hops(rel)): {
             "n": s["n"],
             "min": s["min"],
             "max": s["max"],
             **({"bloom": s["bloom"]} if s.get("bloom") else {}),
         }
         for rel, s in _logged_file_stats_raw(src_path, v, store).items()
-        if (_SHARED_REL + rel if shared_refs else rel) in set(files)
+        if (_SHARED_REL + rel if shared_refs else _strip_hops(rel))
+        in set(files)
     }
     if shared_refs:
         carried = {_SHARED_REL + rel: s for rel, s in carried.items()}
@@ -5242,10 +5296,24 @@ def _changes_plan(
             continue
         elif op == "fast_forward":
             removed = set(e.get("remove", []))
+
+            def _targets(d: str) -> set[str]:
+                # a vacuumed sidecar must surface as the retention
+                # refusal, not a raw missing-file error (the needed/
+                # missing check below can't run before planning does)
+                try:
+                    return _dv_target_files(table_path, d)
+                except (FileNotFoundError, OSError):
+                    raise ValueError(
+                        f"change files already vacuumed: [{d!r}]... — "
+                        "raise vacuum retention above the consumer's "
+                        "version lag"
+                    ) from None
+
             outside = [
                 d
                 for d in e.get("dvRetire", [])
-                if not _dv_target_files(table_path, d) <= removed
+                if not _targets(d) <= removed
             ]
             if outside:
                 raise ValueError(
@@ -5263,11 +5331,28 @@ def _changes_plan(
                 # removed files — not just this commit's dvRetire: a
                 # CoW rewrite on the branch leaves the vector of a
                 # removed file dangling-active rather than retiring it,
-                # and its positions were just as invisible pre-FF
+                # and its positions were just as invisible pre-FF —
+                # PLUS this commit's own dvAdd vectors that address
+                # removed files: those positions are already emitted by
+                # the dv_deletes arm above (the branch MoR-deleted rows
+                # of a shared file it later rewrote), so the file image
+                # must not emit them a second time
+                try:
+                    pre_ff = _replay_state(table_path, v - 1, store)[1]
+                except ValueError:
+                    raise ValueError(
+                        f"version {v} is a fast-forward whose delete "
+                        f"images need the pre-merge state at v{v - 1}, "
+                        "which predates the log retention horizon — "
+                        "restart the feed from a newer snapshot (or "
+                        "raise log retention before cleanup)"
+                    ) from None
                 masked = [
+                    d for d in pre_ff if _targets(d) & removed
+                ] + [
                     d
-                    for d in _replay_state(table_path, v - 1, store)[1]
-                    if _dv_target_files(table_path, d) & removed
+                    for d in e.get("dvAdd", [])
+                    if _targets(d) & removed
                 ]
                 file_deletes.append((v, sorted(removed), masked))
         elif op == "clone" and e.get("dvAdd"):

@@ -984,7 +984,13 @@ def sql_branch_shared_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not _bound(spark, "shbr_orders")():
             return False
         b = catalog._session_bindings(spark)["shbr_orders"]
-        return "dev" in txn.table_branches(b.path, b.store)
+        if "dev" not in txn.table_branches(b.path, b.store):
+            return False
+        # The FAST FORWARD is the load-bearing step this face certifies:
+        # main must sit at v2 (append, registry, FF) — a fixture that
+        # died mid-build (branch created, FF never landed) must rebuild,
+        # not validate forever (same contract as the FF sibling above).
+        return txn.current_version(b.path, b.store) == 2
 
     def _build(d: str) -> None:
         src = os.path.join(d, "shbr_orders")

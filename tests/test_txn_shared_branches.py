@@ -251,3 +251,57 @@ def test_copy_clone_of_shared_branch_canonicalizes(spark, t, tmp_path):
     txn.drop_branch(t, "dev")
     txn.vacuum(t, retain_versions=1)
     assert _ks(spark, dst) == want
+
+
+def test_shared_create_detects_vacuum_race(spark, t, monkeypatch):
+    """The fork-vs-vacuum TOCTOU: a vacuum whose keep-set was computed
+    before the branch's registry pin can reclaim the fork's files in
+    the clone->register window. create_branch must detect it AFTER
+    registering (when later vacuums are blocked by the pin), unregister,
+    and refuse loudly — never return a permanently unreadable branch.
+    Injection: delete a referenced parent file just before the registry
+    commit lands, exactly what the racing vacuum would have done."""
+    real = txn._try_commit
+    b = txn.branch_location(t, "dev")
+
+    def patched(*args, **kw):
+        entry = args[2]
+        if entry.get("op") == "create_branch":
+            fs, _dvs = txn._replay_state(b, 0)
+            victim = os.path.normpath(os.path.join(b, sorted(fs)[0]))
+            os.remove(victim)
+        return real(*args, **kw)
+
+    monkeypatch.setattr(txn, "_try_commit", patched)
+    with pytest.raises(ValueError, match="lost a race with vacuum"):
+        txn.create_branch(t, "dev", mode="shared")
+    monkeypatch.undo()
+    assert "dev" not in txn.table_branches(t)
+
+
+def test_shared_refs_protocol_stamps(spark, t):
+    """Escaped refs are a PROTOCOL surface: the branch log demands the
+    sharedRefs reader feature (a reader joining ../../ onto the table
+    root scans garbage), and the parent gains the sharedRefs WRITER
+    feature at fork (an unaware engine's vacuum would delete files
+    that are the branch's only copy). Copy-mode forks stamp neither."""
+    txn.create_branch(t, "dev", mode="shared")
+    b = txn.branch_location(t, "dev")
+    assert "sharedRefs" in (txn._load_entry(b, 0).get("readerFeatures") or [])
+    wf = set()
+    for v in txn._committed_versions(t):
+        e = txn._load_entry(t, v) or {}
+        if e.get("op") == "create_branch":
+            wf |= set(e.get("writerFeatures", []))
+    assert {"branches", "sharedRefs"} <= wf
+    txn.create_branch(t, "cp")  # copy mode
+    bc = txn.branch_location(t, "cp")
+    assert "sharedRefs" not in (
+        txn._load_entry(bc, 0).get("readerFeatures") or []
+    )
+    cp_wf = set()
+    for v in txn._committed_versions(t):
+        e = txn._load_entry(t, v) or {}
+        if e.get("op") == "create_branch" and e["meta"]["name"] == "cp":
+            cp_wf |= set(e.get("writerFeatures", []))
+    assert "sharedRefs" not in cp_wf and "branches" in cp_wf

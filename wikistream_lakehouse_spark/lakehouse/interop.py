@@ -98,6 +98,9 @@ _SUPPORTED = frozenset(
         "columnMapping",  # physical→logical aliases, dropped excluded
         "typeWidening",  # wide-schema casts
         "partitionEvolution",  # mixed layouts REFUSED explicitly below
+        "sharedRefs",  # ../../ rels: joined paths pass through DuckDB
+        # verbatim (filename= matching included — verified empirically
+        # in test_shared_branch_duckdb_interop)
     }
 )
 

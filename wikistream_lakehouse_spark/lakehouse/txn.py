@@ -117,6 +117,7 @@ _READER_FEATURES = {
     "columnMapping",
     "typeWidening",
     "partitionEvolution",
+    "sharedRefs",
 }
 #: Features a WRITER must additionally understand to commit safely
 #: (ignoring these would write rows that violate declared invariants).
@@ -141,6 +142,14 @@ def _stamp_features(entry: dict) -> dict:
         rf.add("schemaEvolution")
     if entry.get("op") == "clone":
         rf.add("clone")
+    if any(
+        f.startswith(_SHARED_REL)
+        for f in entry.get("add", []) + entry.get("dvAdd", [])
+    ):
+        # escaped rels resolve through the branch's ancestor: a reader
+        # that joins them onto the table root scans garbage paths (or
+        # crashes on an object store with no '..') — reader feature
+        rf.add("sharedRefs")
     if entry.get("op") in ("rename_column", "drop_column") or (
         entry.get("op") == "restore"
         and "columnMapping" in (entry.get("meta") or {})
@@ -184,6 +193,15 @@ def _stamp_features(entry: dict) -> dict:
         # feature; the fast_forward commit's content is plain add/
         # remove, so reads need nothing extra
         wf.add("branches")
+    if entry.get("op") == "create_branch" and (entry.get("meta") or {}).get(
+        "shared"
+    ):
+        # a 'branches'-aware-but-sharedRefs-unaware writer's vacuum on
+        # the PARENT would delete files that are a shared branch's ONLY
+        # copy (they can be retired on main and outside retention while
+        # the branch still references them) — writer feature on the
+        # parent from the moment a shared fork registers
+        wf.add("sharedRefs")
     if rf:
         entry["readerFeatures"] = sorted(rf)
     if wf:
@@ -1787,11 +1805,40 @@ def create_branch(
                 "fork": _state_fingerprint(
                     _replay_state(table_path, v, store)
                 ),
+                # shared forks stamp the parent with the sharedRefs
+                # writer feature (vacuum must refcount the branch)
+                **({"shared": True} if mode == "shared" else {}),
             },
         )
         if current_version(table_path, store) == base and _try_commit(
             table_path, base + 1, entry, store
         ):
+            if mode == "shared":
+                # Close the fork-vs-vacuum TOCTOU: the registry pin
+                # only protects vacuums whose keep-set is computed
+                # AFTER this commit. If a concurrent vacuum reclaimed
+                # the snapshot's files between the metadata clone and
+                # the pin landing, fail LOUDLY now (and unregister)
+                # instead of leaving a permanently unreadable branch.
+                # vacuum()'s own last-moment registry re-read is the
+                # other half of the handshake.
+                bfs, bds = _replay_state(bpath, 0, store)
+                gone = [
+                    r
+                    for r in bfs + bds
+                    if not _data().exists(
+                        os.path.normpath(os.path.join(bpath, r))
+                    )
+                ]
+                if gone:
+                    drop_branch(table_path, name, store=store)
+                    raise ValueError(
+                        f"create_branch {name!r} lost a race with "
+                        f"vacuum: fork files {gone[:3]}... were "
+                        "reclaimed before the branch registered — "
+                        "branch at a newer version (or raise vacuum "
+                        "retention) and retry"
+                    )
             return base + 1
         # lost the race. If the winner was a SAME-NAME create_branch,
         # the dir now belongs to the registered branch — both clones
@@ -4638,6 +4685,13 @@ def vacuum(
     doomed = sorted(set(doomed))
     if dry_run:
         return doomed
+    # Re-read the branch registry at the last moment: a shared-refs
+    # fork whose registry pin landed AFTER the keep-set above was
+    # computed must survive (create_branch verifies its refs after
+    # registering — this is the vacuum-side half of that handshake).
+    late_pins = _branch_shared_refs(table_path, store)
+    if late_pins:
+        doomed = [f for f in doomed if f not in late_pins]
     for rel in doomed:
         ds.remove(os.path.join(table_path, rel))
     # drop now-empty data directories (cosmetic, keeps listings sane;

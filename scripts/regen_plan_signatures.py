@@ -71,10 +71,15 @@ GUARDED = [
     "sql_view_changes_replay",
     "sql_merge_changes_upsert",
     # round-13 additions: exact-substring dedup — the span explode must
-    # stay a single linear Generate per scan, dup marking a LEFT SEMI
-    # join (no row multiplication on hot spans), islands a per-doc window
+    # stay a single linear Generate per scan, dup marking must never
+    # multiply rows on hot spans, islands a per-doc window
     "dup_span_stats",
     "substring_dup_coverage",
+    # round-14 (optimization): the whole-corpus span verdict face joins
+    # the SAME single-Generate islands relation — pin it so the one-pass
+    # window marking (min/max over span_hash) cannot silently regress to
+    # the r13 double span build
+    "span_dedup_filter",
 ]
 
 #: Pinned generation context — signatures are only comparable under the

@@ -472,3 +472,25 @@ def test_media_frame_samples_query_deterministic(spark, sf_dir):
     a = sorted(map(tuple, q.build(spark, sf_dir).collect()))
     b = sorted(map(tuple, q.build(spark, sf_dir).collect()))
     assert a == b and len(a) > 0
+
+
+def test_langid_default_prediction_without_overlap(spark):
+    """r14 argmax-over-present-rows restructure: a document sharing NO
+    bigram with any profile must still get the deterministic default
+    (alphabetically-first profile language, overlap 0) — the verdict the
+    r6-r13 doc×lang universe produced for all-zero rows."""
+    labeled = spark.createDataFrame(
+        [(0, "aaaa aaab aaba", "aa"), (1, "bbbb bbba bbab", "bb")],
+        "doc_id long, text string, lang string",
+    )
+    profiles = build_language_profiles(labeled)
+    target = spark.createDataFrame(
+        [(10, "zzzz yyyy xxxx"), (11, "aaaa aaaa")],
+        "doc_id long, text string",
+    )
+    preds = {r.doc_id: r for r in predict_language(target, profiles).collect()}
+    assert preds[10].predicted_lang == "aa" and preds[10].overlap == 0
+    assert preds[11].predicted_lang == "aa" and preds[11].overlap > 0
+    # empty profile set -> no predictions at all (contract unchanged)
+    empty = build_language_profiles(labeled.filter("doc_id < 0"))
+    assert predict_language(target, empty).count() == 0

@@ -96,3 +96,50 @@ def test_coverage_schema(docs):
     assert kinds["total_tokens"] == "bigint"
     assert kinds["dup_tokens"] == "bigint"
     assert kinds["coverage"] == "double"
+
+
+def test_window_marking_equals_semijoin_marking(docs):
+    """r14 single-pass marking: the min/max-over-span_hash window path
+    (min_docs=2) must mark exactly the rows the aggregate + LEFT SEMI
+    path marks — duplicated_spans(min_docs=2) feeding the fallback
+    branch is the r13 implementation, kept for min_docs > 2."""
+    from pyspark.sql import functions as F
+
+    from wikistream_lakehouse_spark.operators.spans import (
+        duplicated_span_islands,
+        duplicated_spans,
+    )
+
+    fast = duplicated_span_islands(docs, k=4, min_docs=2).orderBy("doc_id")
+    # force the general (aggregate + semi join) branch with the same
+    # effective threshold by filtering duplicated_spans at min_docs=2
+    spans = positional_span_hashes(docs, k=4)
+    dup = duplicated_spans(spans, min_docs=2).select("span_hash")
+    k = 4
+    from pyspark.sql import Window
+
+    marked = spans.join(dup, "span_hash", "left_semi").select("doc_id", "pos")
+    end = F.col("pos") + F.lit(k - 1)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.max(end).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    slow = (
+        marked.withColumn(
+            "ni", F.when(prev.isNull() | (F.col("pos") > prev), 1).otherwise(0)
+        )
+        .withColumn("isl", F.sum("ni").over(w))
+        .groupBy("doc_id", "isl")
+        .agg((F.max(end) - F.min("pos") + 1).alias("it"))
+        .groupBy("doc_id")
+        .agg(F.sum("it").cast("long").alias("dup_tokens"))
+        .orderBy("doc_id")
+    )
+    assert fast.collect() == slow.collect()
+
+
+def test_coverage_plan_has_single_generate(docs):
+    """The r13 form built the span relation twice (two Generate subtrees
+    over the corpus); the r14 window marking must keep exactly ONE."""
+    from wikistream_lakehouse_spark.plans import plan_signature
+
+    sig = plan_signature(duplicated_span_coverage(docs, k=4))
+    assert sig.count("Generate") == 1, sig

@@ -84,17 +84,31 @@ def predict_language(
         .groupBy(id_col, "profile_lang")
         .agg(F.count(F.lit(1)).alias("overlap"))
     )
-    # zero-overlap (doc, lang) pairs vanish from the join — restore them so
-    # every document gets a deterministic prediction
-    universe = df.select(id_col).crossJoin(
-        F.broadcast(profiles.select("profile_lang"))
-    )
-    scored = universe.join(overlaps, [id_col, "profile_lang"], "left").fillna(
-        {"overlap": 0}
-    )
+    # argmax over the PRESENT (doc, lang) overlap rows only (r14, guide
+    # §2.3): a joined row always has overlap >= 1, so an absent
+    # zero-overlap pair can never win — materializing the full doc×lang
+    # universe (the r6-r13 form: cross join, n_langs× window input, and a
+    # sort-merge join to re-attach overlaps) buys nothing. Documents with
+    # NO overlapping gram fall back to the alphabetically-first profile
+    # language — exactly the tie-break the all-zero universe row produced.
     pick = Window.partitionBy(id_col).orderBy(F.desc("overlap"), "profile_lang")
-    return (
-        scored.withColumn("rk", F.row_number().over(pick))
+    best = (
+        overlaps.withColumn("rk", F.row_number().over(pick))
         .filter(F.col("rk") == 1)
-        .select(id_col, F.col("profile_lang").alias("predicted_lang"), "overlap")
+        .select(id_col, F.col("profile_lang"), "overlap")
+    )
+    # one row (the default language), empty iff profiles is empty — which
+    # keeps the contract that no profiles means no predictions
+    default = profiles.agg(
+        F.min("profile_lang").alias("_default_lang")
+    ).filter(F.col("_default_lang").isNotNull())
+    return (
+        df.select(id_col)
+        .crossJoin(F.broadcast(default))
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("profile_lang", "_default_lang").alias("predicted_lang"),
+            F.coalesce("overlap", F.lit(0)).alias("overlap"),
+        )
     )

@@ -19,7 +19,8 @@ memory:
      its state is O(P) per group) → global rank = offset + local rank.
   4. For each requested prob q: target position pos = q·(n-1)+1; the two
      bracketing ranks ⌊pos⌋/⌈pos⌉ per group form a tiny "needed" frame
-     that is broadcast back; matching rows interpolate
+     (one row per rank side) that is broadcast back and EQUI-joined on
+     (group, rank); matching rows interpolate
      v_lo + frac·(v_hi − v_lo) — the same formula Spark's
      Percentile.scala and DuckDB's quantile_cont evaluate.
 
@@ -76,11 +77,18 @@ def exact_group_quantiles(
         *group_cols,
         F.coalesce(F.sum("cnt").over(off_w), F.lit(0)).alias("offset"),
     )
-    ranked = local.join(offsets, ["pid", *group_cols]).withColumn(
+    # offsets is P×G rows — broadcast EXPLICITLY so the big windowed side
+    # is never re-shuffled by (pid, group) when size estimates go wrong
+    # (guide §3.1: hint when a side is provably bounded).
+    ranked = local.join(F.broadcast(offsets), ["pid", *group_cols]).withColumn(
         "rn", (F.col("offset") + F.col("lrn")).cast("long")
     )
 
     totals = counts.groupBy(*group_cols).agg(F.sum("cnt").alias("n"))
+    # One row per bracketing rank (side lo/hi), so the probe below is a
+    # pure EQUI join on (group, rn) — the r11-r13 form joined on
+    # (rn == klo OR rn == khi), a disjunction that degrades the broadcast
+    # join to per-row predicate evaluation over every input row.
     needed = (
         totals.select(
             *group_cols,
@@ -91,20 +99,37 @@ def exact_group_quantiles(
         .withColumn("klo", F.floor("pos").cast("long"))
         .withColumn("khi", F.ceil("pos").cast("long"))
         .withColumn("frac", F.col("pos") - F.col("klo"))
-        .select(*group_cols, "q", "klo", "khi", "frac")
+        .select(
+            *group_cols,
+            "q",
+            "frac",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("klo").alias("rn_t"), F.lit("lo").alias("side")
+                    ),
+                    F.struct(
+                        F.col("khi").alias("rn_t"), F.lit("hi").alias("side")
+                    ),
+                )
+            ).alias("nk"),
+        )
+        .select(*group_cols, "q", "frac", F.col("nk.rn_t"), F.col("nk.side"))
     )
 
     hit_cond = functools.reduce(
         operator.and_,
         [ranked[g].eqNullSafe(needed[g]) for g in group_cols],
-        (F.col("rn") == needed["klo"]) | (F.col("rn") == needed["khi"]),
+        F.col("rn") == needed["rn_t"],
     )
-    hits = ranked.join(F.broadcast(needed), hit_cond).drop(*(needed[g] for g in group_cols))
+    hits = ranked.join(F.broadcast(needed), hit_cond).drop(
+        *(needed[g] for g in group_cols)
+    )
     return (
         hits.groupBy(*group_cols, "q", "frac")
         .agg(
-            F.min(F.when(F.col("rn") == F.col("klo"), v)).alias("vlo"),
-            F.max(F.when(F.col("rn") == F.col("khi"), v)).alias("vhi"),
+            F.min(F.when(F.col("side") == "lo", v)).alias("vlo"),
+            F.max(F.when(F.col("side") == "hi", v)).alias("vhi"),
         )
         .select(
             *group_cols,

@@ -13,19 +13,20 @@ distinct pages.
 Pipeline (all JVM-side, no arrays through shuffles):
 
   tokens → positional k-gram spans (arrays_zip of k shifted slices,
-  posexplode) → md5 span hash → hash-aggregate spans seen in >= min_docs
-  distinct docs → LEFT SEMI join marks each doc's duplicated positions →
+  posexplode) → md5 span hash → min/max(doc) window over span_hash marks
+  each doc's cross-document duplicated positions in the same shuffle →
   gaps-and-islands window merges overlapping spans → per-doc duplicated
-  token coverage.
+  token coverage.  (For min_docs > 2 the marking falls back to a
+  distinct-doc-count aggregate + LEFT SEMI join.)
 
 Scale design (why this works at 100 TB where a suffix array cannot):
-  * The span relation is linear in corpus tokens (one row per position);
-    every stage after it is hash-aggregate or keyed equi-join with
-    map-side partial combine — no O(n²) anywhere.
-  * Duplicate marking is a LEFT SEMI join on the span hash: a boilerplate
-    span occurring 10M times contributes NO row multiplication on the
-    probe side (each position matches at most once), so hot spans cannot
-    skew the join the way a bucket self-join would.
+  * The span relation is built ONCE and is linear in corpus tokens (one
+    row per position); every stage after it is a keyed window,
+    hash-aggregate or equi-join — no O(n²) anywhere.
+  * Duplicate marking never multiplies rows: the span_hash window (or,
+    above min_docs=2, the LEFT SEMI join) emits each position at most
+    once, so a boilerplate span occurring 10M times cannot skew the
+    stage the way a bucket self-join would.
   * The island merge is a per-document window — state bounded by the
     longest document, partition-parallel across docs.
   * Span hashes are md5 (portable: DuckDB recomputes them bit-identically
@@ -99,43 +100,57 @@ def duplicated_spans(
     )
 
 
-def duplicated_span_coverage(
+def duplicated_span_islands(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 50,
     min_docs: int = 2,
 ) -> DataFrame:
-    """(id, total_tokens, dup_tokens, coverage) for every document that
-    contains at least one cross-document duplicated k-token span.
+    """(id, dup_tokens) — merged duplicated-island token counts per
+    document, for documents with at least one cross-document duplicated
+    k-token span.
 
     ``dup_tokens`` merges overlapping/adjacent duplicated spans before
     counting (gaps-and-islands: a new island starts where a span's start
     exceeds the running max end of all earlier spans), so a shared run of
     L >= k tokens counts L tokens once — not (L-k+1)·k.
+
+    Single-pass marking (the r13 form built the span relation TWICE —
+    once under a dup-hash aggregate, once as the LEFT SEMI probe side —
+    doubling the dominant Generate stage): for min_docs=2,
+    ``min(id)/max(id) OVER (PARTITION BY span_hash)`` marks cross-doc
+    positions in the SAME shuffle the aggregate needed, with ONE span
+    relation. Hot boilerplate spans still cause zero row multiplication
+    (a window never fans out), and the window state is two running
+    scalars per bucket.
     """
     spans = positional_span_hashes(df, text_col, id_col, k)
     if min_docs == 2:
-        # min(id) != max(id) <=> >= 2 distinct docs, in ONE aggregation
-        # phase — countDistinct would add a second shuffle (partial agg
-        # on (span_hash, id) then re-aggregate).
-        dup = (
-            spans.groupBy("span_hash")
-            .agg(F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx"))
+        # min(id) != max(id) <=> >= 2 distinct docs, decided by a window
+        # over the one span relation — no second Generate, no join.
+        wh = Window.partitionBy("span_hash")
+        marked = (
+            spans.select(
+                id_col,
+                "pos",
+                F.min(id_col).over(wh).alias("_mn"),
+                F.max(id_col).over(wh).alias("_mx"),
+            )
             .filter(F.col("_mn") != F.col("_mx"))
-            .select("span_hash")
+            .select(id_col, "pos")
         )
     else:
+        # general threshold: distinct-doc count needs a real aggregate;
+        # semi join marks positions without multiplying rows on hot spans
         dup = duplicated_spans(spans, id_col, min_docs).select("span_hash")
-    # Semi join: mark duplicated positions without multiplying rows on
-    # hot spans (see module docstring).
-    marked = spans.join(dup, "span_hash", "left_semi")
+        marked = spans.join(dup, "span_hash", "left_semi").select(id_col, "pos")
     end = F.col("pos") + F.lit(k - 1)
     w_order = Window.partitionBy(id_col).orderBy("pos")
     prev_max_end = F.max(end).over(
         w_order.rowsBetween(Window.unboundedPreceding, -1)
     )
-    islands = (
+    return (
         marked.withColumn(
             "new_island",
             F.when(
@@ -146,8 +161,25 @@ def duplicated_span_coverage(
         .groupBy(id_col, "island")
         .agg((F.max(end) - F.min("pos") + 1).alias("island_tokens"))
         .groupBy(id_col)
-        .agg(F.sum("island_tokens").alias("dup_tokens"))
+        .agg(F.sum("island_tokens").cast("long").alias("dup_tokens"))
     )
+
+
+def duplicated_span_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(id, total_tokens, dup_tokens, coverage) for every document that
+    contains at least one cross-document duplicated k-token span.
+
+    Island semantics in ``duplicated_span_islands``; this face joins the
+    per-doc totals (one extra narrow tokenize pass — docs without spans
+    never reach the inner join, so totals cannot come from span rows).
+    """
+    islands = duplicated_span_islands(df, text_col, id_col, k, min_docs)
     totals = df.select(
         F.col(id_col), F.size(tokens(F.col(text_col))).alias("total_tokens")
     )

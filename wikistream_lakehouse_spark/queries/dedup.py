@@ -795,11 +795,15 @@ def span_dedup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy — exact-dedup territory). The keep column is what the corpus
     writer partitions on, same contract as corpus_quality_filter."""
     from wikistream_lakehouse_spark.operators.spans import (
-        duplicated_span_coverage,
+        duplicated_span_islands,
     )
 
     d = table(spark, sf_dir, "documents")
-    cov = duplicated_span_coverage(d, k=_SPAN_K).select("doc_id", "dup_tokens")
+    # islands directly (not duplicated_span_coverage): the per-doc totals
+    # live on the alldocs side of the LEFT join below already, so the
+    # coverage face's inner totals join would tokenize the corpus a third
+    # time for columns this query re-derives anyway.
+    cov = duplicated_span_islands(d, k=_SPAN_K).select("doc_id", "dup_tokens")
     alldocs = d.select(
         "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
     )

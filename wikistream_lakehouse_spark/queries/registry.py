@@ -241,6 +241,28 @@ _LAST_SCORED.update(dict.fromkeys((
     "top_returning_customers", "top_supplier_by_revenue",
     "tumbling_hourly_counts",
 ), 12))
+_LAST_SCORED.update(dict.fromkeys((
+    # round 13 (CORRECTNESS_r13.json — 50 scored, all green)
+    "cdc_apply_latest_state", "conversion_funnel", "corpus_mixture_sample",
+    "corpus_train_split", "cube_part_brand_size",
+    "customer_cohort_retention", "customer_running_spend",
+    "customers_with_orders", "customers_without_orders", "daily_top_titles",
+    "dedup_canonical_docs", "distinct_order_status",
+    "distinct_users_per_day", "dup_span_stats", "first_orders_per_customer",
+    "fixed_count_per_lang_sample", "global_totals", "ivf_rerank_exact",
+    "json_props_extract", "leakage_safe_split", "limit_scan",
+    "media_features_exact", "media_frame_arithmetic", "media_manifest",
+    "nation_customer_supplier_presence", "order_measures_unpivot",
+    "orders_left_join_returns", "other_bucket_rollup", "part_price_bands",
+    "price_percentiles", "project_with_defaults", "revenue_by_nation",
+    "rollup_daily_edits", "scd2_history_splice", "scd_serving_merge",
+    "segment_set_ops", "semantic_dedup_assignments", "skewed_cohort_stats",
+    "span_dedup_filter", "sql_alter_lineage", "sql_branch_shared_refs",
+    "sql_changes_over_fast_forward", "sql_merge_changes_upsert",
+    "sql_view_changes_replay", "substring_dup_coverage", "sum_by_title",
+    "top_titles_per_day", "training_order_shuffle", "weekly_retention",
+    "window_frames_showcase",
+), 13))
 
 
 def all_queries() -> dict[str, Query]:

@@ -320,8 +320,11 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One typed ``from_json`` parse per row instead of one Jackson walk per
     extracted attribute (``get_json_object`` ×N) — measured ~25% faster
-    at sf0.1 with identical output; the gap widens with attribute count."""
-    e = table(spark, sf_dir, "events")
+    at sf0.1 with identical output; the gap widens with attribute count.
+    ``fanout=True``: JSON parsing is heavy per-row derivation, so a
+    single-row-group events scan is worth spreading (guide §2.5), unlike
+    the cheap columnar passes the events default covers."""
+    e = table(spark, sf_dir, "events", fanout=True)
     j = F.from_json("props", "k long, missing string")
     return (
         e.select("event_id", j.alias("j"))  # struct materialized once

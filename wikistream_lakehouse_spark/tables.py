@@ -34,7 +34,9 @@ TABLE_NAMES = (
 ALWAYS_BROADCAST = ("region", "nation")
 
 
-def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def table(
+    spark: SparkSession, sf_dir: str, name: str, fanout: bool | None = None
+) -> DataFrame:
     """Load one fixture table as a DataFrame.
 
     `events.ts` has shipped as parquet TIMESTAMP(NANOS) (reads as a
@@ -48,9 +50,69 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     ensure_session_conf(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
     if name == "events" and not isinstance(df.schema["ts"].dataType, T.TimestampType):
         df = df.withColumn("ts", to_utc_timestamp(df, "ts"))
+    if fanout is False or (fanout is None and name not in _FANOUT_TABLES):
+        return df
+    return _small_scan_fanout(spark, df, path)
+
+
+#: Tables whose consumers do HEAVY per-row derivation (tokenize/explode/
+#: hash/interpreted vector lambdas): the per-byte map cost is orders of
+#: magnitude above columnar relational work, so a serialized small scan
+#: is worth one bounded shuffle to spread. Relational facts (lineitem,
+#: events, orders) measured 1.7-2.7× SLOWER with the same fan-out — their
+#: map work is cheap codegen'd column ops and the extra exchange dominates
+#: — so they are deliberately excluded.
+_FANOUT_TABLES = ("documents", "embeddings")
+
+#: Fan-out bounds for `_small_scan_fanout` (bytes). Parameterised via
+#: SPARK_GRAFT_SMALL_SCAN_MB (0 disables); floor skips broadcast-dim-size
+#: tables where scheduling cores× near-empty tasks costs more than the
+#: map work they would parallelize.
+_FANOUT_FLOOR_BYTES = 256 * 1024
+
+
+def _small_scan_fanout(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Round-robin a SMALL single-file heavy-derivation scan out to the
+    session parallelism.
+
+    Parquet scan parallelism is bounded by row-group count; a small table
+    written as one row group scans as ONE task, serializing every
+    downstream map stage (tokenize/explode/hash derivations) on a
+    many-core executor. Derived from input size, not tuned to a mode
+    (guide §2.5/§6): above the threshold the input itself provides split
+    parallelism and this is a no-op — at production scale the condition
+    is never true — and below the floor the table is broadcast-dim-sized
+    and scheduling extra tasks costs more than the map work.
+
+    Results are unaffected: every registered query is partitioning-
+    invariant (audited: seeded salts feed two-level aggregates, identity
+    allocation is invariant-checked, windows carry explicit tie-breaks),
+    and the correctness driver re-proves value equality at sf0.01.
+    """
+    try:
+        limit_mb = float(os.environ.get("SPARK_GRAFT_SMALL_SCAN_MB", "64"))
+    except ValueError:
+        limit_mb = 64.0
+    if limit_mb <= 0:
+        return df
+    try:
+        if os.path.isdir(path):  # directory-style parquet output
+            size = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if not f.startswith((".", "_"))
+            )
+        else:
+            size = os.path.getsize(path)
+    except OSError:
+        return df
+    par = spark.sparkContext.defaultParallelism
+    if par > 1 and _FANOUT_FLOOR_BYTES <= size <= limit_mb * 1024 * 1024:
+        return df.repartition(par)
     return df
 
 

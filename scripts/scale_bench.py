@@ -72,6 +72,11 @@ DEFAULT_QUERIES = [
     "sql_alter_lineage",          # ALTER chain: rename/add/constraint/generated
     "sql_view_changes_replay",    # views over pinned snapshot + change feed
     "sql_merge_changes_upsert",   # MERGE USING CHANGES(t, start)
+    # round-14 additions: the single-pass span-dedup family (one Generate,
+    # window cross-doc marking) — all three faces watched at 10x
+    "dup_span_stats",
+    "substring_dup_coverage",
+    "span_dedup_filter",
 ]
 
 

@@ -1,10 +1,13 @@
 """Small-scan fan-out (tables._small_scan_fanout, r14 guide §2.5/§6).
 
-Single-row-group parquet bounds scan parallelism at 1 task; the loader
-round-robins small heavy-derivation tables (documents, embeddings) out
-to the session parallelism. The fan-out must: fire only inside its size
-band, only for the heavy-derivation tables (relational facts measured
-SLOWER with it), honor the env kill-switch, and never change results.
+Single-row-group parquet bounds scan parallelism at 1 task; call sites
+whose downstream map work is heavy JVM derivation opt in with
+``table(..., fanout=True)`` to round-robin the scan out to the session
+parallelism. OPT-IN, never a default: the same fan-out measured
+consistently SLOWER for cheap columnar passes (extra exchange dominates)
+and for Arrow/mapInPandas consumers (cores× Python worker round trips on
+near-empty batches). The fan-out must: fire only inside its size band,
+only when asked, honor the env kill-switch, and never change results.
 """
 
 from __future__ import annotations
@@ -19,8 +22,8 @@ from wikistream_lakehouse_spark.tables import _FANOUT_FLOOR_BYTES, table
 
 @pytest.fixture(scope="module")
 def big_sf_dir(spark, tmp_path_factory):
-    """A synthetic sf_dir whose documents/lineitem files exceed the
-    fan-out floor (the committed sf0.001 fixtures sit below it)."""
+    """A synthetic sf_dir whose documents file exceeds the fan-out floor
+    (the committed sf0.001 fixtures sit below it)."""
     d = str(tmp_path_factory.mktemp("fanout_sf"))
     # high-entropy text so the parquet file lands ABOVE the fan-out floor
     # after compression (a repeated pad compresses below it)
@@ -36,9 +39,6 @@ def big_sf_dir(spark, tmp_path_factory):
         F.length(text).alias("n_chars"),
     )
     docs.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
-    docs.selectExpr(
-        "doc_id as l_orderkey", "text as l_comment"
-    ).coalesce(1).write.parquet(os.path.join(d, "lineitem.parquet"))
     return d
 
 
@@ -46,7 +46,7 @@ def _nparts(df) -> int:
     return df.rdd.getNumPartitions()
 
 
-def test_documents_fan_out_to_session_parallelism(spark, big_sf_dir):
+def test_fanout_is_opt_in(spark, big_sf_dir):
     path = os.path.join(big_sf_dir, "documents.parquet")
     size = sum(
         os.path.getsize(os.path.join(path, f))
@@ -54,46 +54,33 @@ def test_documents_fan_out_to_session_parallelism(spark, big_sf_dir):
         if f.endswith(".parquet")
     )
     assert size > _FANOUT_FLOOR_BYTES, "fixture must exceed the floor"
-    df = table(spark, big_sf_dir, "documents")
-    assert _nparts(df) == spark.sparkContext.defaultParallelism
-
-
-def test_relational_tables_do_not_fan_out(spark, big_sf_dir):
-    df = table(spark, big_sf_dir, "lineitem")
-    assert _nparts(df) == 1
-
-
-def test_explicit_fanout_overrides(spark, big_sf_dir):
+    # default: no fan-out even above the floor
+    assert _nparts(table(spark, big_sf_dir, "documents")) == 1
+    # explicit opt-in: session parallelism
     assert (
-        _nparts(table(spark, big_sf_dir, "lineitem", fanout=True))
+        _nparts(table(spark, big_sf_dir, "documents", fanout=True))
         == spark.sparkContext.defaultParallelism
     )
-    assert _nparts(table(spark, big_sf_dir, "documents", fanout=False)) == 1
 
 
 def test_env_kill_switch_disables(spark, big_sf_dir, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_SMALL_SCAN_MB", "0")
-    assert _nparts(table(spark, big_sf_dir, "documents")) == 1
+    assert _nparts(table(spark, big_sf_dir, "documents", fanout=True)) == 1
 
 
 def test_below_floor_stays_unsplit(spark, sf_dir):
-    # committed sf0.001 documents is ~64 KB < floor: no fan-out
-    assert _nparts(table(spark, sf_dir, "documents")) == 1
+    # committed sf0.001 documents is ~64 KB < floor: opt-in is a no-op
+    assert _nparts(table(spark, sf_dir, "documents", fanout=True)) == 1
 
 
-def test_fanout_never_changes_results(spark, big_sf_dir, monkeypatch):
-    q = (
-        table(spark, big_sf_dir, "documents")
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars"))
-        .orderBy("lang")
-    )
-    with_fanout = q.collect()
-    monkeypatch.setenv("SPARK_GRAFT_SMALL_SCAN_MB", "0")
-    q2 = (
-        table(spark, big_sf_dir, "documents")
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars"))
-        .orderBy("lang")
-    )
-    assert with_fanout == q2.collect()
+def test_fanout_never_changes_results(spark, big_sf_dir):
+    def agg(fanout):
+        return (
+            table(spark, big_sf_dir, "documents", fanout=fanout)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars"))
+            .orderBy("lang")
+            .collect()
+        )
+
+    assert agg(True) == agg(False)

@@ -86,7 +86,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth the LSH variants approximate, and the ✦-verifiable face of X2.
     (The all-pairs join is intentionally bounded to doc_id<150; at corpus
     scale the LSH operators below replace it.)"""
-    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    d = table(spark, sf_dir, "documents", fanout=True).filter(F.col("doc_id") < 150)
     sh = (
         d.withColumn("s", shingles(tokens(F.col("text")), k=3))
         .filter(F.size("s") > 0)
@@ -661,7 +661,7 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         positional_span_hashes,
     )
 
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", fanout=True)
     sp = positional_span_hashes(d, k=_SPAN_K)
     return duplicated_spans(sp).orderBy("span_hash")
 
@@ -724,7 +724,7 @@ def substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         duplicated_span_coverage,
     )
 
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", fanout=True)
     return duplicated_span_coverage(d, k=_SPAN_K).orderBy("doc_id")
 
 
@@ -798,7 +798,7 @@ def span_dedup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         duplicated_span_islands,
     )
 
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents", fanout=True)
     # islands directly (not duplicated_span_coverage): the per-doc totals
     # live on the alldocs side of the LEFT join below already, so the
     # coverage face's inner totals join would tokenize the corpus a third

@@ -53,7 +53,7 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     through map-side only (no shuffle of the big table); per-query top-k is
     a rank window over query_id. Ranking uses the *rounded* cosine with an
     id tie-break so ordering is reproducible across engines and runs."""
-    e = table(spark, sf_dir, "embeddings")
+    e = table(spark, sf_dir, "embeddings", fanout=True)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
@@ -299,7 +299,7 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact, bounded subset) — the
     oracle-checkable face of embedding near-dedup; the LSH bucket operator
     (ann_candidates) is the corpus-scale path for the same predicate."""
-    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    e = table(spark, sf_dir, "embeddings", fanout=True).filter(F.col("vec_id") < 100)
     a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
     cos = cosine(F.col("ea"), F.col("eb"))

@@ -46,6 +46,10 @@ def table(
     under the pinned UTC session — so ALL three encodings are normalized
     here, at the load boundary (tscompat.to_utc_timestamp), and no
     downstream operator ever branches on the raw declaration.
+
+    ``fanout=True`` opts the scan into `_small_scan_fanout` (below) —
+    for call sites whose downstream map work is heavy JVM derivation
+    over a small single-row-group file.
     """
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
@@ -54,19 +58,10 @@ def table(
     df = spark.read.parquet(path)
     if name == "events" and not isinstance(df.schema["ts"].dataType, T.TimestampType):
         df = df.withColumn("ts", to_utc_timestamp(df, "ts"))
-    if fanout is False or (fanout is None and name not in _FANOUT_TABLES):
+    if not fanout:
         return df
     return _small_scan_fanout(spark, df, path)
 
-
-#: Tables whose consumers do HEAVY per-row derivation (tokenize/explode/
-#: hash/interpreted vector lambdas): the per-byte map cost is orders of
-#: magnitude above columnar relational work, so a serialized small scan
-#: is worth one bounded shuffle to spread. Relational facts (lineitem,
-#: events, orders) measured 1.7-2.7× SLOWER with the same fan-out — their
-#: map work is cheap codegen'd column ops and the extra exchange dominates
-#: — so they are deliberately excluded.
-_FANOUT_TABLES = ("documents", "embeddings")
 
 #: Fan-out bounds for `_small_scan_fanout` (bytes). Parameterised via
 #: SPARK_GRAFT_SMALL_SCAN_MB (0 disables); floor skips broadcast-dim-size
@@ -81,12 +76,23 @@ def _small_scan_fanout(spark: SparkSession, df: DataFrame, path: str) -> DataFra
 
     Parquet scan parallelism is bounded by row-group count; a small table
     written as one row group scans as ONE task, serializing every
-    downstream map stage (tokenize/explode/hash derivations) on a
-    many-core executor. Derived from input size, not tuned to a mode
-    (guide §2.5/§6): above the threshold the input itself provides split
-    parallelism and this is a no-op — at production scale the condition
-    is never true — and below the floor the table is broadcast-dim-sized
-    and scheduling extra tasks costs more than the map work.
+    downstream map stage on a many-core executor. Derived from input
+    size, not tuned to a mode (guide §2.5/§6): above the threshold the
+    input itself provides split parallelism and this is a no-op — at
+    production scale the condition is never true — and below the floor
+    the table is broadcast-dim-sized and scheduling extra tasks costs
+    more than the map work.
+
+    OPT-IN per call site (``table(..., fanout=True)``), never a default:
+    measured r14, the fan-out wins ONLY where the downstream map work is
+    heavy JVM derivation amortized over few rows per byte — the k-gram
+    span Generate, all-pairs shingle/cosine comparisons, per-row JSON
+    parse (0.23-0.88× paired ratios). It consistently LOSES everywhere
+    else: cheap columnar passes pay the extra exchange (relational facts
+    1.7-2.7× slower), and Arrow/mapInPandas consumers pay cores× Python
+    worker round trips on near-empty batches instead of one full batch
+    (PQ/IVF ANN family measured up to 16× slower with a fanned
+    embeddings scan — guide §4.2: keep Arrow batches large).
 
     Results are unaffected: every registered query is partitioning-
     invariant (audited: seeded salts feed two-level aggregates, identity

@@ -200,6 +200,13 @@ def main() -> None:
         "sec": round(median(cal_pre + cal_post), 4),
     }
 
+    # Scaling-evidence contract (VERDICT r14 next #2): record the
+    # parallelism the session ACTUALLY ran with, so the driver can verify
+    # $SPARK_GRAFT_CPUS was honored instead of inferring it from ratios
+    # that the per-query fixed-cost floor flattens at sf0.1.
+    cpus_used = spark.sparkContext.defaultParallelism
+    master_used = spark.sparkContext.master
+
     total = round(sum(timings.values()), 4)
     spark.stop()
 
@@ -214,6 +221,8 @@ def main() -> None:
         "unit": "sec",
         "sf": infer_sf(sf_dir),
         "runs": done_sweeps,
+        "cpus": cpus_used,
+        "master": master_used,
         "calibration": calibration,
         "queries": {
             n: {
@@ -256,6 +265,8 @@ def main() -> None:
             "queries_timed": len(timings),
             "spread": spread,
             "calibration_sec": calibration["sec"],
+            "cpus": cpus_used,
+            "master": master_used,
             "sf": infer_sf(sf_dir),
         }
         if errors:

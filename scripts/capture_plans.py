@@ -17,6 +17,30 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _formatted_plan(df) -> str:
+    """`explain("formatted")` output as a string, without reaching through
+    version-brittle private JVM helpers (ADVICE r14: PythonSQLUtils'
+    signature has shifted across PySpark releases). Redirecting the public
+    `df.explain` is the stable path; the JVM-side explainString is kept as
+    a fallback for sessions where stdout capture is unavailable."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    try:
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        out = buf.getvalue()
+        if out.strip():
+            return out
+    except Exception:
+        pass
+    jqe = df._jdf.queryExecution()  # noqa: SLF001 — fallback only
+    jvm = df.sparkSession._jvm  # noqa: SLF001
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return jqe.explainString(mode)
+
+
 def main() -> None:
     out_dir, suffix, *names = sys.argv[1:]
     os.makedirs(out_dir, exist_ok=True)
@@ -30,9 +54,7 @@ def main() -> None:
     qs = all_queries()
     for name in names:
         df = qs[name].build(spark, sf_dir)
-        plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-            df._jdf.queryExecution(), "formatted"
-        )
+        plan = _formatted_plan(df)
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")
         with open(path, "w") as f:
             f.write(plan.rstrip() + "\n")

@@ -229,6 +229,7 @@ def main():
     for name, r in results.items():
         ratios = sorted(n / o for o, n in zip(r["old"], r["new"]))
         print(f"{name:28s} old_med={med(r['old']):.3f} new_med={med(r['new']):.3f} "
+              f"med_ratio={med(ratios):.3f} "
               f"per-sweep new/old ratios: {[round(x,3) for x in ratios]}")
     spark.stop()
 

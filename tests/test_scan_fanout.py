@@ -84,3 +84,40 @@ def test_fanout_never_changes_results(spark, big_sf_dir):
         )
 
     assert agg(True) == agg(False)
+
+
+# Every call site that opts into the fan-out (grep `fanout=True`).
+_OPTED_IN = [
+    "ngram_jaccard_pairs",
+    "dup_span_stats",
+    "substring_dup_coverage",
+    "span_dedup_filter",
+    "cosine_topk_bruteforce",
+    "embedding_cosine_pairs",
+    "json_props_extract",
+]
+
+
+def test_opted_in_queries_match_oracle_with_fanout_live(spark, monkeypatch):
+    """VERDICT r14 (b): the driver's oracle runs at sf0.01, where every
+    fixture file sits below the 256 KB fan-out floor — so the gate never
+    exercises the repartitioned path. Force the floor to 0 and re-prove
+    every opted-in query against its DuckDB oracle at sf0.01 with the
+    fan-out LIVE (the repartition changes row order; an order-sensitive
+    query would only fail here)."""
+    from conftest import assert_matches_oracle
+
+    from wikistream_lakehouse_spark.queries import all_queries
+
+    sf01 = "/root/testdata/sf0.01"
+    monkeypatch.setenv("SPARK_GRAFT_SMALL_SCAN_FLOOR_KB", "0")
+    # prove the fan-out is actually live under the forced floor
+    assert (
+        table(spark, sf01, "documents", fanout=True).rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    qs = all_queries()
+    for name in _OPTED_IN:
+        q = qs[name]
+        assert q.oracle is not None, name
+        assert_matches_oracle(q.build(spark, sf01), q.oracle, sf01)

@@ -99,10 +99,9 @@ def test_coverage_schema(docs):
 
 
 def test_window_marking_equals_semijoin_marking(docs):
-    """r14 single-pass marking: the min/max-over-span_hash window path
-    (min_docs=2) must mark exactly the rows the aggregate + LEFT SEMI
-    path marks — duplicated_spans(min_docs=2) feeding the fallback
-    branch is the r13 implementation, kept for min_docs > 2."""
+    """Single-pass marking equivalence: the shared-exchange aggregate +
+    inner-join path (r15, min_docs=2) must mark exactly the rows the
+    reference aggregate + LEFT SEMI implementation (r13) marks."""
     from pyspark.sql import functions as F
 
     from wikistream_lakehouse_spark.operators.spans import (
@@ -138,8 +137,51 @@ def test_window_marking_equals_semijoin_marking(docs):
 
 def test_coverage_plan_has_single_generate(docs):
     """The r13 form built the span relation twice (two Generate subtrees
-    over the corpus); the r14 window marking must keep exactly ONE."""
-    from wikistream_lakehouse_spark.plans import plan_signature
+    over the corpus). The r15 marking shares ONE explicit span_hash
+    exchange between the dup-set aggregate and the join probe; the
+    static plan therefore textually repeats the Generate subtree under
+    two canonically-equal exchanges, and the proof of single execution
+    is the FINAL adaptive plan: AQE exchange reuse must leave exactly
+    one executed Generate (guide §7.2 — judge the executed plan, not
+    the static one)."""
+    df = duplicated_span_coverage(docs, k=4)
+    df.collect()  # drive THIS DataFrame's QueryExecution to its final plan
+    final = (
+        df._jdf.queryExecution()  # noqa: SLF001
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert "isFinalPlan=true" in final, final[:500]
+    assert final.count("ReusedExchange") == 1, final[:2000]
+    assert final.count("Generate ") == 1, final[:2000]
 
-    sig = plan_signature(duplicated_span_coverage(docs, k=4))
-    assert sig.count("Generate") == 1, sig
+
+def test_hot_span_marking_streams(spark):
+    """Skew-proofing (VERDICT r14 (a)): a span present in EVERY document
+    (the hot boilerplate case) must not route through any operator that
+    buffers the hot hash's rows in one task. The r14 min/max window over
+    span_hash buffered the whole partition (WindowExec); the r15 plan
+    must show NO sort or window keyed by span_hash — only a streaming
+    hash-aggregate and a shuffled-hash join — and still produce exact
+    coverage."""
+    hot = "h1 h2 h3 h4"  # the 4-token span shared by every doc
+    rows = [(i, f"u{i}a u{i}b {hot} u{i}c") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    df = duplicated_span_coverage(docs, k=4)
+    got = {r.doc_id: r.dup_tokens for r in df.collect()}
+    assert got == {i: 4 for i in range(200)}
+    final = (
+        df._jdf.queryExecution()  # noqa: SLF001
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    # the marking must stream: no sort and no window partitioned by the
+    # span hash anywhere in the executed plan (the only Sort/Window
+    # allowed is the per-doc islands merge, keyed by doc_id)
+    for line in final.splitlines():
+        if "span_hash" in line:
+            assert "Sort [span_hash" not in line, line
+            assert not line.strip().startswith("Window"), line
+    assert "ShuffledHashJoin" in final, final[:2000]

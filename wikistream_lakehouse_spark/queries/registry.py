@@ -263,6 +263,29 @@ _LAST_SCORED.update(dict.fromkeys((
     "top_titles_per_day", "training_order_shuffle", "weekly_retention",
     "window_frames_showcase",
 ), 13))
+_LAST_SCORED.update(dict.fromkeys((
+    # round 14 (CORRECTNESS_r14.json — 50 scored, all green)
+    "above_average_customers", "array_functions_showcase",
+    "benchmark_contamination", "cheapest_supplier_per_part",
+    "chunk_dedup_stats", "conditional_functions_showcase", "corpus_funnel",
+    "daily_top_titles", "date_functions_showcase",
+    "dedup_canonical_embeddings", "dedup_exact_events",
+    "disjunctive_part_revenue", "doc_char_chunks", "doc_repetition_profile",
+    "doc_token_chunks", "dominant_part_shippers", "forecast_revenue",
+    "grouping_sets_sql", "heavy_hitter_tokens", "hourly_gapfill_locf",
+    "idle_customer_balance", "important_part_value", "ivfpq_adc_rerank_exact",
+    "keyword_search_bm25", "language_id_ngram", "late_order_priority_counts",
+    "math_functions_showcase", "minhash_bands_exact", "nation_market_share",
+    "ngram_jaccard_pairs", "pii_scrub_profile", "pq_adc_rerank_exact",
+    "pricing_summary", "priority_discount_orders",
+    "product_profit_by_nation_year", "purchase_click_attribution",
+    "rolling_zscore_anomalies", "sequence_packing_accounting",
+    "simhash_bands_exact", "sql_copy_into_idempotent", "sql_daily_top_titles",
+    "sql_identity_allocation", "sql_mv_incremental_refresh",
+    "sql_show_create_roundtrip", "sql_version_tags",
+    "string_functions_showcase", "supplier_count_by_part_attrs",
+    "term_frequency_topk", "top_revenue_orders", "unigram_logprob_score",
+), 14))
 
 
 def all_queries() -> dict[str, Query]:

@@ -66,8 +66,19 @@ def table(
 #: Fan-out bounds for `_small_scan_fanout` (bytes). Parameterised via
 #: SPARK_GRAFT_SMALL_SCAN_MB (0 disables); floor skips broadcast-dim-size
 #: tables where scheduling cores× near-empty tasks costs more than the
-#: map work they would parallelize.
+#: map work they would parallelize. The floor is overridable via
+#: SPARK_GRAFT_SMALL_SCAN_FLOOR_KB (VERDICT r14 (b): forcing it to 0
+#: lets the oracle sweep exercise the repartitioned path at sf0.01,
+#: where every fixture file sits below the default floor).
 _FANOUT_FLOOR_BYTES = 256 * 1024
+
+
+def _fanout_floor_bytes() -> float:
+    try:
+        kb = os.environ.get("SPARK_GRAFT_SMALL_SCAN_FLOOR_KB")
+        return float(kb) * 1024 if kb is not None else _FANOUT_FLOOR_BYTES
+    except ValueError:
+        return _FANOUT_FLOOR_BYTES
 
 
 def _small_scan_fanout(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
@@ -106,18 +117,24 @@ def _small_scan_fanout(spark: SparkSession, df: DataFrame, path: str) -> DataFra
     if limit_mb <= 0:
         return df
     try:
-        if os.path.isdir(path):  # directory-style parquet output
-            size = sum(
-                os.path.getsize(os.path.join(path, f))
-                for f in os.listdir(path)
-                if not f.startswith((".", "_"))
-            )
+        if os.path.isdir(path):  # directory-style (possibly partitioned)
+            # Walk recursively: partitioned layouts nest data files under
+            # key=value subdirectories, and a top-level-only sum would
+            # count dirents (bytes undercounted → fan-out silently skipped).
+            size = 0
+            for root, dirs, files in os.walk(path):
+                dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+                size += sum(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files
+                    if not f.startswith((".", "_"))
+                )
         else:
             size = os.path.getsize(path)
     except OSError:
         return df
     par = spark.sparkContext.defaultParallelism
-    if par > 1 and _FANOUT_FLOOR_BYTES <= size <= limit_mb * 1024 * 1024:
+    if par > 1 and _fanout_floor_bytes() <= size <= limit_mb * 1024 * 1024:
         return df.repartition(par)
     return df
 
